@@ -1,0 +1,30 @@
+"""t2-style gate run locally: every registered query with an oracle must
+hash-match DuckDB on the same parquet tables."""
+
+from __future__ import annotations
+
+import pytest
+
+import olap_sus_spark.queries  # noqa: F401 — populate registry
+from olap_sus_spark.registry import ORACLE, QUERIES
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_query_matches_oracle(spark, oracle_con, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, oracle_con, ORACLE[name])
+
+
+def test_every_query_runs(spark):
+    for name, fn in QUERIES.items():
+        n = fn(spark, SF_DIR).count()
+        assert n >= 0, name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
