@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query and total wall-clock seconds.
+
+Each query is executed to completion (collect) after a small warm-up query
+so JVM/codegen startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from olap_sus_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship + the six named OLAP operations + the heaviest
+# data-pipeline operators (extended as coverage grows).
+HEADLINE = [
+    "pricing_summary",
+    "rollup_family_schooling",
+    "rollup_state_ageband",
+    "slice_dice_city_years",
+    "pivot_year_by_region",
+    "drill_across_growth",
+    "topk_parts_per_nation",
+    "bridge_group_signature",
+    "explode_word_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("olap_sus_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import olap_sus_spark.queries  # noqa: F401 — populate registry
+    from olap_sus_spark.registry import QUERIES
+
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    # Warm-up: touch every table once, JIT the scan path.
+    from olap_sus_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
