@@ -1,0 +1,192 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each designed shuffle-light for 100 TB:
+
+- **exact** (:func:`exact_dedup`): md5(content) → one shuffle on the 16-byte
+  hash (never on the text itself), keep min doc_id per group.
+- **n-gram Jaccard** (:func:`jaccard_pairs`): blocked self-join — candidate
+  pairs only within a cheap blocking key (here (lang, length bucket)), exact
+  Jaccard on token n-gram sets.  The blocking key is the scale lever: the
+  join is equi on the block, so Spark plans a shuffle-hash/sort-merge join
+  on block ids instead of a cartesian product.
+- **MinHash + LSH** (:func:`minhash_signatures`, :func:`lsh_candidate_pairs`):
+  k md5-derived hash functions over shingles → banded signatures → bucket
+  join.  Only bucket-collisions shuffle; verification re-checks exact
+  Jaccard on candidates only.
+- **SimHash** (:func:`simhash64`): 64-bit sign-aggregated token hash;
+  near-dup = small Hamming distance (join on rotated prefixes at scale).
+- **embedding cosine** (:func:`embedding_dup_pairs` in similarity.py terms):
+  see operators/similarity.py — same blocked-pair construction with a
+  vector threshold.
+
+All hashes are md5-int based (portable to the DuckDB oracle, see
+operators/text.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from olap_sus_spark.operators.text import md5_int, token_ngrams, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest id (canonical
+    representative).  Returns (content_hash, canonical_id, n_copies)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def with_block_key(df: DataFrame, text_col: str = "text", bucket: int = 64) -> DataFrame:
+    """Blocking key for pair generation: (lang, token-count bucket).  Near
+    duplicates share language and approximate length, so candidate pairs
+    collapse from O(n²) to O(Σ block²)."""
+    return df.withColumn(
+        "block",
+        F.concat_ws(
+            "#",
+            F.col("lang"),
+            # floor division, not double-cast: double→int CASTs round in some
+            # engines (DuckDB) and truncate in others (Spark).
+            F.floor(F.size(tokens(F.col(text_col))) / F.lit(bucket)).cast("int").cast("string"),
+        ),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity over blocked candidate pairs.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.col("block"),
+        F.array_distinct(token_ngrams(F.col(text_col), n)).alias("grams"),
+    )
+    a = grams.select(
+        F.col(id_col).alias("id_a"), F.col("block"), F.col("grams").alias("grams_a")
+    )
+    b = grams.select(
+        F.col(id_col).alias("id_b"), F.col("block"), F.col("grams").alias("grams_b")
+    )
+    pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    jac = inter.cast("double") / union.cast("double")
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per document: sig_i = min over shingles of
+    md5-int(i ':' shingle).  One narrow projection, no shuffle."""
+    grams = F.array_distinct(token_ngrams(F.col(text_col), n))
+    sig_cols = [
+        F.array_min(
+            F.transform(grams, lambda g: md5_int(F.concat_ws(":", F.lit(str(i)), g)))
+        ).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), *sig_cols)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 2,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket, self-join
+    buckets, dedup pairs.  Returns (id_a, id_b) candidates.
+
+    At scale this is the only shuffle: by (band, bucket), where bucket
+    collisions are rare by construction.
+    """
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[c.cast("string") for c in cols])).alias("bucket"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b_ = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b_, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash64(text: Column | str, id_weighted: bool = False) -> Column:
+    """64-bit SimHash over tokens: for each bit, sum ±1 across token hashes
+    and take the sign.  Expressed with aggregate() over the token array —
+    per-row, no shuffle.  (Bit j of token hash via shiftright & 1.)"""
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote_fn(j: int):
+        # PySpark derives the HOF arity from the lambda signature, so the
+        # bit index is bound via closure, not a default arg.
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_exprs = []
+    for j in range(64):
+        votes = F.aggregate(hashes, F.lit(0).cast("bigint"), vote_fn(j))
+        bit_exprs.append(F.when(votes > 0, F.lit(1).cast("bigint")).otherwise(0).alias(f"b{j}"))
+    # Pack bits: sum(b_j << j)
+    packed = None
+    for j, be in enumerate(bit_exprs):
+        term = F.shiftleft(be, j)
+        packed = term if packed is None else packed + term
+    return packed
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force within label blocks).
+
+    Blocks on the `label` column when present (analogous to lang blocking);
+    at 100 TB swap the block for an IVF/LSH bucket (similarity.py).
+    """
+    from olap_sus_spark.operators.similarity import cosine
+
+    v = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), F.col("label")
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "label")
+    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "label")
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

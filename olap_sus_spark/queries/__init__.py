@@ -4,6 +4,12 @@ Importing this package populates ``olap_sus_spark.registry.QUERIES`` /
 ``ORACLE``.
 """
 
-from olap_sus_spark.queries import olap, operators, pricing  # noqa: F401
+from olap_sus_spark.queries import (  # noqa: F401
+    olap,
+    operators,
+    pricing,
+    text_pipeline,
+    vector,
+)
 
-__all__ = ["pricing", "olap", "operators"]
+__all__ = ["pricing", "olap", "operators", "text_pipeline", "vector"]

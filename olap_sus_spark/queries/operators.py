@@ -151,7 +151,8 @@ _ANTI_ORACLE = """
 SELECT c_custkey, c_name
 FROM customer c
 WHERE NOT EXISTS (
-    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND EXTRACT(YEAR FROM o.o_orderdate) = 1995
 )
 """
 
@@ -160,9 +161,10 @@ WHERE NOT EXISTS (
 def anti_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    return cust.join(
-        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
-    ).select("c_custkey", "c_name")
+    o95 = orders.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return cust.join(o95, "c_custkey", "left_anti").select("c_custkey", "c_name")
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,265 @@
+"""Registered queries for the text-analysis + dedup operator families
+(operators/text.py, operators/dedup.py), each with a DuckDB oracle.
+
+Duplicate scenarios are synthesized deterministically inside the query (the
+fixture corpus has no exact duplicates): every 7th document is unioned back
+with a shifted id (exact dup) and every 11th with one appended token
+(near dup).  Both engines build the same augmented corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.operators import dedup as dd
+from olap_sus_spark.operators import text as tx
+from olap_sus_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# SQL helpers (the DuckDB twins of operators/text.py expressions).
+# ---------------------------------------------------------------------------
+_TOKENS_SQL = "regexp_extract_all(lower({t}), '[a-z0-9]+')"
+
+
+def _md5_int_sql(x: str) -> str:
+    return f"CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _ngrams_expr_sql(toks: str, n: int = 3) -> str:
+    join = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} "
+        f"THEN list_transform(range(1, len({toks}) - {n - 2}), i -> {join}) "
+        f"ELSE [] END"
+    )
+
+
+_AUG_SQL = """
+aug AS (
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text || ' zzduplicado', lang, source, n_chars
+    FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+
+def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    near = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzduplicado")))
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+# ---------------------------------------------------------------------------
+# Quality features.
+# ---------------------------------------------------------------------------
+_QUALITY_ORACLE = f"""
+SELECT
+    doc_id,
+    length(text) AS q_chars,
+    len({_TOKENS_SQL.format(t='text')}) AS q_tokens,
+    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform({_TOKENS_SQL.format(t='text')}, t -> CAST(length(t) AS BIGINT))),
+        (a, b) -> a + b) AS DOUBLE)
+        / CAST(greatest(len({_TOKENS_SQL.format(t='text')}), 1) AS DOUBLE) AS q_mean_token_len,
+    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) AS q_punct_ratio,
+    CAST(len(list_filter({_TOKENS_SQL.format(t='text')},
+        t -> list_contains(['the','and','of','to','is','a'], t))) AS DOUBLE)
+        / CAST(greatest(len({_TOKENS_SQL.format(t='text')}), 1) AS DOUBLE) AS q_stopword_ratio
+FROM documents
+"""
+
+
+@register("text_quality_features", oracle=_QUALITY_ORACLE)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.quality_features(docs).select(
+        "doc_id", "q_chars", "q_tokens", "q_mean_token_len", "q_punct_ratio", "q_stopword_ratio"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword-profile heuristic) — grouped confusion counts.
+# ---------------------------------------------------------------------------
+def _langid_sql(t: str) -> str:
+    toks = _TOKENS_SQL.format(t=t)
+    structs = ", ".join(
+        "{{'s': -len(list_filter({toks}, t -> list_contains({words}, t))), 'c': '{code}'}}".format(
+            toks=toks,
+            words="[" + ",".join(f"'{w}'" for w in tx.LANG_PROFILES[code]) + "]",
+            code=code,
+        )
+        for code in sorted(tx.LANG_PROFILES)
+    )
+    return f"(list_sort([{structs}]))[1].c"
+
+
+_LANGID_ORACLE = f"""
+SELECT lang, {_langid_sql('text')} AS lang_pred, COUNT(*) AS quantidade
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("text_language_id", oracle=_LANGID_ORACLE)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tx.langid(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("quantidade"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprints (md5 token-set + rolling min:max n-gram hash).
+# ---------------------------------------------------------------------------
+_TOKS = _TOKENS_SQL.format(t="text")
+_GRAMS = _ngrams_expr_sql(_TOKS)
+_FP_ORACLE = f"""
+SELECT
+    doc_id,
+    md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint,
+    CAST(list_min(list_transform({_GRAMS}, g -> {_md5_int_sql('g')})) AS VARCHAR)
+        || ':' ||
+    CAST(list_max(list_transform({_GRAMS}, g -> {_md5_int_sql('g')})) AS VARCHAR) AS rolling_fp
+FROM documents
+"""
+
+
+@register("text_fingerprint", oracle=_FP_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.fingerprint(F.col("text")).alias("fingerprint"),
+        tx.rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup over the augmented corpus.
+# ---------------------------------------------------------------------------
+_EXACT_DEDUP_ORACLE = f"""
+WITH {_AUG_SQL}
+SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM aug
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_DEDUP_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(augmented_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram Jaccard near-dup pairs.
+# ---------------------------------------------------------------------------
+_JACCARD_ORACLE = f"""
+WITH {_AUG_SQL},
+g AS (
+    SELECT
+        doc_id,
+        lang || '#' || CAST(CAST(floor(len({_TOKS}) / 64) AS INT) AS VARCHAR) AS block,
+        list_distinct({_GRAMS}) AS grams
+    FROM aug
+)
+SELECT
+    a.doc_id AS id_a,
+    b.doc_id AS id_b,
+    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5
+"""
+
+
+@register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = dd.with_block_key(augmented_docs(spark, sf_dir))
+    return dd.jaccard_pairs(docs, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH candidate pairs, verified with exact Jaccard.
+# ---------------------------------------------------------------------------
+def _minhash_oracle(num_hashes: int = 8, bands: int = 2, rows: int = 4) -> str:
+    sig_cols = ",\n        ".join(
+        f"list_min(list_transform(list_distinct({_GRAMS}), "
+        f"g -> {_md5_int_sql(chr(39) + str(i) + ':' + chr(39) + ' || g')})) AS sig_{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sigs".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_AUG_SQL},
+sigs AS (
+    SELECT doc_id,
+        {sig_cols}
+    FROM aug
+),
+buckets AS (
+    {band_selects}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+g AS (SELECT doc_id, list_distinct({_GRAMS}) AS grams FROM aug)
+SELECT
+    c.id_a, c.id_b,
+    CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(ga.grams, gb.grams))) AS DOUBLE) AS jaccard
+FROM cand c
+JOIN g ga ON ga.doc_id = c.id_a
+JOIN g gb ON gb.doc_id = c.id_b
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = augmented_docs(spark, sf_dir)
+    sigs = dd.minhash_signatures(docs, num_hashes=8)
+    cand = dd.lsh_candidate_pairs(sigs, bands=2, rows_per_band=4)
+    grams = docs.select(
+        "doc_id", F.array_distinct(tx.token_ngrams(F.col("text"), 3)).alias("grams")
+    )
+    ga = grams.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = grams.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    verified = cand.join(ga, "id_a").join(gb, "id_b")
+    jac = (
+        F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+        / F.size(F.array_union("grams_a", "grams_b")).cast("double")
+    )
+    return verified.select("id_a", "id_b", jac.alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (rows-only: Spark xxhash64 has no DuckDB twin).
+# ---------------------------------------------------------------------------
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", dd.simhash64(F.col("text")).alias("simhash"))

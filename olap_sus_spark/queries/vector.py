@@ -1,0 +1,120 @@
+"""Registered queries for similarity search (operators/similarity.py).
+
+Oracles replicate the exact fold-order dot product (list_reduce over
+element products) so cosine scores are bit-identical doubles in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.operators import similarity as sim
+from olap_sus_spark.registry import register
+
+_NQ = 5  # query vectors: vec_id < 5
+_K = 5
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    def _norm(v: str) -> str:
+        return f"sqrt(list_reduce(list_transform({v}, x -> x * x), (x, y) -> x + y))"
+
+    return f"({_DOT.format(a=a, b=b)}) / ({_norm(a)} * {_norm(b)})"
+
+
+_BRUTE_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_cos('q.v', 'c.v')} AS cosine
+    FROM v q JOIN v c ON q.vec_id < {_NQ} AND q.vec_id != c.vec_id
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register("ann_cosine_topk", oracle=_BRUTE_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.cosine_topk(emb, queries, k=_K)
+
+
+_NC = 16  # centroids: vec_id < 16 (deterministic 'training' set)
+_NPROBE = 4
+
+_IVF_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, v AS centv FROM v WHERE vec_id < {_NC}),
+assign_scored AS (
+    SELECT x.vec_id, c.centroid_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY x.vec_id
+               ORDER BY {_cos('x.v', 'c.centv')} DESC, c.centroid_id) AS INT) AS rk
+    FROM v x CROSS JOIN cent c
+),
+assigned AS (
+    SELECT a.vec_id, a.centroid_id, v.v
+    FROM assign_scored a JOIN v ON v.vec_id = a.vec_id
+    WHERE a.rk = 1
+),
+probes AS (
+    SELECT query_id, centroid_id, qv FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id, q.v AS qv,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_cos('q.v', 'c.centv')} DESC, c.centroid_id) AS INT) AS rk
+        FROM v q CROSS JOIN cent c
+        WHERE q.vec_id < {_NQ}
+    ) WHERE rk <= {_NPROBE}
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS cand_id, {_cos('p.qv', 'a.v')} AS cosine
+    FROM probes p JOIN assigned a ON a.centroid_id = p.centroid_id
+    WHERE p.query_id != a.vec_id
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register("ann_ivf_topk", oracle=_IVF_ORACLE)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_topk(emb, queries, num_centroids=_NC, nprobe=_NPROBE, k=_K)
+
+
+_EMB_DUP_ORACLE = f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos('a.v', 'b.v')} AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_cos('a.v', 'b.v')} >= 0.3
+"""
+
+
+@register("dedup_embedding_pairs", oracle=_EMB_DUP_ORACLE)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olap_sus_spark.operators.dedup import embedding_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.3)
