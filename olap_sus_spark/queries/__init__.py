@@ -5,6 +5,9 @@ Importing this package populates ``olap_sus_spark.registry.QUERIES`` /
 """
 
 from olap_sus_spark.queries import (  # noqa: F401
+    bands,
+    events_windows,
+    multimodal_pipeline,
     olap,
     operators,
     pricing,
@@ -12,4 +15,13 @@ from olap_sus_spark.queries import (  # noqa: F401
     vector,
 )
 
-__all__ = ["pricing", "olap", "operators", "text_pipeline", "vector"]
+__all__ = [
+    "bands",
+    "events_windows",
+    "multimodal_pipeline",
+    "olap",
+    "operators",
+    "pricing",
+    "text_pipeline",
+    "vector",
+]

@@ -1,0 +1,90 @@
+"""Unit tests: band-join NULL-arm semantics (SURVEY.md §2.3 J4/J5) and
+multimodal asset plumbing (operators/multimodal.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from olap_sus_spark.operators.joins import band_join, band_label
+from olap_sus_spark.operators.multimodal import (
+    decode_image,
+    extract_metadata,
+    sample_frames,
+    text_as_assets,
+)
+
+
+def _bands(spark):
+    # Mirrors dimDemografia's band layout: 'Ignorado' member has NULL ends
+    # (scripts/init.sql:181-182 semantics).
+    return spark.createDataFrame(
+        [("Ignorado", None, None), ("0-9", 0, 9), ("10+", 10, None)],
+        "banda string, lo int, hi int",
+    )
+
+
+def _facts(spark):
+    return spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 999), (4, None)], "id int, idade int"
+    )
+
+
+def test_band_join_null_arm_matches_sentinel(spark):
+    """SINASC semantics (spark_script_sinasc.py:224-227): NULL value joins
+    exactly the band whose lower bound is NULL."""
+    out = band_join(
+        _facts(spark), _bands(spark), "idade", "lo", "hi", how="left", null_arm=True
+    ).select("id", "banda")
+    got = {r["id"]: r["banda"] for r in out.collect()}
+    assert got == {1: "0-9", 2: "10+", 3: "10+", 4: "Ignorado"}
+
+
+def test_band_join_without_null_arm_drops_null(spark):
+    """SIM semantics (spark_script_sim.py:367): no NULL arm → NULL age
+    matches nothing (left join leaves the key NULL)."""
+    out = band_join(
+        _facts(spark), _bands(spark), "idade", "lo", "hi", how="left", null_arm=False
+    ).select("id", "banda")
+    got = {r["id"]: r["banda"] for r in out.collect()}
+    assert got[4] is None
+
+
+def test_band_label_equals_band_join(spark):
+    labeled = _facts(spark).select(
+        "id",
+        band_label(
+            F.col("idade"), [("0-9", 0, 9), ("10+", 10, None)], null_label="Ignorado"
+        ).alias("banda"),
+    )
+    got = {r["id"]: r["banda"] for r in labeled.collect()}
+    assert got == {1: "0-9", 2: "10+", 3: "10+", 4: "Ignorado"}
+
+
+def test_text_as_assets_and_metadata(spark):
+    docs = spark.createDataFrame([(1, "olá"), (2, ""), (3, None)], "doc_id long, text string")
+    meta = extract_metadata(text_as_assets(docs, "doc_id", "text")).collect()
+    by_id = {r["asset_id"]: r for r in meta}
+    # UTF-8: 'olá' is 4 bytes; digest matches hashlib on the same bytes.
+    assert by_id[1]["n_bytes"] == 4
+    assert by_id[1]["digest"] == hashlib.md5("olá".encode()).hexdigest()
+    assert by_id[2]["n_bytes"] == 0
+    assert by_id[3]["n_bytes"] is None and by_id[3]["digest"] is None
+
+
+def test_sample_frames_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 640), (2, "y" * 64)], "doc_id long, text string"
+    )
+    frames = sample_frames(text_as_assets(docs, "doc_id", "text"), every_nth=3).collect()
+    assert {f.asset_id for f in frames} == {1, 2}
+    # asset 1: 10 fake slices, every 3rd kept -> indices 0,3,6,9
+    assert sorted(f.frame_index for f in frames if f.asset_id == 1) == [0, 3, 6, 9]
+    assert all(isinstance(f.frame, (bytes, bytearray)) for f in frames)
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG", "image/png")
