@@ -1,0 +1,102 @@
+"""Batch ingest orchestration — the engine's equivalent of the reference's
+Airflow DAG + spark-submit scripts (/root/reference/dags/spark_dag.py:48-78).
+
+One plain function per concern, no scheduler: incrementality stays
+partition-based (``dt=YYYY-MM-DD`` landing folders in, ``dt=`` fact
+partitions out).  Re-running a (dataset, date) pair is idempotent: facts use
+dynamic partition overwrite, bridge rows are content-keyed and anti-joined
+(sources/sinks.py).
+
+Typical use::
+
+    warehouse = bootstrap_warehouse(spark, seed_paths, warehouse_dir)
+    run_ingest(spark, "sinasc", "2024-01-15", landing_dir, warehouse_dir)
+    run_ingest(spark, "sim", "2024-01-15", landing_dir, warehouse_dir)
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olap_sus_spark.operators import facts as facts_ops
+from olap_sus_spark.operators.dims import ALL_GENERATED
+from olap_sus_spark.operators.transforms import transform_sim, transform_sinasc
+from olap_sus_spark.sources import seeds, sinks
+from olap_sus_spark.sources.raw_csv import read_dataset
+
+DIM_TABLES = (
+    "dim_data", "dim_horario", "dim_demografia", "dim_info_nascimento",
+    "dim_municipio", "dim_ocupacao", "dim_causa",
+)
+FACT_TABLES = ("fact_nascimentos", "fact_obitos")
+BRIDGE_TABLE = "ponte_grupo_causas"
+
+
+def bootstrap_warehouse(
+    spark: SparkSession, seed_paths: dict[str, str], warehouse_dir: str
+) -> dict[str, DataFrame]:
+    """One-time dimension bootstrap (reference init.sql, SURVEY.md §3 EP3):
+    generate the calendar/junk dimensions, load the three seed CSVs, write
+    everything as Parquet.  ``seed_paths`` maps
+    {'municipio','ocupacao','causa'} -> seed CSV path."""
+    dims: dict[str, DataFrame] = {name: fn(spark) for name, fn in ALL_GENERATED.items()}
+    dims["dim_municipio"] = seeds.load_dim_municipio(spark, seed_paths["municipio"])
+    dims["dim_ocupacao"] = seeds.load_dim_ocupacao(spark, seed_paths["ocupacao"])
+    dims["dim_causa"] = seeds.load_dim_causa(spark, seed_paths["causa"])
+    for name, df in dims.items():
+        sinks.write_dimension(df, warehouse_dir, name)
+    # Bridge sentinel group: id '0' containing only the sentinel cause, so
+    # star joins through the bridge keep cause-less deaths (init.sql:585-652
+    # key-0 convention).
+    sentinel = spark.createDataFrame(
+        [(facts_ops.BRIDGE_SENTINEL, 1, 0)],
+        "chave_grupo_causa string, ordem_causa int, chave_causa int",
+    )
+    sentinel.write.mode("overwrite").parquet(posixpath.join(warehouse_dir, BRIDGE_TABLE))
+    return dims
+
+
+def load_dims(spark: SparkSession, warehouse_dir: str) -> dict[str, DataFrame]:
+    return {t: spark.read.parquet(posixpath.join(warehouse_dir, t)) for t in DIM_TABLES}
+
+
+def run_ingest(
+    spark: SparkSession,
+    dataset: str,
+    date: str,
+    landing_dir: str,
+    warehouse_dir: str,
+) -> DataFrame:
+    """Ingest one (dataset, date) landing partition into the warehouse.
+
+    Replaces one SparkSubmitOperator run.  Unlike the reference, which loops
+    over files in Python (spark_script_sinasc.py:188) and re-reads the dims
+    per file, this reads the whole partition in one scan and builds one plan.
+    Returns the aggregated fact written (for logging/inspection).
+    """
+    raw = read_dataset(spark, landing_dir, dataset, date)
+    dims = load_dims(spark, warehouse_dir)
+
+    if dataset == "sinasc":
+        fact = facts_ops.build_fact_nascimentos(transform_sinasc(raw), dims)
+        sinks.write_fact_partition(fact, warehouse_dir, "fact_nascimentos", date)
+        return fact
+    if dataset == "sim":
+        deaths = transform_sim(raw).withColumn("row_id", F.monotonically_increasing_id())
+        fact, bridge = facts_ops.build_fact_obitos(deaths, dims)
+        # Bridge first (reference order, sim:239 before :402): groups must
+        # exist before facts referencing them are visible.
+        sinks.append_bridge(bridge, warehouse_dir, BRIDGE_TABLE)
+        sinks.write_fact_partition(fact, warehouse_dir, "fact_obitos", date)
+        return fact
+    raise ValueError(f"unknown dataset {dataset!r} (expected 'sinasc' or 'sim')")
+
+
+def register_warehouse_views(spark: SparkSession, warehouse_dir: str) -> None:
+    """Register every warehouse table as a temp view for spark.sql OLAP."""
+    for t in (*DIM_TABLES, *FACT_TABLES, BRIDGE_TABLE):
+        path = posixpath.join(warehouse_dir, t)
+        spark.read.parquet(path).createOrReplaceTempView(t)

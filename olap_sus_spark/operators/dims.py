@@ -93,7 +93,7 @@ def dim_data(spark: SparkSession, start_year: int = 1900, end_year: int = 2030) 
         """
     )
     d = F.col("data")
-    return days.select(
+    body = days.select(
         (F.datediff(d, F.lit(f"{start_year}-01-01").cast("date")) + 1).cast("int").alias("chave_data"),
         d,
         isodow(d).alias("numero_dia_semana"),
@@ -107,6 +107,16 @@ def dim_data(spark: SparkSession, start_year: int = 1900, end_year: int = 2030) 
         trimester(d).alias("trimestre"),
         semester(d).alias("semestre"),
     )
+    # Sentinel key-0 member ("Ignorado", init.sql:585-601) so fact rows with
+    # an unresolvable *non-event* date (e.g. unknown birth date on a death
+    # record) survive inner star joins.
+    sentinel = spark.createDataFrame(
+        [(0, None, None, "Ignorado", None, None, None, "Ignorado", None, None, None, None)],
+        "chave_data int, data date, numero_dia_semana int, dia_semana string, "
+        "numero_dia int, dia_ano int, numero_mes int, mes string, ano int, "
+        "bimestre int, trimestre int, semestre int",
+    )
+    return sentinel.unionByName(body)
 
 
 def dim_horario(spark: SparkSession) -> DataFrame:
@@ -140,7 +150,10 @@ def dim_horario(spark: SparkSession) -> DataFrame:
 
 
 def _literal_dim(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
-    return spark.createDataFrame(rows, schema)
+    # Single partition: crossJoin multiplies partition counts, so a chain of
+    # default-parallelism literal frames would explode into millions of
+    # near-empty tasks.  One partition × one partition = one partition.
+    return spark.createDataFrame(rows, schema).coalesce(1)
 
 
 def dim_demografia(spark: SparkSession) -> DataFrame:

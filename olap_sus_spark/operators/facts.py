@@ -1,0 +1,244 @@
+"""Fact builders: surrogate-key pipelines + fact-grain aggregation.
+
+Spark-native recast of the reference's two ETL jobs
+(/root/reference/dags/spark_script_sinasc.py:162-274,
+/root/reference/dags/spark_script_sim.py:258-403): decoded records are
+surrogate-keyed against the conformed dimensions through broadcast equi-joins
+(J1-J3, J6-J7), band attributes through the **band-label equi-join** rewrite
+(J4/J5 — SURVEY.md §7: compute the band label fact-side with a searched CASE,
+then hash-join on the label tuple; the faithful theta variant lives in
+operators/joins.py and is oracle-tested separately), unresolved FKs are
+pointed at the sentinel members (P7/P8), and the grain collapse is a
+``groupBy(keys).count()`` (A1) whose partial aggregation happens map-side.
+
+NULL policy (documented per SURVEY.md §2.12, adopting the coherent
+SINASC-style rule for both facts): a row is kept iff its *event date* key
+resolves; every other miss → sentinel (0, or −1 for time-of-day).  NULL band
+values (unknown age/weight) match the 'Ignorado' band member, mirroring the
+SINASC NULL arm (spark_script_sinasc.py:224-227).
+
+Scale notes: every dimension side is ≤ ~90k rows (BASELINE.md) → all eight
+joins broadcast; the only shuffle in either pipeline is the final fact-grain
+aggregation, pre-reduced map-side.  The plan survives a 100× scale-up: fact
+rows stream through one codegen stage per pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from olap_sus_spark.operators.bridge import build_bridge
+from olap_sus_spark.operators.dims import FAIXAS_PESO, faixas_etarias
+from olap_sus_spark.operators.joins import band_label
+
+NASC_KEYS = [
+    "chave_data",
+    "chave_tempo",
+    "chave_municipio_nascimento",
+    "chave_municipio_residencia",
+    "chave_demografia",
+    "chave_info_nascimento",
+]
+
+OBITO_KEYS = [
+    "chave_data_nascimento",
+    "chave_data_obito",
+    "chave_tempo_obito",
+    "chave_municipio_residencia",
+    "chave_municipio_obito",
+    "chave_demografia",
+    "chave_grupo_causa",
+    "chave_ocupacao",
+]
+
+BRIDGE_SENTINEL = "0"  # group-of-causes sentinel id (cause '0000', key 0)
+
+
+def _date_role(dim_data: DataFrame, join_col: str, out_key: str) -> DataFrame:
+    """Role-play dimData (J1): (data -> join_col, chave_data -> out_key)."""
+    return dim_data.filter(F.col("chave_data") != 0).select(
+        F.col("data").alias(join_col), F.col("chave_data").alias(out_key)
+    )
+
+
+def _time_role(dim_horario: DataFrame, join_col: str, out_key: str) -> DataFrame:
+    """dimHorario joins on the formatted 'HH:mm:ss' string (J2,
+    spark_script_sim.py:295-298)."""
+    return dim_horario.filter(F.col("chave_tempo") != -1).select(
+        F.col("tempo_str").alias(join_col), F.col("chave_tempo").alias(out_key)
+    )
+
+
+def _mun_role(dim_municipio: DataFrame, join_col: str, out_key: str) -> DataFrame:
+    """dimMunicipio joins on the truncated 6-digit IBGE code (J3:
+    floor(codigo_ibge/10), spark_script_sinasc.py:178)."""
+    return dim_municipio.filter(F.col("codigo_ibge").isNotNull()).select(
+        F.floor(F.col("codigo_ibge") / 10).cast("int").alias(join_col),
+        F.col("chave_municipio").alias(out_key),
+    )
+
+
+def build_fact_nascimentos(births: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
+    """SINASC fact pipeline (spark_script_sinasc.py:162-274) → aggregated
+    ``factNascimentos`` grain: 6 dim FKs + quantidade_nascimentos."""
+    b = births.withColumn(
+        "faixa_etaria", band_label(F.col("idade_mae"), faixas_etarias(), null_label="Ignorado")
+    ).withColumn(
+        "faixa_peso", band_label(F.col("peso_gramas"), FAIXAS_PESO, null_label="Ignorado")
+    )
+
+    f = b.join(F.broadcast(_date_role(dims["dim_data"], "data_nascimento", "chave_data")),
+               "data_nascimento", "left")
+    f = f.join(F.broadcast(_time_role(dims["dim_horario"], "tempo_nascimento", "chave_tempo")),
+               "tempo_nascimento", "left")
+    f = f.join(F.broadcast(_mun_role(dims["dim_municipio"], "cod_mun_nasc",
+                                     "chave_municipio_nascimento")), "cod_mun_nasc", "left")
+    f = f.join(F.broadcast(_mun_role(dims["dim_municipio"], "cod_mun_res",
+                                     "chave_municipio_residencia")), "cod_mun_res", "left")
+
+    # J4 — mother demographics: the dim is pre-filtered to the mother role
+    # (sexo='F', hardcoded at sinasc:223) and joined on the full label tuple.
+    demog = dims["dim_demografia"].filter(F.col("sexo") == "F").select(
+        F.col("raca").alias("raca_mae_desc"),
+        F.col("escolaridade").alias("esc_mae_desc"),
+        F.col("estado_civil").alias("estciv_mae_desc"),
+        F.col("faixa_etaria"),
+        "chave_demografia",
+    )
+    f = f.join(F.broadcast(demog),
+               ["raca_mae_desc", "esc_mae_desc", "estciv_mae_desc", "faixa_etaria"], "left")
+
+    # J5 — newborn profile: 5 label equalities + weight band label.
+    info = dims["dim_info_nascimento"].select(
+        F.col("sexo").alias("sexo_rn_desc"),
+        F.col("raca_cor").alias("raca_rn_desc"),
+        F.col("faixa_peso"),
+        F.col("tipo_parto").alias("parto_desc"),
+        F.col("tempo_gestacao").alias("gestacao_desc"),
+        F.col("tipo_gravidez").alias("gravidez_desc"),
+        "chave_info_nascimento",
+    )
+    f = f.join(
+        F.broadcast(info),
+        ["sexo_rn_desc", "raca_rn_desc", "faixa_peso", "parto_desc", "gestacao_desc",
+         "gravidez_desc"],
+        "left",
+    )
+
+    f = f.fillna({
+        "chave_tempo": -1,
+        "chave_municipio_nascimento": 0,
+        "chave_municipio_residencia": 0,
+        "chave_demografia": 0,
+        "chave_info_nascimento": 0,
+    })
+    f = f.filter(F.col("chave_data").isNotNull())  # P5: event date must resolve
+    return f.groupBy(*NASC_KEYS).agg(F.count(F.lit(1)).alias("quantidade_nascimentos"))
+
+
+def explode_causes(deaths: DataFrame) -> DataFrame:
+    """Death-certificate cause lines → (row_id, ordem_causa, codigo) rows.
+
+    Lines A-D carry ordem 1-4; part-II codes continue at 5+ — the
+    sim:149-157 construction via array/struct concat + indexed transform.
+    """
+    line_structs = F.array(*[
+        F.struct(F.lit(i + 1).alias("ordem_causa"),
+                 F.col(f"linha{c}_clean").alias("codigo"))
+        for i, c in enumerate("abcd")
+    ])
+    # NULL part-II array would null the whole concat — coalesce to empty.
+    part2 = F.transform(
+        F.coalesce(F.col("linhaii_arr"), F.array().cast("array<string>")),
+        lambda x, i: F.struct((i + 5).cast("int").alias("ordem_causa"), x.alias("codigo")),
+    )
+    causes = F.filter(
+        F.concat(line_structs, part2),
+        lambda s: s["codigo"].isNotNull() & (s["codigo"] != ""),
+    )
+    return (
+        deaths.select("row_id", F.explode(causes).alias("c"))
+        .select("row_id", "c.ordem_causa", "c.codigo")
+    )
+
+
+def build_fact_obitos(
+    deaths: DataFrame, dims: dict[str, DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """SIM fact pipeline (spark_script_sim.py:258-403) → (factObitos, bridge).
+
+    Returns the aggregated fact (8 FKs + quantidade_obitos) and the
+    ``ponteGrupoCausas`` bridge rows (content-hash group ids — see
+    operators/bridge.py for why that replaces the reference's sequence).
+    """
+    if "row_id" not in deaths.columns:
+        deaths = deaths.withColumn("row_id", F.monotonically_increasing_id())
+
+    # Event-date rule applied *before* the cause subplan.  The reference
+    # assigns cause groups first and filters later (sim:130-255 vs :399),
+    # leaving orphan bridge groups for dropped rows; filtering first keeps
+    # the bridge referencing only live facts.
+    deaths = deaths.filter(F.col("data_obito").isNotNull())
+
+    # Cause-group subplan: explode -> dimCausa lookup (J7) -> content-hash
+    # signature grouping.
+    causes = explode_causes(deaths)
+    causa_lkp = dims["dim_causa"].filter(F.col("chave_causa") != 0).select(
+        F.col("codigo_cid10").alias("codigo"), "chave_causa"
+    )
+    causes = causes.join(F.broadcast(causa_lkp), "codigo", "left").fillna({"chave_causa": 0})
+    mapping, bridge = build_bridge(causes, row_col="row_id",
+                                   order_col="ordem_causa", key_col="chave_causa")
+
+    d = deaths.withColumn(
+        "faixa_etaria", band_label(F.col("idade_anos"), faixas_etarias(), null_label="Ignorado")
+    )
+
+    f = d.join(F.broadcast(_date_role(dims["dim_data"], "data_nascimento",
+                                      "chave_data_nascimento")), "data_nascimento", "left")
+    f = f.join(F.broadcast(_date_role(dims["dim_data"], "data_obito", "chave_data_obito")),
+               "data_obito", "left")
+    f = f.join(F.broadcast(_time_role(dims["dim_horario"], "tempo_obito",
+                                      "chave_tempo_obito")), "tempo_obito", "left")
+    f = f.join(F.broadcast(_mun_role(dims["dim_municipio"], "cod_mun_res",
+                                     "chave_municipio_residencia")), "cod_mun_res", "left")
+    f = f.join(F.broadcast(_mun_role(dims["dim_municipio"], "cod_mun_ocor",
+                                     "chave_municipio_obito")), "cod_mun_ocor", "left")
+
+    # J4 — deceased demographics; SIM joins on the long sex description
+    # (sim:361-373).
+    demog = dims["dim_demografia"].select(
+        F.col("raca").alias("raca_desc"),
+        F.col("escolaridade").alias("esc_desc"),
+        F.col("estado_civil").alias("estciv_desc"),
+        F.col("descricao_sexo").alias("sexo_desc"),
+        F.col("faixa_etaria"),
+        "chave_demografia",
+    ).filter(F.col("chave_demografia") != 0)
+    f = f.join(F.broadcast(demog),
+               ["raca_desc", "esc_desc", "estciv_desc", "sexo_desc", "faixa_etaria"], "left")
+
+    # J6 — occupation on the CBO code string.
+    ocup = dims["dim_ocupacao"].filter(F.col("codigo_cbo").isNotNull()).select(
+        F.col("codigo_cbo").alias("ocupacao_cbo"), "chave_ocupacao"
+    )
+    f = f.join(F.broadcast(ocup), "ocupacao_cbo", "left")
+
+    # J9 — attach the cause-group id (row_id equi-join; both sides derive
+    # from the same scan, so AQE plans a local shuffle-free join at this
+    # size and a hash join on row_id at scale).
+    f = f.join(mapping, "row_id", "left")
+
+    f = f.fillna({
+        "chave_data_nascimento": 0,
+        "chave_tempo_obito": -1,
+        "chave_municipio_residencia": 0,
+        "chave_municipio_obito": 0,
+        "chave_demografia": 0,
+        "chave_ocupacao": 0,
+        "chave_grupo_causa": BRIDGE_SENTINEL,
+    })
+    f = f.filter(F.col("chave_data_obito").isNotNull())
+    fact = f.groupBy(*OBITO_KEYS).agg(F.count(F.lit(1)).alias("quantidade_obitos"))
+    return fact, bridge

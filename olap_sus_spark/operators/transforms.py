@@ -62,7 +62,7 @@ def null_normalize(col: Column | str) -> Column:
 def parse_ddmmyyyy(col: Column | str) -> Column:
     """ddMMyyyy string → date (spark_script_sinasc.py:32)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_date(c.cast("string"), "ddMMyyyy")
+    return F.try_to_date(c.cast("string"), "ddMMyyyy")
 
 
 def normalize_hhmm(col: Column | str) -> Column:
@@ -84,7 +84,7 @@ def municipality_key6(col: Column | str) -> Column:
     key as floor(codigo_ibge / 10) (sinasc:178)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.when(c.isNull() | (F.trim(c) == ""), None).otherwise(
-        F.substring(c.cast("string"), 1, 6).cast("int")
+        F.substring(c.cast("string"), 1, 6).try_cast("int")
     )
 
 
@@ -93,8 +93,8 @@ def decode_coded_age(col: Column | str) -> Column:
     0 years; =4 → units value; =5 → units+100; else NULL."""
     c = F.col(col) if isinstance(col, str) else col
     padded = F.lpad(c, 3, "0")
-    unit = F.substring(padded, 1, 1).cast("int")
-    val = F.substring(padded, 2, 2).cast("int")
+    unit = F.substring(padded, 1, 1).try_cast("int")
+    val = F.substring(padded, 2, 2).try_cast("int")
     return (
         F.when(unit < 4, 0)
         .when(unit == 4, val)
@@ -132,13 +132,13 @@ def transform_sinasc(df: DataFrame) -> DataFrame:
         normalize_hhmm("HORANASC").alias("tempo_nascimento"),
         municipality_key6("CODMUNNASC").alias("cod_mun_nasc"),
         municipality_key6("CODMUNRES").alias("cod_mun_res"),
-        F.col("IDADEMAE").cast("int").alias("idade_mae"),
+        F.col("IDADEMAE").try_cast("int").alias("idade_mae"),
         decode("RACACORMAE", RACA).alias("raca_mae_desc"),
         decode("ESCMAE", ESCOLARIDADE).alias("esc_mae_desc"),
         decode("ESTCIVMAE", ESTADO_CIVIL).alias("estciv_mae_desc"),
         F.when(F.col("SEXO") == "1", "M").when(F.col("SEXO") == "2", "F").otherwise("I").alias("sexo_rn_desc"),
         decode("RACACOR", RACA).alias("raca_rn_desc"),
-        F.col("PESO").cast("int").alias("peso_gramas"),
+        F.col("PESO").try_cast("int").alias("peso_gramas"),
         decode("PARTO", PARTO).alias("parto_desc"),
         decode("GESTACAO", GESTACAO).alias("gestacao_desc"),
         decode("GRAVIDEZ", GRAVIDEZ).alias("gravidez_desc"),
