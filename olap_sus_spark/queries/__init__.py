@@ -11,6 +11,7 @@ from olap_sus_spark.queries import (  # noqa: F401
     olap,
     operators,
     pricing,
+    streaming_queries,
     text_pipeline,
     vector,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "olap",
     "operators",
     "pricing",
+    "streaming_queries",
     "text_pipeline",
     "vector",
 ]

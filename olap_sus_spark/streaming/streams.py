@@ -1,0 +1,147 @@
+"""Streaming operators over the ``events`` stream.
+
+Design (idiomatic Structured Streaming, not in the reference):
+
+- **Event time + watermark** everywhere: late data within the watermark
+  updates its window; beyond it, state is dropped — bounded state at 100 TB/day.
+- **Same expressions as batch**: ``tumbling_counts``/``session_counts`` are
+  the exact groupBys of the oracle-verified batch queries
+  (queries/events_windows.py), applied to an unbounded DataFrame.  Batch
+  result == final streaming result (tested), which is the Spark streaming
+  correctness contract.
+- **Stateful custom operator** via ``applyInPandasWithState``: running
+  per-user totals, Arrow-batched, state schema declared explicitly.
+- File source here (directory of parquet); swapping in Kafka is a one-line
+  source change because every operator takes the stream DataFrame, not a path.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+# The driver's events.parquet stores TIMESTAMP(NANOS) which Spark reads as
+# long under spark.sql.legacy.parquet.nanosAsLong (see session.py).
+EVENTS_SCHEMA_NANOS = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    ts_is_nanos: bool = False,
+) -> DataFrame:
+    """File-source event stream with a declared schema (no inference)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA_NANOS if ts_is_nanos else EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    if ts_is_nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of ``events_tumbling_window`` (same output columns)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eventos"),
+            F.min("value").alias("menor_valor"),
+            F.max("value").alias("maior_valor"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("hora"),
+            "n_eventos",
+            "menor_valor",
+            "maior_valor",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of ``events_session_window``: merging session windows
+    with an inactivity gap — the canonical stateful-merge operator."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_eventos"))
+        .select("user_id", F.col("w.start").alias("inicio_sessao"), "n_eventos")
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once by event id within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys state by event_id and expires it
+    once the watermark passes — bounded state, unlike plain dropDuplicates
+    on a stream (which would keep every id forever).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: cumulative per-user event count and value
+    total, emitted on every update (applyInPandasWithState, Arrow-batched).
+
+    The reference has nothing like this; it demonstrates the engine's
+    escape hatch for operators Structured Streaming lacks natively.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_eventos": [n], "soma_valor": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_eventos long, soma_valor double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Drain all available input through the streaming plan into a memory
+    sink (Trigger.AvailableNow) and return the result table.
+
+    AvailableNow gives batch-job semantics (process everything, then stop)
+    while exercising the real streaming state machinery — the idiomatic way
+    to run a streaming pipeline as a scheduled batch increment.
+    """
+    name = name or f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,105 @@
+"""Streaming operators vs their batch twins (the streaming correctness
+contract: final streaming result == batch result on the same input)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.streaming import (
+    dedup_events_stream,
+    read_event_stream,
+    run_available_now,
+    running_user_totals,
+    session_counts,
+    tumbling_counts,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """events sf0.001 rewritten as a 4-file parquet directory (micros ts)."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _batch(spark, stream_dir):
+    return spark.read.parquet(stream_dir)
+
+
+def _sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_matches_batch(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    got = run_available_now(tumbling_counts(stream), "complete")
+    want = (
+        _batch(spark, stream_dir)
+        .groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eventos"),
+            F.min("value").alias("menor_valor"),
+            F.max("value").alias("maior_valor"),
+        )
+        .select("event_type", F.col("w.start").alias("hora"), "n_eventos",
+                "menor_valor", "maior_valor")
+    )
+    assert _sorted(got) == _sorted(want)
+
+
+def test_session_stream_matches_batch(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    got = run_available_now(session_counts(stream), "complete")
+    want = (
+        _batch(spark, stream_dir)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_eventos"))
+        .select("user_id", F.col("w.start").alias("inicio_sessao"), "n_eventos")
+    )
+    assert _sorted(got) == _sorted(want)
+
+
+def test_dedup_within_watermark(spark, stream_dir, tmp_path_factory):
+    """Two copies of every file -> exactly one surviving row per event_id."""
+    doubled = str(tmp_path_factory.mktemp("events_doubled"))
+    base = _batch(spark, stream_dir)
+    base.write.mode("overwrite").parquet(doubled)
+    base.write.mode("append").parquet(doubled)
+
+    stream = read_event_stream(spark, doubled)
+    got = run_available_now(dedup_events_stream(stream), "append")
+    assert got.count() == base.count()
+    assert got.select("event_id").distinct().count() == base.count()
+
+
+def test_stateful_running_totals(spark, stream_dir):
+    """applyInPandasWithState across several micro-batches: the last emitted
+    cumulative row per user must equal the batch aggregate."""
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    updates = run_available_now(running_user_totals(stream), "update")
+    # take the row with the highest cumulative count per user (soma itself
+    # isn't monotonic if values can be negative)
+    final = (
+        updates.groupBy("user_id")
+        .agg(F.max(F.struct("n_eventos", "soma_valor")).alias("m"))
+        .select("user_id", "m.n_eventos", "m.soma_valor")
+        .collect()
+    )
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in _batch(spark, stream_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert len(final) == len(want)
+    for r in final:
+        n, s = want[r.user_id]
+        assert r.n_eventos == n
+        assert r.soma_valor == pytest.approx(s, rel=1e-9)
