@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from olap_sus_spark.catalog import load_table
 from olap_sus_spark.functions.calendar import month_name_ptbr, month_name_ptbr_sql
-from olap_sus_spark.operators.joins import band_join
+from olap_sus_spark.operators.joins import band_label
 from olap_sus_spark.queries._util import dec, money_sum
 from olap_sus_spark.registry import register
 
@@ -129,7 +129,6 @@ def rollup_state_ageband(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    bands = acctbal_band_dim(spark)
     enriched = (
         orders.join(
             F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey", "c_acctbal")),
@@ -140,7 +139,14 @@ def rollup_state_ageband(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
         )
     )
-    banded = band_join(enriched, bands, "c_acctbal", "bal_min", "bal_max")
+    # Band-label rewrite (SURVEY.md §7): searched CASE instead of the theta
+    # band join — keeps the whole pipeline in one codegen stage with no
+    # nested-loop join.  ACCTBAL_BANDS covers the entire c_acctbal domain,
+    # so labeling ≡ the oracle's range join (the faithful theta operator is
+    # exercised by the dedicated band_join_theta query).
+    banded = enriched.withColumn(
+        "faixa", band_label(F.col("c_acctbal"), ACCTBAL_BANDS, null_label="Ignorado")
+    )
     return banded.groupBy(
         F.col("n_name").alias("estado"), F.col("faixa").alias("faixa_etaria")
     ).agg(F.count(F.lit(1)).alias("quantidade"))
