@@ -41,6 +41,23 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-style *pre-tokenization* pieces (the split a byte-pair encoder merges
+# within): optional leading space + letter run | digit run | punctuation run.
+# Deliberately lookahead-free so Java (Spark) and RE2 (DuckDB) agree.
+BPE_PRETOKEN_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_pretokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_pretoken_count(text: Column | str) -> Column:
+    """Pre-token count — the standard cheap proxy for LLM token budgets
+    (actual BPE merges only split pieces further, never join them)."""
+    return F.size(bpe_pretokens(text))
+
+
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     c = F.col(text) if isinstance(text, str) else text

@@ -91,6 +91,24 @@ def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE-style pre-token counting (LLM token-budget proxy).  Lookahead-free
+# regex, so Java (Spark) and RE2 (DuckDB) extract identical pieces.
+# ---------------------------------------------------------------------------
+_BPE_ORACLE = """
+SELECT
+    doc_id,
+    len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_pretokens
+FROM documents
+"""
+
+
+@register("text_bpe_token_count", oracle=_BPE_ORACLE)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.bpe_pretoken_count(F.col("text")).alias("n_pretokens"))
+
+
+# ---------------------------------------------------------------------------
 # Language ID (stopword-profile heuristic) — grouped confusion counts.
 # ---------------------------------------------------------------------------
 def _langid_sql(t: str) -> str:
