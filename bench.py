@@ -29,6 +29,17 @@ HEADLINE = [
     "topk_parts_per_nation",
     "bridge_group_signature",
     "explode_word_counts",
+    # data-pipeline heavyweights
+    "dedup_minhash_lsh",
+    "dedup_jaccard_pairs",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "text_quality_features",
+    # event-time / streaming
+    "events_session_window",
+    "streaming_tumbling_window",
+    # skew-rewrite parity
+    "salted_aggregate",
 ]
 
 

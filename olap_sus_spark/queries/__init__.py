@@ -11,6 +11,7 @@ from olap_sus_spark.queries import (  # noqa: F401
     olap,
     operators,
     pricing,
+    skew_queries,
     streaming_queries,
     text_pipeline,
     vector,
@@ -23,6 +24,7 @@ __all__ = [
     "olap",
     "operators",
     "pricing",
+    "skew_queries",
     "streaming_queries",
     "text_pipeline",
     "vector",

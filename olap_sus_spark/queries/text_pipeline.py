@@ -188,12 +188,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _JACCARD_ORACLE = f"""
 WITH {_AUG_SQL},
+g0 AS (
+    SELECT doc_id, list_distinct({_GRAMS}) AS grams
+    FROM aug
+),
 g AS (
     SELECT
         doc_id,
-        lang || '#' || CAST(CAST(floor(len({_TOKS}) / 64) AS INT) AS VARCHAR) AS block,
-        list_distinct({_GRAMS}) AS grams
-    FROM aug
+        CAST(list_min(list_transform(grams, x -> {_md5_int_sql('x')})) AS VARCHAR) AS block,
+        grams
+    FROM g0
 )
 SELECT
     a.doc_id AS id_a,
@@ -208,8 +212,10 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 
 @register("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = dd.with_block_key(augmented_docs(spark, sf_dir))
-    return dd.jaccard_pairs(docs, threshold=0.5)
+    """Min-gram blocking (1-row minhash): block sizes track duplicate
+    clusters, not corpus size — unlike length-bucket blocking, which
+    degenerates to O(n²) on uniform-length corpora."""
+    return dd.jaccard_pairs(augmented_docs(spark, sf_dir), threshold=0.5)
 
 
 # ---------------------------------------------------------------------------
