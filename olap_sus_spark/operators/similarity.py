@@ -60,7 +60,9 @@ def cosine_topk(
     qry = _as_double(queries, vec_col, "qv").select(
         F.col(query_id_col).alias("query_id"), "qv"
     )
-    scored = qry.crossJoin(cand).filter(F.col("query_id") != F.col("cand_id")).select(
+    # Broadcast the (small) query side: the corpus never moves, each
+    # executor scans its corpus partitions against the replicated queries.
+    scored = F.broadcast(qry).crossJoin(cand).filter(F.col("query_id") != F.col("cand_id")).select(
         "query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))

@@ -106,12 +106,16 @@ def langid(text: Column | str) -> Column:
 
 
 def char_shingles(text: Column | str, k: int = 5) -> Column:
-    """k-character shingles of the normalized text (array, with repeats)."""
+    """k-character shingles of the normalized text (array, with repeats).
+
+    Built from the char array with :func:`sliding_concat` — the substr-per-
+    index construction re-evaluates the normalization regex once per element
+    (see sliding_concat).  Strings shorter than k yield one short shingle.
+    """
     c = F.col(text) if isinstance(text, str) else text
     norm = F.regexp_replace(F.lower(c), "[^a-z0-9]+", " ")
-    n = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+    sh = sliding_concat(F.split(norm, ""), k, sep="")
+    return F.when(F.length(norm) >= k, sh).otherwise(F.array(norm))
 
 
 def sliding_concat(arr: Column, n: int, sep: str = " ") -> Column:

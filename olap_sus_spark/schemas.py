@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     BooleanType,
     DateType,
+    DecimalType,
     IntegerType,
     LongType,
     StringType,
@@ -91,6 +92,20 @@ FACT_OBITOS = StructType(
         StructField("chave_grupo_causa", StringType(), True),  # content-hash id
         StructField("chave_ocupacao", IntegerType(), True),
         StructField("quantidade_obitos", LongType(), False),
+    ]
+)
+
+# Declared in the reference but never loaded (init.sql:252-262; the 'sih'
+# dataset is commented out of the DAG).  Schema kept for DDL parity — the
+# money measure maps to DecimalType(15,2).
+FACT_INTERNACOES = StructType(
+    [
+        StructField("chave_data", IntegerType(), True),
+        StructField("chave_municipio", IntegerType(), True),
+        StructField("chave_demografia", IntegerType(), True),
+        StructField("chave_causa", IntegerType(), True),
+        StructField("valor", DecimalType(15, 2), True),
+        StructField("quantidade_procedimentos", LongType(), False),
     ]
 )
 
