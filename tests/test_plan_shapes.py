@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the scale claims in PLANS.md, pinned by tests.
+
+These parse `explain("formatted")` output — if a regression sneaks a
+SortMergeJoin or a nested loop into a hot path, or drops partition pruning
+from the fact reads, these fail before any benchmark notices.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from olap_sus_spark import etl
+from tests.test_etl_e2e import DT, LANDING, SEEDS
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_nodes(plan: str, op: str) -> int:
+    """Count physical nodes: formatted explain prints each node in the tree
+    AND in the numbered detail section — count detail headers only."""
+    return len(re.findall(rf"\(\d+\) {op}", plan))
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("wh_plans"))
+    etl.bootstrap_warehouse(spark, SEEDS, d)
+    etl.run_ingest(spark, "sinasc", DT, LANDING, d)
+    etl.run_ingest(spark, "sim", DT, LANDING, d)
+    return d
+
+
+def test_fact_nascimentos_pipeline_is_all_broadcast(spark, wh):
+    from olap_sus_spark.operators.facts import build_fact_nascimentos
+    from olap_sus_spark.operators.transforms import transform_sinasc
+    from olap_sus_spark.sources.raw_csv import read_dataset
+
+    raw = read_dataset(spark, LANDING, "sinasc", DT)
+    fact = build_fact_nascimentos(transform_sinasc(raw), etl.load_dims(spark, wh))
+    plan = plan_of(fact)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "BroadcastHashJoin") == 6  # J1, J2, J3x2, J4, J5
+
+
+def test_fact_obitos_pipeline_join_strategies(spark, wh):
+    from olap_sus_spark.operators.facts import build_fact_obitos
+    from olap_sus_spark.operators.transforms import transform_sim
+    from olap_sus_spark.sources.raw_csv import read_dataset
+
+    raw = read_dataset(spark, LANDING, "sim", DT).withColumn(
+        "row_id", F.monotonically_increasing_id()
+    )
+    fact, bridge = build_fact_obitos(transform_sim(raw), etl.load_dims(spark, wh))
+    plan = plan_of(fact)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # 7 dimension joins broadcast (J1x2, J2, J3x2, J4, J6); the row_id
+    # mapping join (J9) is fact-to-fact and may be SMJ/shuffle-hash — both
+    # are the correct strategy at scale.
+    assert n_nodes(plan, "BroadcastHashJoin") >= 7
+
+
+def test_fact_scan_prunes_partitions(spark, wh):
+    """A dt-filtered read of the fact table must push the partition filter
+    (PartitionFilters), not scan every partition."""
+    df = spark.read.parquet(os.path.join(wh, "fact_nascimentos")).filter(
+        F.col("dt") == DT
+    )
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    assert "dt" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+
+
+def test_warehouse_rollup_is_broadcast_star(spark, wh):
+    from olap_sus_spark.queries import warehouse as W
+
+    plan = plan_of(W.rollup_births_by_state_age(spark, wh))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n_nodes(plan, "BroadcastHashJoin") == 2
