@@ -4,9 +4,9 @@ The reference builds its date/time/demographics dimensions with Postgres
 ``generate_series`` + ``CROSS JOIN`` DO-blocks (/root/reference/scripts/
 init.sql:50-130,442-579) and inserts sentinel "Ignorado" members with key
 0 / −1 (:585-652).  Here each dimension is a deterministic, seed-free pure
-function of the Spark session — generated with ``sequence``/``spark.range``
-and chained ``crossJoin`` of literal DataFrames, then written as Parquet by
-:func:`bootstrap_dimensions`.
+function of the Spark session — calendar dims generated distributed
+(``sequence``/``spark.range``), bounded junk dims generated driver-side —
+then written as Parquet by :func:`bootstrap_dimensions`.
 
 Cardinalities (BASELINE.md): dimData 47,847 · dimHorario 86,401 ·
 dimDemografia 14,256+1 · dimInfoNascimento 9,072+1.
@@ -18,7 +18,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from olap_sus_spark.functions.calendar import (
     bimester,
@@ -149,70 +148,68 @@ def dim_horario(spark: SparkSession) -> DataFrame:
     return sentinel.unionByName(base)
 
 
-def _literal_dim(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
-    # Single partition: crossJoin multiplies partition counts, so a chain of
-    # default-parallelism literal frames would explode into millions of
-    # near-empty tasks.  One partition × one partition = one partition.
-    return spark.createDataFrame(rows, schema).coalesce(1)
+def _null_first(v):
+    """Python sort key matching Spark ASC NULLS FIRST."""
+    return (v is not None, v)
 
 
 def dim_demografia(spark: SparkSession) -> DataFrame:
     """Junk dimension: race × schooling × marital × sex × age band
     (init.sql:442-510) + sentinel key 0 (:602-624).
 
-    Surrogate keys are assigned by a deterministic dense ordering of the
-    cross-product (not a single-partition SERIAL): the dimension is 14k rows,
-    so a one-time window is fine and reproducible.
+    A junk dimension is *bounded by definition* (6×6×6×3×22 = 14,256 rows),
+    so the cross-product and key assignment happen driver-side in one
+    ``createDataFrame`` — a chain of crossJoins over literal frames planned
+    4 sequential broadcast jobs and took ~25 s for 14k rows.  Keys follow a
+    deterministic dense ordering (Spark-style NULLS FIRST), not load order.
     """
-    racas = _literal_dim(spark, [(r,) for r in RACAS], "raca string")
-    escs = _literal_dim(spark, ESCOLARIDADES, "escolaridade string, nivel_escolaridade int")
-    estcivs = _literal_dim(spark, [(e,) for e in ESTADOS_CIVIS], "estado_civil string")
-    sexos = _literal_dim(spark, SEXOS, "sexo string, descricao_sexo string")
-    faixas = _literal_dim(
-        spark, faixas_etarias(), "faixa_etaria string, idade_minima int, idade_maxima int"
-    )
-    cross = racas.crossJoin(escs).crossJoin(estcivs).crossJoin(sexos).crossJoin(faixas)
-    w = Window.orderBy(
-        "raca", "nivel_escolaridade", "estado_civil", "sexo", "idade_minima", "faixa_etaria"
-    )
-    body = cross.withColumn("chave_demografia", F.row_number().over(w))
-    sentinel = spark.createDataFrame(
-        [(0, "Ignorado", "Ignorado", 0, "Ignorado", "I", "Ignorado", "Ignorado", 0, 0)],
+    from itertools import product
+
+    rows = [
+        (raca, esc, nivel, estciv, sexo, dsexo, faixa, lo, hi)
+        for raca, (esc, nivel), estciv, (sexo, dsexo), (faixa, lo, hi) in product(
+            RACAS, ESCOLARIDADES, ESTADOS_CIVIS, SEXOS, faixas_etarias()
+        )
+    ]
+    rows.sort(key=lambda r: (r[0], r[2], r[3], r[4], _null_first(r[7]), r[6]))
+    body = [
+        (i + 1, r[0], r[1], r[2], r[3], r[4], r[5], r[6], r[7], r[8])
+        for i, r in enumerate(rows)
+    ]
+    sentinel = (0, "Ignorado", "Ignorado", 0, "Ignorado", "I", "Ignorado", "Ignorado", 0, 0)
+    return spark.createDataFrame(
+        [sentinel, *body],
         "chave_demografia int, raca string, escolaridade string, nivel_escolaridade int, "
         "estado_civil string, sexo string, descricao_sexo string, faixa_etaria string, "
         "idade_minima int, idade_maxima int",
-    )
-    return sentinel.unionByName(body.select(*sentinel.columns))
+        verifySchema=False,  # rows are constructed typed; verification is 7x the cost
+    ).coalesce(1)
 
 
 def dim_info_nascimento(spark: SparkSession) -> DataFrame:
     """Junk dimension: sex × race × weight band × delivery × gestation ×
-    pregnancy (init.sql:512-579) + sentinel key 0 (:626-652)."""
-    sexos = _literal_dim(spark, SEXOS, "sexo string, descricao_sexo string")
-    racas = _literal_dim(spark, [(r,) for r in RACAS], "raca_cor string")
-    pesos = _literal_dim(
-        spark, FAIXAS_PESO, "faixa_peso string, peso_min_gramas int, peso_max_gramas int"
+    pregnancy (init.sql:512-579) + sentinel key 0 (:626-652).  Driver-side
+    generation — see dim_demografia."""
+    from itertools import product
+
+    rows = [
+        (sexo, dsexo, raca, fp, plo, phi, parto, gest, glo, ghi, grav)
+        for (sexo, dsexo), raca, (fp, plo, phi), parto, (gest, glo, ghi), grav in product(
+            SEXOS, RACAS, FAIXAS_PESO, TIPOS_PARTO, TEMPOS_GESTACAO, TIPOS_GRAVIDEZ
+        )
+    ]
+    rows.sort(
+        key=lambda r: (r[0], r[2], _null_first(r[4]), r[3], r[6], _null_first(r[8]), r[7], r[10])
     )
-    partos = _literal_dim(spark, [(t,) for t in TIPOS_PARTO], "tipo_parto string")
-    gests = _literal_dim(
-        spark,
-        TEMPOS_GESTACAO,
-        "tempo_gestacao string, semanas_gestacao_min int, semanas_gestacao_max int",
-    )
-    gravs = _literal_dim(spark, [(t,) for t in TIPOS_GRAVIDEZ], "tipo_gravidez string")
-    cross = sexos.crossJoin(racas).crossJoin(pesos).crossJoin(partos).crossJoin(gests).crossJoin(gravs)
-    w = Window.orderBy(
-        "sexo", "raca_cor", "peso_min_gramas", "faixa_peso", "tipo_parto",
-        "semanas_gestacao_min", "tempo_gestacao", "tipo_gravidez",
-    )
-    body = cross.withColumn("chave_info_nascimento", F.row_number().over(w))
-    sentinel = spark.createDataFrame(
-        [(0, "I", "Ignorado", "Ignorado", "Ignorado", 0, 0, "Ignorado", "Ignorado", 0, 0, "Ignorado")],
+    body = [(i + 1, *r) for i, r in enumerate(rows)]
+    sentinel = (0, "I", "Ignorado", "Ignorado", "Ignorado", 0, 0, "Ignorado", "Ignorado", 0, 0, "Ignorado")
+    return spark.createDataFrame(
+        [sentinel, *body],
         "chave_info_nascimento int, sexo string, descricao_sexo string, raca_cor string, "
         "faixa_peso string, peso_min_gramas int, peso_max_gramas int, tipo_parto string, "
         "tempo_gestacao string, semanas_gestacao_min int, semanas_gestacao_max int, tipo_gravidez string",
-    )
-    return sentinel.unionByName(body.select(*sentinel.columns))
+        verifySchema=False,
+    ).coalesce(1)
 
 
 ALL_GENERATED = {

@@ -108,6 +108,77 @@ def decode_image(payload: bytes, mime: str) -> tuple[int, int]:
     raise NotImplementedError("image decode requires a codec library (Pillow/libvips)")
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize image payloads to (width, height) via Arrow-batched mapInPandas.
+
+    The pixel work is stubbed (no codec libs in this container): the fake
+    produces a deterministic payload of ``width*height//64`` digest-derived
+    bytes so tests can pin batch shape, null passthrough, and output schema.
+    A real build calls Pillow/libvips inside the same batch loop.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        size = max(1, width * height // 64)
+        rows: list[tuple[int, int | None, int | None, bytes | None]] = []
+        for pdf in it:
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((asset_id, None, None, None))
+                    continue
+                fake = (hashlib.md5(bytes(payload)).digest() * (size // 16 + 1))[:size]
+                rows.append((asset_id, width, height, fake))
+            yield pd.DataFrame(rows, columns=["asset_id", "width", "height", "payload"])
+            rows = []
+
+    return assets.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extraction template: payload → float vector (fake encoder).
+
+    The deterministic fake maps each digest byte to [0, 1); a real build
+    swaps in an ONNX/torch encoder inside the same Arrow batch loop —
+    the operator shape (schema ``asset_id, embedding array<float>``,
+    batch-wise vectorization, no shuffle) is what matters at scale.
+    """
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if payload is None:
+                    out.append((asset_id, None))
+                    continue
+                d = hashlib.md5(bytes(payload)).digest()
+                vec = [(d[i % 16]) / 255.0 for i in range(dim)]
+                out.append((asset_id, vec))
+            yield pd.DataFrame(out, columns=["asset_id", "embedding"])
+
+    return assets.mapInPandas(batches, schema)
+
+
 def sample_frames(assets: DataFrame, every_nth: int = 30) -> DataFrame:
     """Explode video payloads into sampled frames (1 row per kept frame).
 

@@ -7,6 +7,7 @@ Importing this package populates ``olap_sus_spark.registry.QUERIES`` /
 from olap_sus_spark.queries import (  # noqa: F401
     bands,
     events_windows,
+    grouping_sets,
     multimodal_pipeline,
     olap,
     operators,
@@ -20,6 +21,7 @@ from olap_sus_spark.queries import (  # noqa: F401
 __all__ = [
     "bands",
     "events_windows",
+    "grouping_sets",
     "multimodal_pipeline",
     "olap",
     "operators",

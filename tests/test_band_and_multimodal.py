@@ -88,3 +88,27 @@ def test_sample_frames_shape(spark):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG", "image/png")
+
+
+def test_resize_and_features_batch_shapes(spark):
+    from olap_sus_spark.operators import multimodal as mm
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "another payload")],
+        "doc_id long, text string",
+    )
+    assets = mm.text_as_assets(docs, "doc_id", "text")
+
+    resized = mm.resize_images(assets, width=32, height=32).collect()
+    by_id = {r.asset_id: r for r in resized}
+    assert by_id[2].payload is None and by_id[2].width is None
+    assert by_id[1].width == 32 and len(by_id[1].payload) == 32 * 32 // 64
+    # deterministic fake: same payload -> same bytes
+    again = {r.asset_id: r for r in mm.resize_images(assets, 32, 32).collect()}
+    assert bytes(again[1].payload) == bytes(by_id[1].payload)
+
+    feats = {r.asset_id: r.embedding for r in mm.extract_features(assets, dim=8).collect()}
+    assert feats[2] is None
+    assert len(feats[1]) == 8
+    assert all(0.0 <= v <= 1.0 for v in feats[1])
