@@ -100,3 +100,34 @@ def register_warehouse_views(spark: SparkSession, warehouse_dir: str) -> None:
     for t in (*DIM_TABLES, *FACT_TABLES, BRIDGE_TABLE):
         path = posixpath.join(warehouse_dir, t)
         spark.read.parquet(path).createOrReplaceTempView(t)
+
+
+def register_reference_views(spark: SparkSession, warehouse_dir: str) -> None:
+    """Compatibility views with the reference's table and column names
+    (/root/reference/scripts/init.sql DDL), so SQL written against the
+    reference warehouse runs on this engine unchanged: ``factObitos``,
+    ``dimOcupacao``, ``ponteGrupoCausas``, … (Spark view names are
+    case-insensitive).  Columns already share names except where the
+    reference diverges: dimCausa exposes ``descricao_subcategoria`` /
+    ``codigo_cid`` aliases, dimHorario exposes ``tempo``."""
+    def _load(t: str):
+        return spark.read.parquet(posixpath.join(warehouse_dir, t))
+
+    from pyspark.sql import functions as F
+
+    alias_map = {
+        "factnascimentos": _load("fact_nascimentos"),
+        "factobitos": _load("fact_obitos"),
+        "dimdata": _load("dim_data"),
+        "dimhorario": _load("dim_horario").withColumn("tempo", F.col("tempo_str")),
+        "dimmunicipio": _load("dim_municipio"),
+        "dimocupacao": _load("dim_ocupacao"),
+        "dimdemografia": _load("dim_demografia"),
+        "diminfonascimento": _load("dim_info_nascimento"),
+        "dimcausa": _load("dim_causa")
+        .withColumn("descricao_subcategoria", F.col("descricao_causa"))
+        .withColumn("codigo_cid", F.col("codigo_cid10")),
+        "pontegrupocausas": _load(BRIDGE_TABLE),
+    }
+    for name, df in alias_map.items():
+        df.createOrReplaceTempView(name)

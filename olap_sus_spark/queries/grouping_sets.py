@@ -63,3 +63,16 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_linhas")
     )
+
+
+@register("approx_aggregates")  # rows-only: sketch internals differ per engine
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — HyperLogLog distinct count and approximate
+    quantiles.  No DuckDB oracle (sketches aren't bit-portable); accuracy is
+    pinned by tests/test_text_unit.py::test_approx_aggregates_bounded_error
+    against the exact values."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("clientes_aprox"),
+        F.percentile_approx("o_totalprice", [0.5, 0.9], 10000).alias("percentis_preco"),
+    )

@@ -39,3 +39,20 @@ def test_bpe_pretokens(spark):
     assert toks == ["Hello", " world", ",", " it", "'", "s", " 2024", "!"]
     n = df.select(tx.bpe_pretoken_count(F.col("text")).alias("n")).first().n
     assert n == len(toks)
+
+
+def test_approx_aggregates_bounded_error(spark):
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.queries.grouping_sets import approx_aggregates
+    from tests.conftest import SF_DIR
+
+    row = approx_aggregates(spark, SF_DIR).first()
+    orders = load_table(spark, SF_DIR, "orders")
+    exact = orders.select("o_custkey").distinct().count()
+    assert abs(row.clientes_aprox - exact) / exact < 0.05
+    p50, p90 = row.percentis_preco
+    fr = orders.selectExpr(
+        "percentile(o_totalprice, 0.5) AS p50", "percentile(o_totalprice, 0.9) AS p90"
+    ).first()
+    assert abs(p50 - fr.p50) / fr.p50 < 0.05
+    assert abs(p90 - fr.p90) / fr.p90 < 0.05
