@@ -8,6 +8,7 @@ from olap_sus_spark.queries import (  # noqa: F401
     bands,
     events_windows,
     grouping_sets,
+    json_functions,
     multimodal_pipeline,
     olap,
     operators,
@@ -22,6 +23,7 @@ __all__ = [
     "bands",
     "events_windows",
     "grouping_sets",
+    "json_functions",
     "multimodal_pipeline",
     "olap",
     "operators",
