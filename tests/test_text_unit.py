@@ -56,3 +56,34 @@ def test_approx_aggregates_bounded_error(spark):
     ).first()
     assert abs(p50 - fr.p50) / fr.p50 < 0.05
     assert abs(p90 - fr.p90) / fr.p90 < 0.05
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=4/16 centroids must keep reasonable recall@5 vs the
+    exact brute-force ranking (quality gate for the approximate path)."""
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.operators import similarity as sim
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.orderBy("vec_id").limit(10).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    exact = sim.cosine_topk(emb, queries, k=5)
+    approx = sim.ivf_topk(emb, queries, num_centroids=16, nprobe=4, k=5)
+    exact_sets = {
+        r.query_id: set()
+        for r in exact.select("query_id").distinct().collect()
+    }
+    for r in exact.collect():
+        exact_sets[r.query_id].add(r.cand_id)
+    hit = total = 0
+    approx_sets: dict = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    for q, want in exact_sets.items():
+        got = approx_sets.get(q, set())
+        hit += len(want & got)
+        total += len(want)
+    assert total > 0
+    assert hit / total >= 0.5, f"recall@5 too low: {hit}/{total}"
