@@ -212,3 +212,51 @@ def embedding_dup_pairs(
     return pairs.select(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-dup *clusters* from candidate pairs: connected components by
+    iterative min-label propagation (the Pregel pattern as DataFrame joins).
+
+    Emitting all pairs is quadratic in cluster size — at 100 TB the right
+    output is one ``(doc, cluster_id)`` row per document, cluster_id = the
+    smallest member id.  Each iteration: every node adopts the minimum label
+    among itself and its neighbors; converges in O(cluster diameter) rounds
+    (near-dup clusters are shallow).  ``localCheckpoint`` truncates lineage
+    per round so plans don't grow unboundedly.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("src"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("src", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))

@@ -287,3 +287,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", dd.simhash64(F.col("text")).alias("simhash"))
+
+
+@register("dedup_near_clusters")  # rows-only: iterative fixpoint, not ANSI-SQL
+def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline at its scale shape: minhash -> LSH candidates
+    -> exact-Jaccard verify -> connected components -> one row per doc with
+    its cluster representative."""
+    docs = augmented_docs(spark, sf_dir)
+    verified = dd.jaccard_pairs(docs, threshold=0.5)
+    return dd.dedup_clusters(verified, docs.select("doc_id"))

@@ -87,3 +87,15 @@ def test_ivf_recall_vs_brute_force(spark):
         total += len(want)
     assert total > 0
     assert hit / total >= 0.5, f"recall@5 too low: {hit}/{total}"
+
+
+def test_dedup_clusters_connected_components(spark):
+    from olap_sus_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 12)], "doc_id long")
+    got = {r.doc_id: r.cluster_id for r in dd.dedup_clusters(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8, 9: 8, 10: 8, 11: 11}
