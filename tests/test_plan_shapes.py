@@ -91,3 +91,31 @@ def test_warehouse_rollup_is_broadcast_star(spark, wh):
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert n_nodes(plan, "BroadcastHashJoin") == 2
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Fact-to-fact join over same-bucketed tables: zero Exchange nodes."""
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.sources.bucketed import bucketed_join, write_bucketed
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=8)
+    write_bucketed(li, "b_lineitem", ["o_orderkey"], num_buckets=8)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        plan = plan_of(joined)
+        assert n_nodes(plan, "Exchange") == 0, plan
+        assert joined.count() > 0
+        # sanity: the same join over plain parquet DOES shuffle
+        plain = orders.join(li, "o_orderkey")
+        assert n_nodes(plan_of(plain), "Exchange") >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
