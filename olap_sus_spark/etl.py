@@ -85,8 +85,7 @@ def run_ingest(
         sinks.write_fact_partition(fact, warehouse_dir, "fact_nascimentos", date)
         return fact
     if dataset == "sim":
-        deaths = transform_sim(raw).withColumn("row_id", F.monotonically_increasing_id())
-        fact, bridge = facts_ops.build_fact_obitos(deaths, dims)
+        fact, bridge = facts_ops.build_fact_obitos(transform_sim(raw), dims)
         # Bridge first (reference order, sim:239 before :402): groups must
         # exist before facts referencing them are visible.
         sinks.append_bridge(bridge, warehouse_dir, BRIDGE_TABLE)

@@ -28,7 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from olap_sus_spark.operators.bridge import build_bridge
 from olap_sus_spark.operators.dims import FAIXAS_PESO, faixas_etarias
 from olap_sus_spark.operators.joins import band_label
 
@@ -137,8 +136,8 @@ def build_fact_nascimentos(births: DataFrame, dims: dict[str, DataFrame]) -> Dat
     return f.groupBy(*NASC_KEYS).agg(F.count(F.lit(1)).alias("quantidade_nascimentos"))
 
 
-def explode_causes(deaths: DataFrame) -> DataFrame:
-    """Death-certificate cause lines → (row_id, ordem_causa, codigo) rows.
+def causes_array() -> F.Column:
+    """Per-row array of (ordem_causa, codigo) death-certificate causes.
 
     Lines A-D carry ordem 1-4; part-II codes continue at 5+ — the
     sim:149-157 construction via array/struct concat + indexed transform.
@@ -153,12 +152,16 @@ def explode_causes(deaths: DataFrame) -> DataFrame:
         F.coalesce(F.col("linhaii_arr"), F.array().cast("array<string>")),
         lambda x, i: F.struct((i + 5).cast("int").alias("ordem_causa"), x.alias("codigo")),
     )
-    causes = F.filter(
+    return F.filter(
         F.concat(line_structs, part2),
         lambda s: s["codigo"].isNotNull() & (s["codigo"] != ""),
     )
+
+
+def explode_causes(deaths: DataFrame) -> DataFrame:
+    """Exploded (row_id, ordem_causa, codigo) view of :func:`causes_array`."""
     return (
-        deaths.select("row_id", F.explode(causes).alias("c"))
+        deaths.select("row_id", F.explode(causes_array()).alias("c"))
         .select("row_id", "c.ordem_causa", "c.codigo")
     )
 
@@ -172,26 +175,58 @@ def build_fact_obitos(
     ``ponteGrupoCausas`` bridge rows (content-hash group ids — see
     operators/bridge.py for why that replaces the reference's sequence).
     """
-    if "row_id" not in deaths.columns:
-        deaths = deaths.withColumn("row_id", F.monotonically_increasing_id())
-
     # Event-date rule applied *before* the cause subplan.  The reference
     # assigns cause groups first and filters later (sim:130-255 vs :399),
     # leaving orphan bridge groups for dropped rows; filtering first keeps
     # the bridge referencing only live facts.
     deaths = deaths.filter(F.col("data_obito").isNotNull())
 
-    # Cause-group subplan: explode -> dimCausa lookup (J7) -> content-hash
-    # signature grouping.
-    causes = explode_causes(deaths)
-    causa_lkp = dims["dim_causa"].filter(F.col("chave_causa") != 0).select(
-        F.col("codigo_cid10").alias("codigo"), "chave_causa"
+    # Cause-group subplan, fully NARROW: the dimCausa lookup becomes a
+    # constant map literal (the dim is ≤ ~12k entries by construction,
+    # BASELINE.md) applied inside the per-row cause array, and the group id
+    # is the content hash of the in-row canonical signature — exactly
+    # operators/bridge.py:canonical_signature, computed without the
+    # explode → groupBy(row_id) → join-back cycle.  This removes two
+    # shuffles from the fact path; at 100 TB the deaths pipeline is one
+    # codegen stage ending in the single grain-collapse shuffle.
+    causa_rows = dims["dim_causa"].filter(F.col("chave_causa") != 0).select(
+        "codigo_cid10", "chave_causa"
+    ).collect()
+    causa_map = F.map_from_arrays(
+        F.lit([r.codigo_cid10 for r in causa_rows]),
+        F.lit([r.chave_causa for r in causa_rows]),
     )
-    causes = causes.join(F.broadcast(causa_lkp), "codigo", "left").fillna({"chave_causa": 0})
-    mapping, bridge = build_bridge(causes, row_col="row_id",
-                                   order_col="ordem_causa", key_col="chave_causa")
+    keyed = F.transform(
+        causes_array(),
+        lambda s: F.struct(
+            s["ordem_causa"].alias("ordem_causa"),
+            F.coalesce(F.try_element_at(causa_map, s["codigo"]), F.lit(0)).alias("chave_causa"),
+        ),
+    )
+    # In-row twin of bridge.canonical_signature: 'chave:ordem' fragments
+    # sorted by (ordem, chave, frag), joined by '|', md5-hashed.
+    trip = F.transform(
+        keyed,
+        lambda s: F.struct(
+            s["ordem_causa"].alias("o"),
+            s["chave_causa"].alias("i"),
+            F.concat_ws(
+                ":", s["chave_causa"].cast("string"), s["ordem_causa"].cast("string")
+            ).alias("f"),
+        ),
+    )
+    sig = F.concat_ws("|", F.transform(F.array_sort(trip), lambda x: x["f"]))
+    group_id = F.when(F.size(keyed) > 0, F.md5(sig)).otherwise(F.lit(BRIDGE_SENTINEL))
 
-    d = deaths.withColumn(
+    d = deaths.withColumn("_causas", keyed).withColumn("chave_grupo_causa", group_id)
+    bridge = (
+        d.filter(F.size("_causas") > 0)
+        .select("chave_grupo_causa", F.explode("_causas").alias("c"))
+        .select("chave_grupo_causa", "c.ordem_causa", "c.chave_causa")
+        .dropDuplicates(["chave_grupo_causa", "ordem_causa", "chave_causa"])
+    )
+
+    d = d.withColumn(
         "faixa_etaria", band_label(F.col("idade_anos"), faixas_etarias(), null_label="Ignorado")
     )
 
@@ -225,11 +260,6 @@ def build_fact_obitos(
     )
     f = f.join(F.broadcast(ocup), "ocupacao_cbo", "left")
 
-    # J9 — attach the cause-group id (row_id equi-join; both sides derive
-    # from the same scan, so AQE plans a local shuffle-free join at this
-    # size and a hash join on row_id at scale).
-    f = f.join(mapping, "row_id", "left")
-
     f = f.fillna({
         "chave_data_nascimento": 0,
         "chave_tempo_obito": -1,
@@ -237,7 +267,6 @@ def build_fact_obitos(
         "chave_municipio_obito": 0,
         "chave_demografia": 0,
         "chave_ocupacao": 0,
-        "chave_grupo_causa": BRIDGE_SENTINEL,
     })
     f = f.filter(F.col("chave_data_obito").isNotNull())
     fact = f.groupBy(*OBITO_KEYS).agg(F.count(F.lit(1)).alias("quantidade_obitos"))

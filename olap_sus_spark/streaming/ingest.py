@@ -64,10 +64,7 @@ def _process_batch(dataset: str, warehouse_dir: str):
                 fact = facts_ops.build_fact_nascimentos(transform_sinasc(day), dims)
                 sinks.write_fact_partition(fact, warehouse_dir, "fact_nascimentos", dt)
             else:
-                deaths = transform_sim(day).withColumn(
-                    "row_id", F.monotonically_increasing_id()
-                )
-                fact, bridge = facts_ops.build_fact_obitos(deaths, dims)
+                fact, bridge = facts_ops.build_fact_obitos(transform_sim(day), dims)
                 sinks.append_bridge(bridge, warehouse_dir, etl.BRIDGE_TABLE)
                 sinks.write_fact_partition(fact, warehouse_dir, "fact_obitos", dt)
 

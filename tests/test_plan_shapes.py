@@ -60,17 +60,16 @@ def test_fact_obitos_pipeline_join_strategies(spark, wh):
     from olap_sus_spark.operators.transforms import transform_sim
     from olap_sus_spark.sources.raw_csv import read_dataset
 
-    raw = read_dataset(spark, LANDING, "sim", DT).withColumn(
-        "row_id", F.monotonically_increasing_id()
-    )
+    raw = read_dataset(spark, LANDING, "sim", DT)
     fact, bridge = build_fact_obitos(transform_sim(raw), etl.load_dims(spark, wh))
     plan = plan_of(fact)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # 7 dimension joins broadcast (J1x2, J2, J3x2, J4, J6); the row_id
-    # mapping join (J9) is fact-to-fact and may be SMJ/shuffle-hash — both
-    # are the correct strategy at scale.
-    assert n_nodes(plan, "BroadcastHashJoin") >= 7
+    assert "SortMergeJoin" not in plan
+    # 7 dimension joins broadcast (J1x2, J2, J3x2, J4, J6); the cause-group
+    # id is computed in-row (map-literal lookup + content hash), so there is
+    # no fact-to-fact mapping join left in the pipeline.
+    assert n_nodes(plan, "BroadcastHashJoin") == 7
 
 
 def test_fact_scan_prunes_partitions(spark, wh):
