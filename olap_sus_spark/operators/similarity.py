@@ -148,3 +148,69 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means as DataFrame iterations (deterministic smallest-id
+    init) — upgrades the IVF index from placeholder centroids to trained
+    ones.
+
+    Each round: broadcast the k centroids, assign every vector (narrow),
+    recompute means with one groupBy per round (element-wise array mean via
+    aggregate over zip_with).  ``localCheckpoint`` truncates lineage so the
+    plan stays flat across rounds; k rows always fit on the driver.
+    Returns (centroid_id, embedding).
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    cents = (
+        _as_double(emb.orderBy(id_col).limit(k), vec_col, "centv")
+        .select(F.col(id_col).alias("centroid_id"), "centv")
+        .localCheckpoint(eager=True)
+    )
+    vecs = _as_double(emb, vec_col, "v").select(id_col, "v").localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .select(
+                id_col, "v", "centroid_id",
+                cosine(F.col("v"), F.col("centv")).alias("sim"),
+            )
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+        best = assigned.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+        # element-wise mean: sum vectors with zip_with-fold, divide by count
+        summed = best.groupBy("centroid_id").agg(
+            F.aggregate(
+                F.collect_list("v"),
+                F.array_repeat(F.lit(0.0), dim),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("vsum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        cents = summed.select(
+            "centroid_id",
+            F.transform(F.col("vsum"), lambda x: x / F.col("n")).alias("centv"),
+        ).localCheckpoint(eager=True)
+    return cents.select("centroid_id", F.col("centv").alias(vec_col))
+
+
+def kmeans_inertia(emb: DataFrame, centroids: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> float:
+    """Mean best-cosine across vectors (higher = tighter clustering)."""
+    cents = _as_double(centroids, vec_col, "centv").select(
+        F.col("centroid_id"), "centv"
+    )
+    vecs = _as_double(emb, vec_col, "v").select(id_col, "v")
+    best = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select(id_col, cosine(F.col("v"), F.col("centv")).alias("sim"))
+        .groupBy(id_col)
+        .agg(F.max("sim").alias("best"))
+    )
+    return best.agg(F.avg("best")).first()[0]

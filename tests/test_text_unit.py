@@ -99,3 +99,17 @@ def test_dedup_clusters_connected_components(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 12)], "doc_id long")
     got = {r.doc_id: r.cluster_id for r in dd.dedup_clusters(pairs, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8, 9: 8, 10: 8, 11: 11}
+
+
+def test_kmeans_improves_clustering(spark):
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.operators import similarity as sim
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    init = sim.kmeans_centroids(emb, k=8, iters=0)   # = smallest-id init
+    trained = sim.kmeans_centroids(emb, k=8, iters=3)
+    q0 = sim.kmeans_inertia(emb, init)
+    q3 = sim.kmeans_inertia(emb, trained)
+    assert q3 >= q0 - 1e-9, (q0, q3)  # training never hurts mean best-cosine
+    assert trained.count() <= 8

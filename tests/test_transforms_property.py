@@ -82,8 +82,10 @@ def test_decode_coded_age(spark, vals):
 def model_municipality_key6(s):
     if s is None or s.strip() == "":
         return None
-    head = s[:6]
-    return int(head) if re.fullmatch(r"[0-9]+", head) else None
+    # Spark's string->int cast trims surrounding whitespace and accepts an
+    # optional sign (ANSI cast lexical rules) — found by hypothesis with '0 '.
+    head = s[:6].strip()
+    return int(head) if re.fullmatch(r"[+-]?[0-9]+", head) else None
 
 
 @given(st.lists(raw_str, min_size=1, max_size=50))
