@@ -98,7 +98,11 @@ def build_fact_nascimentos(births: DataFrame, dims: dict[str, DataFrame]) -> Dat
 
     # J4 — mother demographics: the dim is pre-filtered to the mother role
     # (sexo='F', hardcoded at sinasc:223) and joined on the full label tuple.
-    demog = dims["dim_demografia"].filter(F.col("sexo") == "F").select(
+    # The sexo filter already excludes the sentinel (sexo='I'); the explicit
+    # key filter documents the invariant every attribute-join role needs.
+    demog = dims["dim_demografia"].filter(
+        (F.col("sexo") == "F") & (F.col("chave_demografia") != 0)
+    ).select(
         F.col("raca").alias("raca_mae_desc"),
         F.col("escolaridade").alias("esc_mae_desc"),
         F.col("estado_civil").alias("estciv_mae_desc"),
@@ -108,8 +112,11 @@ def build_fact_nascimentos(births: DataFrame, dims: dict[str, DataFrame]) -> Dat
     f = f.join(F.broadcast(demog),
                ["raca_mae_desc", "esc_mae_desc", "estciv_mae_desc", "faixa_etaria"], "left")
 
-    # J5 — newborn profile: 5 label equalities + weight band label.
-    info = dims["dim_info_nascimento"].select(
+    # J5 — newborn profile: 5 label equalities + weight band label.  The
+    # sentinel (key 0) must be excluded: its attribute tuple equals the real
+    # all-'Ignorado' member's, and a left join against both would duplicate
+    # every all-unknown row (caught by test_ingest_robustness).
+    info = dims["dim_info_nascimento"].filter(F.col("chave_info_nascimento") != 0).select(
         F.col("sexo").alias("sexo_rn_desc"),
         F.col("raca_cor").alias("raca_rn_desc"),
         F.col("faixa_peso"),
