@@ -353,11 +353,24 @@ def topk_parts_per_nation(spark: SparkSession, sf_dir: str, k: int = 10) -> Data
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     part = load_table(spark, sf_dir, "part")
+    # Aggregate on the *integer* keys only: p_partkey is unique per part and
+    # n_name unique per nation, so (s_nationkey, l_partkey) identifies the
+    # same groups as the oracle's (n_name, p_name, p_partkey) — but the
+    # shuffle carries two ints + a decimal instead of two long strings, and
+    # the part/nation name lookups move below the rank filter, where only
+    # nations × k rows remain.
     grouped = (
         li.join(
             F.broadcast(supp.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")),
             "l_suppkey",
         )
+        .groupBy(F.col("s_nationkey"), F.col("l_partkey"))
+        .agg(F.sum(dec("l_extendedprice")).alias("total_dec"))
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("total_dec").desc(), F.col("l_partkey"))
+    return (
+        grouped.withColumn("ranking", F.row_number().over(w))
+        .filter(F.col("ranking") <= k)
         .join(
             F.broadcast(nation.select(F.col("n_nationkey").alias("s_nationkey"), "n_name")),
             "s_nationkey",
@@ -366,13 +379,6 @@ def topk_parts_per_nation(spark: SparkSession, sf_dir: str, k: int = 10) -> Data
             F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_name")),
             "l_partkey",
         )
-        .groupBy(F.col("n_name"), F.col("p_name"), F.col("l_partkey"))
-        .agg(F.sum(dec("l_extendedprice")).alias("total_dec"))
-    )
-    w = Window.partitionBy("n_name").orderBy(F.col("total_dec").desc(), F.col("l_partkey"))
-    return (
-        grouped.withColumn("ranking", F.row_number().over(w))
-        .filter(F.col("ranking") <= k)
         .select(
             F.col("n_name").alias("nacao"),
             F.col("p_name").alias("produto"),

@@ -222,10 +222,10 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH candidate pairs, verified with exact Jaccard.
 # ---------------------------------------------------------------------------
 def _minhash_oracle(num_hashes: int = 8, bands: int = 2, rows: int = 4) -> str:
+    p = dd.MINHASH_P
     sig_cols = ",\n        ".join(
-        f"list_min(list_transform(list_distinct({_GRAMS}), "
-        f"g -> {_md5_int_sql(chr(39) + str(i) + ':' + chr(39) + ' || g')})) AS sig_{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform(bases, x -> ({a} * x + {b}) % {p})) AS sig_{i}"
+        for i, (a, b) in enumerate(dd.MINHASH_AB[:num_hashes])
     )
     band_selects = "\n    UNION ALL\n".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sigs".format(
@@ -238,10 +238,15 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 2, rows: int = 4) -> str:
     )
     return f"""
 WITH {_AUG_SQL},
+base AS (
+    SELECT doc_id,
+        list_transform(list_distinct({_GRAMS}), g -> {_md5_int_sql('g')} % {p}) AS bases
+    FROM aug
+),
 sigs AS (
     SELECT doc_id,
         {sig_cols}
-    FROM aug
+    FROM base
 ),
 buckets AS (
     {band_selects}
