@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 
 from olap_sus_spark.operators import facts as facts_ops
 from olap_sus_spark.operators.dims import ALL_GENERATED
-from olap_sus_spark.operators.transforms import transform_sim, transform_sinasc
+from olap_sus_spark.operators.transforms import (
+    transform_sih,
+    transform_sim,
+    transform_sinasc,
+)
 from olap_sus_spark.sources import seeds, sinks
 from olap_sus_spark.sources.raw_csv import read_dataset
 
@@ -31,7 +35,7 @@ DIM_TABLES = (
     "dim_data", "dim_horario", "dim_demografia", "dim_info_nascimento",
     "dim_municipio", "dim_ocupacao", "dim_causa",
 )
-FACT_TABLES = ("fact_nascimentos", "fact_obitos")
+FACT_TABLES = ("fact_nascimentos", "fact_obitos", "fact_internacoes")
 BRIDGE_TABLE = "ponte_grupo_causas"
 
 
@@ -91,14 +95,38 @@ def run_ingest(
         sinks.append_bridge(bridge, warehouse_dir, BRIDGE_TABLE)
         sinks.write_fact_partition(fact, warehouse_dir, "fact_obitos", date)
         return fact
-    raise ValueError(f"unknown dataset {dataset!r} (expected 'sinasc' or 'sim')")
+    if dataset == "sih":
+        fact = facts_ops.build_fact_internacoes(transform_sih(raw), dims)
+        sinks.write_fact_partition(fact, warehouse_dir, "fact_internacoes", date)
+        return fact
+    raise ValueError(f"unknown dataset {dataset!r} (expected 'sinasc', 'sim' or 'sih')")
 
 
 def register_warehouse_views(spark: SparkSession, warehouse_dir: str) -> None:
-    """Register every warehouse table as a temp view for spark.sql OLAP."""
+    """Register every warehouse table as a temp view for spark.sql OLAP.
+
+    A fact with no ingested partition yet (e.g. fact_internacoes before any
+    'sih' drop) is registered as an empty frame with the declared schema, so
+    queries against a fresh warehouse parse and return zero rows instead of
+    failing on a missing path."""
+    from olap_sus_spark import schemas
+    from olap_sus_spark.sources.sinks import _exists
+
+    empty_schemas = {
+        "fact_nascimentos": schemas.FACT_NASCIMENTOS,
+        "fact_obitos": schemas.FACT_OBITOS,
+        "fact_internacoes": schemas.FACT_INTERNACOES,
+    }
     for t in (*DIM_TABLES, *FACT_TABLES, BRIDGE_TABLE):
         path = posixpath.join(warehouse_dir, t)
-        spark.read.parquet(path).createOrReplaceTempView(t)
+        if _exists(spark, path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+        elif t in empty_schemas:
+            # On-disk facts carry the dt= partition column; mirror it.
+            empty = spark.createDataFrame([], empty_schemas[t]).withColumn(
+                "dt", F.lit(None).cast("string")
+            )
+            empty.createOrReplaceTempView(t)
 
 
 def register_reference_views(spark: SparkSession, warehouse_dir: str) -> None:
@@ -109,14 +137,26 @@ def register_reference_views(spark: SparkSession, warehouse_dir: str) -> None:
     case-insensitive).  Columns already share names except where the
     reference diverges: dimCausa exposes ``descricao_subcategoria`` /
     ``codigo_cid`` aliases, dimHorario exposes ``tempo``."""
+    from olap_sus_spark import schemas
+    from olap_sus_spark.sources.sinks import _exists
+
     def _load(t: str):
-        return spark.read.parquet(posixpath.join(warehouse_dir, t))
+        path = posixpath.join(warehouse_dir, t)
+        if _exists(spark, path):
+            return spark.read.parquet(path)
+        empty = {
+            "fact_nascimentos": schemas.FACT_NASCIMENTOS,
+            "fact_obitos": schemas.FACT_OBITOS,
+            "fact_internacoes": schemas.FACT_INTERNACOES,
+        }[t]
+        return spark.createDataFrame([], empty).withColumn("dt", F.lit(None).cast("string"))
 
     from pyspark.sql import functions as F
 
     alias_map = {
         "factnascimentos": _load("fact_nascimentos"),
         "factobitos": _load("fact_obitos"),
+        "factinternacoes": _load("fact_internacoes"),
         "dimdata": _load("dim_data"),
         "dimhorario": _load("dim_horario").withColumn("tempo", F.col("tempo_str")),
         "dimmunicipio": _load("dim_municipio"),

@@ -51,6 +51,15 @@ OBITO_KEYS = [
     "chave_ocupacao",
 ]
 
+INTERN_KEYS = [
+    "chave_data_entrada",
+    "chave_data_saida",
+    "chave_municipio",
+    "chave_causa_primaria",
+    "chave_causa_secundaria",
+    "chave_ocupacao",
+]
+
 BRIDGE_SENTINEL = "0"  # group-of-causes sentinel id (cause '0000', key 0)
 
 
@@ -141,6 +150,66 @@ def build_fact_nascimentos(births: DataFrame, dims: dict[str, DataFrame]) -> Dat
     })
     f = f.filter(F.col("chave_data").isNotNull())  # P5: event date must resolve
     return f.groupBy(*NASC_KEYS).agg(F.count(F.lit(1)).alias("quantidade_nascimentos"))
+
+
+def _causa_role(dim_causa: DataFrame, join_col: str, out_key: str) -> DataFrame:
+    """Role-play dimCausa on the ICD-10 code (J7 shape): sentinel excluded
+    from the join side — it is a fillna target, not a join candidate."""
+    return dim_causa.filter(F.col("chave_causa") != 0).select(
+        F.col("codigo_cid10").alias(join_col), F.col("chave_causa").alias(out_key)
+    )
+
+
+def build_fact_internacoes(admissions: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
+    """SIH fact pipeline → aggregated ``factInternacoes`` grain: 6 dim FKs +
+    SUM(valor) money measure + SUM(quantidade_procedimentos).
+
+    The reference declares this fact but never loads it (init.sql:252-262);
+    the pipeline follows the house rules of the two implemented ETLs: every
+    dimension joins broadcast (role-playing dimData twice and dimCausa
+    twice), the *admission* date is the event date (row dropped iff it
+    fails to resolve — the discharge date may legitimately be open for
+    in-progress stays → sentinel 0), every other miss → sentinel.  Measures
+    aggregate with SUM, not COUNT: the grain is (entry, exit, municipality,
+    primary cause, secondary cause, occupation), and ``valor`` stays
+    DECIMAL(15,2) end-to-end."""
+    f = admissions.join(
+        F.broadcast(_date_role(dims["dim_data"], "data_entrada", "chave_data_entrada")),
+        "data_entrada", "left",
+    )
+    f = f.join(
+        F.broadcast(_date_role(dims["dim_data"], "data_saida", "chave_data_saida")),
+        "data_saida", "left",
+    )
+    f = f.join(
+        F.broadcast(_mun_role(dims["dim_municipio"], "cod_mun_res", "chave_municipio")),
+        "cod_mun_res", "left",
+    )
+    f = f.join(
+        F.broadcast(_causa_role(dims["dim_causa"], "causa_primaria_cid",
+                                "chave_causa_primaria")), "causa_primaria_cid", "left",
+    )
+    f = f.join(
+        F.broadcast(_causa_role(dims["dim_causa"], "causa_secundaria_cid",
+                                "chave_causa_secundaria")), "causa_secundaria_cid", "left",
+    )
+    ocup = dims["dim_ocupacao"].filter(F.col("codigo_cbo").isNotNull()).select(
+        F.col("codigo_cbo").alias("ocupacao_cbo"), "chave_ocupacao"
+    )
+    f = f.join(F.broadcast(ocup), "ocupacao_cbo", "left")
+
+    f = f.fillna({
+        "chave_data_saida": 0,
+        "chave_municipio": 0,
+        "chave_causa_primaria": 0,
+        "chave_causa_secundaria": 0,
+        "chave_ocupacao": 0,
+    })
+    f = f.filter(F.col("chave_data_entrada").isNotNull())  # event-date rule
+    return f.groupBy(*INTERN_KEYS).agg(
+        F.sum("valor").cast("decimal(15,2)").alias("valor"),
+        F.sum("qt_procedimentos").alias("quantidade_procedimentos"),
+    )
 
 
 def causes_array() -> F.Column:

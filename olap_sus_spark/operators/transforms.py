@@ -170,3 +170,30 @@ def transform_sim(df: DataFrame) -> DataFrame:
     for c in ("LINHAA", "LINHAB", "LINHAC", "LINHAD"):
         out = out.withColumn(f"{c.lower()}_clean", clean_icd10(c))
     return out
+
+
+def transform_sih(df: DataFrame) -> DataFrame:
+    """Decode a raw SIH (hospitalization) extract.
+
+    The reference declares ``factInternacoes`` but never wrote its ETL
+    (init.sql:252-262; 'sih' commented out at spark_dag.py:56), so the raw
+    contract is defined here from the public SIH-RD layout: admission /
+    discharge dates, residence municipality, primary / secondary ICD-10
+    diagnoses, occupation CBO, total value, procedure count.  Same cleaning
+    rules as the sibling datasets: ddMMyyyy dates, 6-digit municipality key,
+    ICD-10 cleanup.  Money is ``DECIMAL(15,2)`` from the first cast —
+    summing doubles would drift at 100 TB; blank → 0.00.  Blank QT_PROC → 1
+    (a billed admission has at least one procedure)."""
+    return df.select(
+        "*",
+        parse_ddmmyyyy("DT_INTER").alias("data_entrada"),
+        parse_ddmmyyyy("DT_SAIDA").alias("data_saida"),
+        municipality_key6("MUNIC_RES").alias("cod_mun_res"),
+        clean_icd10(F.upper(F.trim(F.col("DIAG_PRINC")))).alias("causa_primaria_cid"),
+        clean_icd10(F.upper(F.trim(F.col("DIAG_SECUN")))).alias("causa_secundaria_cid"),
+        F.trim(F.col("CBOR")).alias("ocupacao_cbo"),
+        F.coalesce(
+            F.col("VAL_TOT").try_cast("decimal(15,2)"), F.lit(0).cast("decimal(15,2)")
+        ).alias("valor"),
+        F.coalesce(F.col("QT_PROC").try_cast("int"), F.lit(1)).alias("qt_procedimentos"),
+    )

@@ -96,14 +96,24 @@ FACT_OBITOS = StructType(
 )
 
 # Declared in the reference but never loaded (init.sql:252-262; the 'sih'
-# dataset is commented out of the DAG).  Schema kept for DDL parity — the
-# money measure maps to DecimalType(15,2).
+# dataset is commented out of the DAG at spark_dag.py:56).  This engine
+# implements the load (operators/facts.py:build_fact_internacoes): the raw
+# contract uses the public SIH-RD field names, dates arrive ddMMyyyy like
+# the other landing datasets, and VAL_TOT maps to DecimalType(15,2) — money
+# must aggregate exactly, never as double.
+SIH_RAW = _all_string(
+    "DT_INTER", "DT_SAIDA", "MUNIC_RES", "DIAG_PRINC", "DIAG_SECUN",
+    "CBOR", "VAL_TOT", "QT_PROC",
+)
+
 FACT_INTERNACOES = StructType(
     [
-        StructField("chave_data", IntegerType(), True),
+        StructField("chave_data_entrada", IntegerType(), True),
+        StructField("chave_data_saida", IntegerType(), True),
         StructField("chave_municipio", IntegerType(), True),
-        StructField("chave_demografia", IntegerType(), True),
-        StructField("chave_causa", IntegerType(), True),
+        StructField("chave_causa_primaria", IntegerType(), True),
+        StructField("chave_causa_secundaria", IntegerType(), True),
+        StructField("chave_ocupacao", IntegerType(), True),
         StructField("valor", DecimalType(15, 2), True),
         StructField("quantidade_procedimentos", LongType(), False),
     ]

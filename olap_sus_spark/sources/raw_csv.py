@@ -27,6 +27,7 @@ from olap_sus_spark import schemas
 RAW_SCHEMAS: dict[str, StructType] = {
     "sinasc": schemas.SINASC_RAW,
     "sim": schemas.SIM_RAW,
+    "sih": schemas.SIH_RAW,
 }
 
 
