@@ -183,3 +183,53 @@ def topk_causes_per_family(spark: SparkSession, wh: str, k: int = 10) -> DataFra
     return grouped.withColumn("ranking", F.row_number().over(w)).filter(
         F.col("ranking") <= k
     )
+
+
+def rollup_cost_by_cause_chapter(spark: SparkSession, wh: str) -> DataFrame:
+    """ROLL-UP over the money fact: hospitalization spend and procedure
+    volume by primary-cause ICD-10 chapter.  Same star-join + SUM shape as
+    ROLL-UP 1, but over factInternacoes — which the reference declared and
+    never loaded, so this query has no reference twin; the measure semantics
+    (exact DECIMAL money) are what the NUMERIC(15,2) DDL implies."""
+    fact = _t(spark, wh, "fact_internacoes")
+    causa = _t(spark, wh, "dim_causa").select(
+        F.col("chave_causa").alias("chave_causa_primaria"),
+        "capitulo", "descricao_capitulo",
+    )
+    return (
+        fact.join(F.broadcast(causa), "chave_causa_primaria")
+        .groupBy("capitulo", "descricao_capitulo")
+        .agg(
+            F.sum("valor").cast("decimal(15,2)").alias("valor_total"),
+            F.sum("quantidade_procedimentos").alias("quantidade_procedimentos"),
+        )
+    )
+
+
+def stay_cost_by_municipality(spark: SparkSession, wh: str) -> DataFrame:
+    """Drill over both date roles: closed stays only (exit key ≠ sentinel),
+    length-of-stay from the two role-played dimData members, total spend and
+    mean stay per residence municipality."""
+    fact = _t(spark, wh, "fact_internacoes").filter(F.col("chave_data_saida") != 0)
+    data = _t(spark, wh, "dim_data")
+    entrada = data.select(
+        F.col("chave_data").alias("chave_data_entrada"), F.col("data").alias("data_entrada")
+    )
+    saida = data.select(
+        F.col("chave_data").alias("chave_data_saida"), F.col("data").alias("data_saida")
+    )
+    mun = _t(spark, wh, "dim_municipio").select(
+        F.col("chave_municipio"), "nome_municipio", "estado"
+    )
+    return (
+        fact.join(F.broadcast(entrada), "chave_data_entrada")
+        .join(F.broadcast(saida), "chave_data_saida")
+        .join(F.broadcast(mun), "chave_municipio")
+        .withColumn("permanencia_dias", F.datediff("data_saida", "data_entrada"))
+        .groupBy("nome_municipio", "estado")
+        .agg(
+            F.sum("valor").cast("decimal(15,2)").alias("valor_total"),
+            F.avg("permanencia_dias").alias("media_permanencia_dias"),
+            F.sum("quantidade_procedimentos").alias("quantidade_procedimentos"),
+        )
+    )

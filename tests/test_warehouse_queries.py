@@ -21,6 +21,7 @@ def wh(spark, tmp_path_factory):
     etl.bootstrap_warehouse(spark, SEEDS, d)
     etl.run_ingest(spark, "sinasc", DT, LANDING, d)
     etl.run_ingest(spark, "sim", DT, LANDING, d)
+    etl.run_ingest(spark, "sih", DT, LANDING, d)
     return d
 
 
@@ -104,4 +105,34 @@ def test_topk_causes_per_family(spark, wh):
     assert got == {
         ("Enfermeiros e afins", "Infarto agudo do miocárdio, não especificado"): (2, 1),
         ("Ignorado", "Agressão por meios não especificados"): (1, 1),
+    }
+
+
+def test_rollup_cost_by_cause_chapter(spark, wh):
+    from decimal import Decimal
+
+    got = {
+        r.capitulo: (r.valor_total, r.quantidade_procedimentos)
+        for r in W.rollup_cost_by_cause_chapter(spark, wh).collect()
+    }
+    assert got == {
+        "IX": (Decimal("2000.75"), 5),     # I219 pair, merged grain
+        "X": (Decimal("320.10"), 1),       # J189 open stay
+        "Ignorado": (Decimal("89.90"), 1),  # unknown cause -> sentinel
+    }
+
+
+def test_stay_cost_by_municipality(spark, wh):
+    from decimal import Decimal
+
+    got = {
+        (r.nome_municipio, r.estado): (
+            r.valor_total, r.media_permanencia_dias, r.quantidade_procedimentos
+        )
+        for r in W.stay_cost_by_municipality(spark, wh).collect()
+    }
+    # open stay (Rio Claro) excluded; unknown municipality -> 'Ignorado'.
+    assert got == {
+        ("São Paulo", "São Paulo"): (Decimal("2000.75"), 5.0, 5),
+        ("Ignorado", "Ignorado"): (Decimal("89.90"), 1.0, 1),
     }
