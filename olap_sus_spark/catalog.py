@@ -41,6 +41,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_compute(df: DataFrame) -> DataFrame:
+    """Re-spread a narrow scan before compute-heavy per-row work.
+
+    Parquet files with a single row group cannot be split, so a small file
+    scans as ~1 task no matter how many cores exist — and any expensive
+    per-row expression chain (n-gram hashing, signature computation)
+    serializes behind it.  When the scan yields fewer partitions than the
+    cluster's parallelism, shuffle the (tiny) rows across all cores first;
+    when the input is already wide — every real multi-file/multi-row-group
+    table at scale — this is a no-op, so the operator keeps its
+    shuffle-free plan on a 1000-executor cluster.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

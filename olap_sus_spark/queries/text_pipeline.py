@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olap_sus_spark.catalog import load_table
+from olap_sus_spark.catalog import load_table, spread_compute
 from olap_sus_spark.operators import dedup as dd
 from olap_sus_spark.operators import text as tx
 from olap_sus_spark.registry import register
@@ -49,7 +49,10 @@ aug AS (
 
 
 def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # Every consumer immediately runs n-gram/signature hashing over the
+    # text; spread the (narrow single-row-group) scan across cores first —
+    # no-op on a wide input (catalog.spread_compute).
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
     exact = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
@@ -84,7 +87,7 @@ FROM documents
 
 @register("text_quality_features", oracle=_QUALITY_ORACLE)
 def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
     return tx.quality_features(docs).select(
         "doc_id", "q_chars", "q_tokens", "q_mean_token_len", "q_punct_ratio", "q_stopword_ratio"
     )
@@ -104,7 +107,7 @@ FROM documents
 
 @register("text_bpe_token_count", oracle=_BPE_ORACLE)
 def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", tx.bpe_pretoken_count(F.col("text")).alias("n_pretokens"))
 
 
@@ -133,7 +136,7 @@ GROUP BY 1, 2
 
 @register("text_language_id", oracle=_LANGID_ORACLE)
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("lang", tx.langid(F.col("text")).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
@@ -159,7 +162,7 @@ FROM documents
 
 @register("text_fingerprint", oracle=_FP_ORACLE)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         tx.fingerprint(F.col("text")).alias("fingerprint"),
@@ -186,17 +189,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Blocked n-gram Jaccard near-dup pairs.
 # ---------------------------------------------------------------------------
+# Set algebra over 60-bit gram hashes, mirroring operators/dedup.py (the
+# hashes are paid for by the blocking key; Jaccard is identical barring a
+# 60-bit collision).
 _JACCARD_ORACLE = f"""
 WITH {_AUG_SQL},
 g0 AS (
-    SELECT doc_id, list_distinct({_GRAMS}) AS grams
+    SELECT doc_id,
+        list_distinct(list_transform(list_distinct({_GRAMS}), x -> {_md5_int_sql('x')}))
+            AS grams
     FROM aug
 ),
 g AS (
-    SELECT
-        doc_id,
-        CAST(list_min(list_transform(grams, x -> {_md5_int_sql('x')})) AS VARCHAR) AS block,
-        grams
+    SELECT doc_id, CAST(list_min(grams) AS VARCHAR) AS block, grams
     FROM g0
 )
 SELECT
@@ -290,8 +295,85 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register("dedup_simhash")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", dd.simhash64(F.col("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Composite corpus-prep pipeline — the end-to-end shape a pre-training data
+# pipeline runs: quality filter → language filter → exact-dedup canonical
+# selection.  Every stage reuses an operator that is individually
+# oracle-verified above; this query verifies their *composition*.
+# ---------------------------------------------------------------------------
+_CORPUS_CLEAN_ORACLE = f"""
+WITH {_AUG_SQL},
+q AS (
+    SELECT doc_id, text,
+        len({_TOKS}) AS q_tokens,
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS DOUBLE) AS q_punct_ratio,
+        {_langid_sql('text')} AS lang_pred
+    FROM aug
+),
+kept AS (
+    SELECT * FROM q
+    WHERE q_tokens >= 5 AND q_punct_ratio <= 0.3 AND lang_pred = 'en'
+)
+SELECT
+    md5(text) AS content_hash,
+    MIN(doc_id) AS doc_id,
+    COUNT(*) AS n_copies,
+    MIN(q_tokens) AS q_tokens
+FROM kept
+GROUP BY 1
+"""
+
+
+@register("corpus_clean_pipeline", oracle=_CORPUS_CLEAN_ORACLE)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality → language → exact-dedup, one declarative plan: the filters
+    and the content hash fuse into the scan stage, so the only shuffle is
+    the dedup groupBy — the same shape at 100 TB."""
+    docs = augmented_docs(spark, sf_dir)
+    kept = docs.select(
+        "doc_id", "text",
+        tx.token_count(F.col("text")).alias("q_tokens"),
+        tx.punct_ratio(F.col("text")).alias("q_punct_ratio"),
+        tx.langid(F.col("text")).alias("lang_pred"),
+    ).filter(
+        (F.col("q_tokens") >= 5) & (F.col("q_punct_ratio") <= 0.3)
+        & (F.col("lang_pred") == "en")
+    )
+    return (
+        kept.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("q_tokens").alias("q_tokens"),
+        )
+    )
+
+
+@register("corpus_clean_neardup")  # rows-only: iterative CC fixpoint inside
+def corpus_clean_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full prep pipeline ending in *near*-dup suppression: quality +
+    language filters, then MinHash-free blocked Jaccard clustering over the
+    survivors; output is one row per kept document with its cluster
+    representative (keep_doc) — linear in corpus size, the scale shape."""
+    docs = augmented_docs(spark, sf_dir)
+    kept = docs.select(
+        "doc_id", "text",
+        tx.token_count(F.col("text")).alias("q_tokens"),
+        tx.punct_ratio(F.col("text")).alias("q_punct_ratio"),
+        tx.langid(F.col("text")).alias("lang_pred"),
+    ).filter(
+        (F.col("q_tokens") >= 5) & (F.col("q_punct_ratio") <= 0.3)
+        & (F.col("lang_pred") == "en")
+    )
+    pairs = dd.jaccard_pairs(kept, threshold=0.5)
+    return dd.dedup_clusters(pairs, kept.select("doc_id")).withColumnRenamed(
+        "cluster_id", "keep_doc"
+    )
 
 
 @register("dedup_near_clusters")  # rows-only: iterative fixpoint, not ANSI-SQL
