@@ -13,6 +13,7 @@ from olap_sus_spark.queries import (  # noqa: F401
     olap,
     operators,
     pricing,
+    relational_ext,
     skew_queries,
     streaming_queries,
     text_pipeline,
@@ -28,6 +29,7 @@ __all__ = [
     "olap",
     "operators",
     "pricing",
+    "relational_ext",
     "skew_queries",
     "streaming_queries",
     "text_pipeline",

@@ -1,0 +1,342 @@
+"""Relational extensions beyond the reference's operator surface.
+
+SURVEY.md §2.4/§2.5/§2.7 note what the reference *lacks*: distinct
+aggregates, FILTERed aggregates, INTERSECT/EXCEPT, lag/lead analytics,
+as-of joins, fuzzy matching, exact percentiles, arbitrary GROUPING SETS.
+A user outgrowing the reference needs these next, so the engine provides
+them as first-class, oracle-verified operators — each implemented the way
+it should run on a 1000-executor cluster (single shuffle on the natural
+key, broadcast dims, no driver-side loops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.queries._util import dec
+from olap_sus_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Distinct + FILTERed aggregates (absent in the reference — SURVEY §2.4
+# "no COUNT(DISTINCT)").  Per-nation activity profile: distinct segments,
+# distinct active years, conditionally-counted closed orders.
+# At scale: count-distinct expands to a two-phase partial/final plan under
+# AQE; the group key (nation) is low-cardinality so the final agg is tiny.
+# --------------------------------------------------------------------------
+_COUNT_DISTINCT_ORACLE = """
+SELECT
+    n.n_name AS nacao,
+    COUNT(DISTINCT c.c_mktsegment) AS segmentos,
+    COUNT(DISTINCT EXTRACT(YEAR FROM o.o_orderdate)::INT) AS anos_ativos,
+    COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS pedidos_fechados,
+    COUNT(*) AS pedidos
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("count_distinct_agg", oracle=_COUNT_DISTINCT_ORACLE)
+def count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(
+            cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment", "c_nationkey")
+        ),
+        "o_custkey",
+    ).join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")),
+        "c_nationkey",
+    )
+    return joined.groupBy(F.col("n_name").alias("nacao")).agg(
+        F.countDistinct("c_mktsegment").alias("segmentos"),
+        F.countDistinct(F.year("o_orderdate")).alias("anos_ativos"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("pedidos_fechados"),
+        F.count(F.lit(1)).alias("pedidos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# INTERSECT / EXCEPT (absent in the reference — SURVEY §2.7).  Customer
+# retention sets: buyers active in both 1996 and 1997, and churned buyers
+# (1996 only).  Distinct set semantics on both sides (ANSI INTERSECT/EXCEPT).
+# --------------------------------------------------------------------------
+_SET_OPS_ORACLE = """
+WITH a96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE EXTRACT(YEAR FROM o_orderdate) = 1996),
+     a97 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE EXTRACT(YEAR FROM o_orderdate) = 1997)
+SELECT 'ambos' AS conjunto, o_custkey
+FROM (SELECT o_custkey FROM a96 INTERSECT SELECT o_custkey FROM a97)
+UNION ALL
+SELECT 'apenas_1996' AS conjunto, o_custkey
+FROM (SELECT o_custkey FROM a96 EXCEPT SELECT o_custkey FROM a97)
+"""
+
+
+@register("intersect_except_sets", oracle=_SET_OPS_ORACLE)
+def intersect_except_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def active(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a96, a97 = active(1996), active(1997)
+    both = a96.intersect(a97).select(F.lit("ambos").alias("conjunto"), "o_custkey")
+    churned = a96.subtract(a97).select(
+        F.lit("apenas_1996").alias("conjunto"), "o_custkey"
+    )
+    return both.unionByName(churned)
+
+
+# --------------------------------------------------------------------------
+# LAG year-over-year analytics (absent in the reference — SURVEY §2.5 "no
+# lag/lead").  Revenue per nation-year with previous-year delta; decimal
+# arithmetic end-to-end, cast to double only at the end (queries/_util.py
+# exactness rules).  The window partitions by nation — no global sort.
+# --------------------------------------------------------------------------
+_YOY_ORACLE = """
+WITH rev AS (
+    SELECT n.n_name AS nacao,
+           EXTRACT(YEAR FROM o.o_orderdate)::INT AS ano,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS receita_dec
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+)
+SELECT nacao, ano,
+       CAST(receita_dec AS DOUBLE) AS receita,
+       CAST(LAG(receita_dec) OVER w AS DOUBLE) AS receita_anterior,
+       CAST(receita_dec - LAG(receita_dec) OVER w AS DOUBLE) AS variacao
+FROM rev
+WINDOW w AS (PARTITION BY nacao ORDER BY ano)
+"""
+
+
+@register("yoy_revenue_lag", oracle=_YOY_ORACLE)
+def yoy_revenue_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")),
+            "c_nationkey",
+        )
+        .groupBy(
+            F.col("n_name").alias("nacao"), F.year("o_orderdate").alias("ano")
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("receita_dec"))
+    )
+    w = Window.partitionBy("nacao").orderBy("ano")
+    prev = F.lag("receita_dec").over(w)
+    return rev.select(
+        "nacao",
+        "ano",
+        F.col("receita_dec").cast("double").alias("receita"),
+        prev.cast("double").alias("receita_anterior"),
+        (F.col("receita_dec") - prev).cast("double").alias("variacao"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Latest-row-per-key dedup (standard CDC/pipeline compaction shape; the
+# engine extension complementing dedup_exact's content dedup).  ROW_NUMBER
+# over (key ORDER BY ts DESC) with a deterministic event_id tie-break.
+# At scale: one shuffle on user_id; WindowGroupLimit pushes rank<=1 into a
+# partial top-1 before the exchange (same mechanism as topk_parts_per_nation).
+# --------------------------------------------------------------------------
+_LATEST_ORACLE = """
+SELECT user_id, event_id, event_type, ts
+FROM (
+    SELECT user_id, event_id, event_type, ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+@register("latest_event_per_user", oracle=_LATEST_ORACLE)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# AS-OF join (absent in the reference — SURVEY §2.3 "no as-of joins").
+# For every purchase, the most recent click at-or-before it by the same
+# user.  Spark lacks a native as-of join; the scalable formulation is
+# union + last(ignorenulls) over a (user, ts) window — ONE shuffle on
+# user_id, no per-key loop, no range self-join.  The oracle is DuckDB's
+# native ASOF LEFT JOIN — an independent implementation of the semantics.
+# Clicks are deduplicated to (user, ts) grain so ties are deterministic in
+# both engines (equal-ts clicks carry equal click_ts values).
+# --------------------------------------------------------------------------
+_ASOF_ORACLE = """
+WITH c AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+@register("asof_join_purchase_click", oracle=_ASOF_ORACLE)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).withColumn(
+        "kind", F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    )
+    # clicks sort before purchases at equal ts => inclusive (ts >= click_ts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    return (
+        tagged.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy (edit-distance) matching — blocked levenshtein self-join, the
+# record-linkage shape the dedup family lacks (MinHash/SimHash catch token
+# overlap, not typo-level drift).  Blocking on the name's head noun keeps
+# the join an equi-join: at scale each block shuffles to one reducer group
+# instead of a full cross product (block sizes are bounded by the noun
+# vocabulary, so per-reducer work is O(block²) with small blocks).
+# --------------------------------------------------------------------------
+_FUZZY_ORACLE = """
+WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS bloco FROM part)
+SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+       a.p_name AS nome1, b.p_name AS nome2,
+       levenshtein(a.p_name, b.p_name) AS distancia
+FROM p a JOIN p b ON a.bloco = b.bloco AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@register("fuzzy_part_pairs", oracle=_FUZZY_ORACLE)
+def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.split("p_name", " ").getItem(1).alias("bloco")
+    )
+    a = part.alias("a")
+    b = part.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bloco") == F.col("b.bloco"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("p1"),
+            F.col("b.p_partkey").alias("p2"),
+            F.col("a.p_name").alias("nome1"),
+            F.col("b.p_name").alias("nome2"),
+            dist.alias("distancia"),
+        )
+        .filter(F.col("distancia") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (the reference has only approximate none at all;
+# approx_aggregates covers the sketch path, this is the exact path).
+# Interpolated quantiles over integral quantities: index = (n-1)*p with
+# linear interpolation — both engines compute lower + (upper-lower)*frac,
+# exact in IEEE double for integer values and quarter fractions.
+# --------------------------------------------------------------------------
+_QUANTILE_ORACLE = """
+SELECT l_returnflag,
+       MIN(CAST(l_quantity AS INT)) AS q_min,
+       quantile_cont(CAST(l_quantity AS INT), 0.25) AS q25,
+       quantile_cont(CAST(l_quantity AS INT), 0.50) AS mediana,
+       quantile_cont(CAST(l_quantity AS INT), 0.75) AS q75,
+       MAX(CAST(l_quantity AS INT)) AS q_max
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("quantile_stats", oracle=_QUANTILE_ORACLE)
+def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("int")
+    return li.groupBy("l_returnflag").agg(
+        F.min(q).alias("q_min"),
+        F.expr("percentile(CAST(l_quantity AS INT), 0.25)").alias("q25"),
+        F.expr("percentile(CAST(l_quantity AS INT), 0.50)").alias("mediana"),
+        F.expr("percentile(CAST(l_quantity AS INT), 0.75)").alias("q75"),
+        F.max(q).alias("q_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Arbitrary GROUPING SETS (completes the grouping family next to ROLLUP and
+# CUBE in grouping_sets.py): the two single-attribute grains plus the
+# combined grain, with per-column GROUPING flags — one aggregation pass.
+# --------------------------------------------------------------------------
+_GSETS_ORACLE = """
+SELECT r.r_name AS regiao,
+       c.c_mktsegment AS segmento,
+       COUNT(*) AS n_clientes,
+       CAST(GROUPING(r.r_name) AS INT) AS flag_regiao,
+       CAST(GROUPING(c.c_mktsegment) AS INT) AS flag_segmento
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY GROUPING SETS ((r.r_name, c.c_mktsegment), (r.r_name), (c.c_mktsegment))
+"""
+
+
+@register("grouping_sets_mixed", oracle=_GSETS_ORACLE)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(
+            nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_regionkey")
+        ),
+        "c_nationkey",
+    ).join(
+        F.broadcast(region.select(F.col("r_regionkey").alias("n_regionkey"), "r_name")),
+        "n_regionkey",
+    )
+    base = joined.select(
+        F.col("r_name").alias("regiao"), F.col("c_mktsegment").alias("segmento")
+    )
+    return base.groupingSets(
+        [["regiao", "segmento"], ["regiao"], ["segmento"]], "regiao", "segmento"
+    ).agg(
+        F.count(F.lit(1)).alias("n_clientes"),
+        F.grouping("regiao").cast("int").alias("flag_regiao"),
+        F.grouping("segmento").cast("int").alias("flag_segmento"),
+    )
