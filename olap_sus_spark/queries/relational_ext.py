@@ -224,6 +224,38 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Interval (range) join — every click within the hour before a purchase by
+# the same user (attribution window).  The equality on user_id keeps this a
+# hash/sort join with a residual range filter, never a cross product; the
+# identical expressions run as a watermarked stream-stream join in
+# streaming/streams.py:interval_join_attribution (state bounded by
+# watermark + horizon).
+# --------------------------------------------------------------------------
+_INTERVAL_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
+@register("interval_join_attribution", oracle=_INTERVAL_ORACLE)
+def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olap_sus_spark.streaming.streams import (
+        interval_join_attribution as ij,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ij(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        horizon="1 hour",
+    )
+
+
+# --------------------------------------------------------------------------
 # Fuzzy (edit-distance) matching — blocked levenshtein self-join, the
 # record-linkage shape the dedup family lacks (MinHash/SimHash catch token
 # overlap, not typo-level drift).  Blocking on the name's head noun keeps

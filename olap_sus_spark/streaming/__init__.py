@@ -9,6 +9,7 @@ stateful operator.
 
 from olap_sus_spark.streaming.streams import (  # noqa: F401
     dedup_events_stream,
+    interval_join_attribution,
     read_event_stream,
     run_available_now,
     running_user_totals,

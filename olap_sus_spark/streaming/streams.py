@@ -125,6 +125,38 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream (or batch-batch) interval join: each purchase matched
+    to every click by the same user within ``horizon`` before it.
+
+    The same expressions serve both execution modes — the batch twin is the
+    oracle-verified ``interval_join_attribution`` query
+    (queries/relational_ext.py); here the two sides are unbounded and the
+    time-range predicate plus watermarks bound the join state (Spark evicts
+    click state older than watermark + horizon).  At scale both sides
+    shuffle once on user_id; state per key is the horizon's click window.
+    """
+    p = purchases.select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    c = clicks.select(F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts"))
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(c, cond).select("event_id", "user_id", "purchase_ts", "click_ts")
+
+
 def run_available_now(
     stream_df: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:

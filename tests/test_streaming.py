@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from olap_sus_spark.catalog import load_table
 from olap_sus_spark.streaming import (
     dedup_events_stream,
+    interval_join_attribution,
     read_event_stream,
     run_available_now,
     running_user_totals,
@@ -76,6 +77,27 @@ def test_dedup_within_watermark(spark, stream_dir, tmp_path_factory):
     got = run_available_now(dedup_events_stream(stream), "append")
     assert got.count() == base.count()
     assert got.select("event_id").distinct().count() == base.count()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
+    """Watermarked stream-stream interval join == the batch interval join
+    on the same input (the oracle-verified interval_join_attribution)."""
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "purchase"),
+            df.filter(F.col("event_type") == "click"),
+        )
+
+    got = run_available_now(
+        interval_join_attribution(
+            *split(read_event_stream(spark, stream_dir))
+        ),
+        "append",
+    )
+    want = interval_join_attribution(*split(_batch(spark, stream_dir)))
+    assert _sorted(got) == _sorted(want)
+    assert got.count() > 0
 
 
 def test_stateful_running_totals(spark, stream_dir):
