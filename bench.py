@@ -38,6 +38,8 @@ HEADLINE = [
     # event-time / streaming
     "events_session_window",
     "streaming_tumbling_window",
+    "asof_join_purchase_click",
+    "interval_join_attribution",
     # skew-rewrite parity
     "salted_aggregate",
 ]

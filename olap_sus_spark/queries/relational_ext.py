@@ -275,17 +275,28 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 
 @register("fuzzy_part_pairs", oracle=_FUZZY_ORACLE)
 def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olap_sus_spark.catalog import spread_compute
+
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", F.split("p_name", " ").getItem(1).alias("bloco")
     )
-    a = part.alias("a")
+    # Probe side spread across cores (a one-row-group file scans as 1 task);
+    # build side broadcast.  Pair pruning: |len₁−len₂| ≤ d is a necessary
+    # condition for edit distance ≤ d (cheap int compare), then the
+    # threshold-bounded levenshtein abandons rows early (returns -1 beyond
+    # the threshold, the exact distance within it).
+    a = spread_compute(part).alias("a")
     b = part.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.bloco") == F.col("b.bloco"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
+                <= 3
+            ),
         )
         .select(
             F.col("a.p_partkey").alias("p1"),
@@ -294,7 +305,7 @@ def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_name").alias("nome2"),
             dist.alias("distancia"),
         )
-        .filter(F.col("distancia") <= 3)
+        .filter(F.col("distancia") >= 0)
     )
 
 
