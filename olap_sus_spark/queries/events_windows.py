@@ -60,6 +60,32 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sliding (hopping) event-time window: 1-hour windows every 15 minutes —
+# each event lands in exactly 4 overlapping windows.  Spark aligns window
+# starts to epoch multiples of the slide; the oracle reproduces that with
+# time_bucket (epoch-aligned at 15-min granularity) minus k slides.
+# Streaming twin: streaming/streams.py:sliding_counts (same expressions).
+# --------------------------------------------------------------------------
+_SLIDING_ORACLE = """
+SELECT event_type,
+       time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS inicio,
+       COUNT(*) AS n_eventos
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+GROUP BY 1, 2
+"""
+
+
+@register("events_sliding_window", oracle=_SLIDING_ORACLE)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_eventos"))
+        .select("event_type", F.col("w.start").alias("inicio"), "n_eventos")
+    )
+
+
+# --------------------------------------------------------------------------
 # Session windows: per-user sessions with a 30-minute inactivity gap.
 # Spark merges windows [ts, ts+gap) that overlap, so two consecutive events
 # share a session iff their gap is STRICTLY less than 30 minutes — the

@@ -342,6 +342,38 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Ranking-function battery: dense_rank / percent_rank / cume_dist / ntile
+# (the analytic functions W1 doesn't touch — row_number is covered by
+# topk/latest).  The (date, orderkey) sort key is unique, so every value is
+# deterministic; percent_rank and cume_dist are small-int divisions, exact
+# in IEEE double in both engines.
+# --------------------------------------------------------------------------
+_RANK_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       DENSE_RANK()   OVER w AS posicao_densa,
+       PERCENT_RANK() OVER w AS rank_relativo,
+       CUME_DIST()    OVER w AS dist_acumulada,
+       NTILE(4)       OVER w AS quartil
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("ranking_function_battery", oracle=_RANK_ORACLE)
+def ranking_function_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("posicao_densa"),
+        F.percent_rank().over(w).alias("rank_relativo"),
+        F.cume_dist().over(w).alias("dist_acumulada"),
+        F.ntile(4).over(w).alias("quartil"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Arbitrary GROUPING SETS (completes the grouping family next to ROLLUP and
 # CUBE in grouping_sets.py): the two single-attribute grains plus the
 # combined grain, with per-column GROUPING flags — one aggregation pass.

@@ -14,5 +14,6 @@ from olap_sus_spark.streaming.streams import (  # noqa: F401
     run_available_now,
     running_user_totals,
     session_counts,
+    sliding_counts,
     tumbling_counts,
 )

@@ -73,6 +73,22 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``events_sliding_window``: overlapping hopping
+    windows — each event updates window/slide concurrent aggregates."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_eventos"))
+        .select("event_type", F.col("w.start").alias("inicio"), "n_eventos")
+    )
+
+
 def session_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

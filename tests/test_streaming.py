@@ -16,6 +16,7 @@ from olap_sus_spark.streaming import (
     run_available_now,
     running_user_totals,
     session_counts,
+    sliding_counts,
     tumbling_counts,
 )
 from tests.conftest import SF_DIR
@@ -50,6 +51,18 @@ def test_tumbling_stream_matches_batch(spark, stream_dir):
         )
         .select("event_type", F.col("w.start").alias("hora"), "n_eventos",
                 "menor_valor", "maior_valor")
+    )
+    assert _sorted(got) == _sorted(want)
+
+
+def test_sliding_stream_matches_batch(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    got = run_available_now(sliding_counts(stream), "complete")
+    want = (
+        _batch(spark, stream_dir)
+        .groupBy("event_type", F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_eventos"))
+        .select("event_type", F.col("w.start").alias("inicio"), "n_eventos")
     )
     assert _sorted(got) == _sorted(want)
 
