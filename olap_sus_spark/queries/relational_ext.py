@@ -342,6 +342,33 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Correlated scalar subquery — orders strictly above their customer's
+# average order value.  Catalyst de-correlates this into an aggregate +
+# equi-join (RewriteCorrelatedScalarSubquery), so there is no per-row
+# subquery execution at scale.  The predicate is stated as
+# price × count > sum (all decimal/integer arithmetic) instead of
+# price > sum/count: division would round differently in the two engines
+# (Spark decimal(22,6) vs DuckDB double), while the cross-multiplied form
+# is exact in both, so boundary rows decide identically.
+# --------------------------------------------------------------------------
+_CORR_SUBQ_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS preco
+FROM orders o
+WHERE CAST(o.o_totalprice AS DECIMAL(18,2))
+      * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@register("correlated_scalar_subquery", oracle=_CORR_SUBQ_ORACLE)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CORR_SUBQ_ORACLE)
+
+
+# --------------------------------------------------------------------------
 # Ranking-function battery: dense_rank / percent_rank / cume_dist / ntile
 # (the analytic functions W1 doesn't touch — row_number is covered by
 # topk/latest).  The (date, orderkey) sort key is unique, so every value is

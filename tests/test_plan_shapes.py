@@ -92,6 +92,31 @@ def test_warehouse_rollup_is_broadcast_star(spark, wh):
     assert n_nodes(plan, "BroadcastHashJoin") == 2
 
 
+def test_new_operator_plan_shapes(spark):
+    """Scale contracts of the relational-extension operators (PLANS.md):
+    the as-of join is a single window pass (no join node at all), the
+    blocked fuzzy join and interval join are hash joins (never a cartesian
+    or nested loop), and latest-per-key gets the partial top-1 pushdown."""
+    import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    asof = plan_of(QUERIES["asof_join_purchase_click"](spark, SF_DIR))
+    assert "Join" not in asof and n_nodes(asof, "Exchange") == 1
+
+    for name in ("fuzzy_part_pairs", "interval_join_attribution"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert n_nodes(plan, "BroadcastHashJoin") == 1, name
+
+    latest = plan_of(QUERIES["latest_event_per_user"](spark, SF_DIR))
+    assert "WindowGroupLimit" in latest
+
+    corr = plan_of(QUERIES["correlated_scalar_subquery"](spark, SF_DIR))
+    assert "CartesianProduct" not in corr  # de-correlated to agg + equi-join
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     """Fact-to-fact join over same-bucketed tables: zero Exchange nodes."""
     from olap_sus_spark.catalog import load_table
