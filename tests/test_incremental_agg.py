@@ -1,0 +1,69 @@
+"""Incremental aggregate maintenance: refreshing only the ingested dt
+partitions must yield exactly the same served aggregate as a full rebuild,
+and re-refreshing a day must be a no-op (idempotent)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from olap_sus_spark import etl
+from tests.test_etl_e2e import DT, LANDING, SEEDS
+from tests.test_streaming_ingest import DT2, _add_day2
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("inc_agg")
+    landing = str(tmp / "landing")
+    shutil.copytree(LANDING, landing)
+    _add_day2(landing)
+    wh = str(tmp / "wh")
+    etl.bootstrap_warehouse(spark, SEEDS, wh)
+    return landing, wh
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_refresh_equals_full_rebuild(spark, env):
+    landing, wh = env
+    # day 1 ingest -> refresh only day 1
+    etl.run_ingest(spark, "sinasc", DT, landing, wh)
+    etl.refresh_aggregate(spark, wh, "agg_nascimentos_uf_ano", dates=[DT])
+    served_d1 = _rows(etl.read_aggregate(spark, wh, "agg_nascimentos_uf_ano"))
+    assert served_d1  # non-empty after first day
+
+    # day 2 ingest -> refresh only day 2 (day 1 partials untouched)
+    etl.run_ingest(spark, "sinasc", DT2, landing, wh)
+    etl.refresh_aggregate(spark, wh, "agg_nascimentos_uf_ano", dates=[DT2])
+    served = _rows(etl.read_aggregate(spark, wh, "agg_nascimentos_uf_ano"))
+
+    # oracle: full rebuild over the complete fact history
+    etl.refresh_aggregate(spark, wh, "agg_nascimentos_uf_ano", dates=None)
+    full = _rows(etl.read_aggregate(spark, wh, "agg_nascimentos_uf_ano"))
+    assert served == full
+    assert served != served_d1  # day 2 actually contributed
+
+
+def test_refresh_is_idempotent(spark, env):
+    landing, wh = env
+    before = _rows(etl.read_aggregate(spark, wh, "agg_nascimentos_uf_ano"))
+    etl.refresh_aggregate(spark, wh, "agg_nascimentos_uf_ano", dates=[DT])
+    assert _rows(etl.read_aggregate(spark, wh, "agg_nascimentos_uf_ano")) == before
+
+
+def test_obitos_aggregate_round_trip(spark, env):
+    landing, wh = env
+    etl.run_ingest(spark, "sim", DT, landing, wh)
+    etl.refresh_aggregate(spark, wh, "agg_obitos_uf_ano", dates=[DT])
+    got = etl.read_aggregate(spark, wh, "agg_obitos_uf_ano")
+    assert got.count() > 0
+    total = got.agg({"quantidade_obitos": "sum"}).collect()[0][0]
+    import os
+    from pyspark.sql import functions as F
+    fact = spark.read.parquet(os.path.join(wh, "fact_obitos"))
+    want = fact.agg(F.sum("quantidade_obitos")).collect()[0][0]
+    assert total == want
