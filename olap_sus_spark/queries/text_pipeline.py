@@ -329,6 +329,46 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling + split assignment.  Training-data
+# pipelines need REPRODUCIBLE sampling (re-running the pipeline must pick
+# the same rows — Bernoulli rng seeds don't survive engine/partitioning
+# changes).  Mechanism: md5 of the stable key, compared as hex text —
+# portable bit-for-bit across engines; stratum rates differ per language
+# (downsample the dominant 'en'); a second, independent hash slice assigns
+# train/valid/test so split membership is uncorrelated with the sampling
+# decision.  Zero shuffle: pure per-row expressions, filter pushes to scan.
+# --------------------------------------------------------------------------
+_SAMPLE_ORACLE = """
+SELECT doc_id, lang,
+       CASE WHEN substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 2) < '14'
+            THEN 'valid'
+            WHEN substr(md5('s' || CAST(doc_id AS VARCHAR)), 1, 2) < '28'
+            THEN 'test' ELSE 'train' END AS particao
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+      < CASE lang WHEN 'en' THEN '40' ELSE '80' END
+"""
+
+
+@register("stratified_sample_split", oracle=_SAMPLE_ORACLE)
+def stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id").cast("string")
+    keep = F.substring(F.md5(key), 1, 2) < F.when(
+        F.col("lang") == "en", "40"
+    ).otherwise("80")
+    split_slice = F.substring(F.md5(F.concat(F.lit("s"), key)), 1, 2)
+    return docs.filter(keep).select(
+        "doc_id",
+        "lang",
+        F.when(split_slice < "14", "valid")
+        .when(split_slice < "28", "test")
+        .otherwise("train")
+        .alias("particao"),
+    )
+
+
 @register("corpus_clean_pipeline", oracle=_CORPUS_CLEAN_ORACLE)
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality → language → exact-dedup, one declarative plan: the filters
