@@ -342,6 +342,41 @@ def quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# UNPIVOT (wide → long melt) — the inverse of the reference's CROSSTAB
+# surface (§2.8 pivot): measure columns fold into (metrica, valor) rows.
+# Spark's native unpivot is a generator expression (no shuffle beyond the
+# producing aggregation); output height = rows × measures, never wider.
+# --------------------------------------------------------------------------
+_UNPIVOT_ORACLE = """
+SELECT ano, metrica, valor FROM (
+    SELECT EXTRACT(YEAR FROM o_orderdate)::INT AS ano,
+           COUNT(*) AS n_pedidos,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_fechados,
+           COUNT(*) FILTER (WHERE o_orderpriority LIKE '1%') AS n_urgentes
+    FROM orders GROUP BY 1
+) UNPIVOT (valor FOR metrica IN (n_pedidos, n_fechados, n_urgentes))
+"""
+
+
+@register("unpivot_year_measures", oracle=_UNPIVOT_ORACLE)
+def unpivot_year_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy(F.year("o_orderdate").alias("ano")).agg(
+        F.count(F.lit(1)).alias("n_pedidos"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_fechados"),
+        F.count(F.when(F.col("o_orderpriority").startswith("1"), 1)).alias(
+            "n_urgentes"
+        ),
+    )
+    return wide.unpivot(
+        ids=["ano"],
+        values=["n_pedidos", "n_fechados", "n_urgentes"],
+        variableColumnName="metrica",
+        valueColumnName="valor",
+    )
+
+
+# --------------------------------------------------------------------------
 # Correlated scalar subquery — orders strictly above their customer's
 # average order value.  Catalyst de-correlates this into an aggregate +
 # equi-join (RewriteCorrelatedScalarSubquery), so there is no per-row
