@@ -6,6 +6,7 @@ Importing this package populates ``olap_sus_spark.registry.QUERIES`` /
 
 from olap_sus_spark.queries import (  # noqa: F401
     bands,
+    behavior,
     events_windows,
     grouping_sets,
     json_functions,
@@ -22,6 +23,7 @@ from olap_sus_spark.queries import (  # noqa: F401
 
 __all__ = [
     "bands",
+    "behavior",
     "events_windows",
     "grouping_sets",
     "json_functions",

@@ -1,0 +1,151 @@
+"""Behavioral / change-history operators over the events stream.
+
+Two shapes every warehouse outgrowing the reference needs next, neither of
+which the reference can express (its only temporal logic is daily batch
+partitions — SURVEY.md §2.9):
+
+- **Ordered funnel** (view → click → purchase): staged conversion counts
+  where each stage must happen at-or-after the previous stage's first
+  qualifying event.
+- **SCD Type 2 from a change log**: collapse an event stream into
+  validity-interval dimension rows (valid_from / valid_to / is_current) —
+  the standard Kimball slowly-changing-dimension build, done as a pure
+  DataFrame transform instead of the reference's overwrite-only dims
+  (/root/reference/scripts/init.sql keeps no history anywhere).
+
+Both are single-shuffle on ``user_id``: every window/group in the plan
+shares that partitioning, so at 100 TB the cost is one exchange of the
+events table, no matter how many window passes follow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Ordered funnel.  Stage semantics (inclusive, ts-based):
+#   view     — user has ≥1 'view'
+#   click    — user has a 'click' at ts >= their first view
+#   purchase — user has a 'purchase' at ts >= their first qualifying click
+# The oracle states it as three chained aggregate-joins; the Spark plan is
+# ONE shuffle: a running-min window over (user_id RANGE ts) computes "first
+# view so far" / "first qualifying click so far" per row, so a row knows its
+# stage eligibility without self-joins.  RANGE (not ROWS) framing makes
+# equal-ts events mutually visible, matching the oracle's `>=` exactly.
+# --------------------------------------------------------------------------
+_FUNNEL_ORACLE = """
+WITH v AS (SELECT user_id, MIN(ts) AS t_view
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+     c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+           FROM events e JOIN v ON v.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts >= v.t_view
+           GROUP BY e.user_id),
+     p AS (SELECT e.user_id, MIN(e.ts) AS t_buy
+           FROM events e JOIN c ON c.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+           GROUP BY e.user_id)
+SELECT 'view' AS etapa, (SELECT COUNT(*) FROM v) AS usuarios
+UNION ALL
+SELECT 'click', (SELECT COUNT(*) FROM c)
+UNION ALL
+SELECT 'purchase', (SELECT COUNT(*) FROM p)
+"""
+
+
+@register("funnel_stage_counts", oracle=_FUNNEL_ORACLE)
+def funnel_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RANGE framing needs a numeric key; session TZ is pinned UTC
+    # (session.py), so the NTZ→TIMESTAMP cast is an exact micros reading.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
+    staged = ev.withColumn(
+        "qual_click",
+        F.when((F.col("event_type") == "click") & first_view.isNotNull(), F.col("ts_us")),
+    )
+    first_qclick = F.min("qual_click").over(w)
+    staged = staged.withColumn(
+        "qual_buy",
+        F.when(
+            (F.col("event_type") == "purchase") & first_qclick.isNotNull(),
+            F.col("ts_us"),
+        ),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1)).alias("viu"),
+        F.min("qual_click").alias("t_click"),
+        F.min("qual_buy").alias("t_buy"),
+    )
+    counts = per_user.agg(
+        F.count("viu").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_buy").alias("n_buy"),
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("view").alias("etapa"), F.col("n_view").alias("usuarios")),
+                F.struct(F.lit("click").alias("etapa"), F.col("n_click").alias("usuarios")),
+                F.struct(F.lit("purchase").alias("etapa"), F.col("n_buy").alias("usuarios")),
+            )
+        ).alias("linha")
+    ).select("linha.etapa", "linha.usuarios")
+
+
+# --------------------------------------------------------------------------
+# SCD Type 2 build from a change log.  Treat each user's event stream as an
+# attribute-change log (the attribute being event_type = the user's latest
+# activity state); emit one row per constant-state run with its validity
+# interval — gaps-and-islands via LAG, then LEAD for the closing bound.
+# Deterministic total order (ts, event_id); is_current as int (0/1) for
+# portable hashing.  Both windows share (user_id) partitioning → 1 shuffle.
+# --------------------------------------------------------------------------
+_SCD2_ORACLE = """
+WITH d AS (
+    SELECT user_id, ts, event_id, event_type AS estado,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS anterior
+    FROM events
+),
+chg AS (
+    SELECT user_id, ts, event_id, estado FROM d
+    WHERE anterior IS NULL OR estado <> anterior
+)
+SELECT user_id, estado, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL THEN 1 ELSE 0 END AS is_current
+FROM chg
+"""
+
+
+@register("scd2_user_status", oracle=_SCD2_ORACLE)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("estado")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = ev.withColumn("anterior", F.lag("estado").over(w)).filter(
+        F.col("anterior").isNull() | (F.col("estado") != F.col("anterior"))
+    )
+    nxt = F.lead("ts").over(w)
+    return chg.select(
+        "user_id",
+        "estado",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )

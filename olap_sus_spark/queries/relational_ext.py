@@ -453,6 +453,97 @@ GROUP BY GROUPING SETS ((r.r_name, c.c_mktsegment), (r.r_name), (c.c_mktsegment)
 """
 
 
+# --------------------------------------------------------------------------
+# Time-RANGE moving aggregate (trailing 7-day revenue) — the interval-framed
+# window the reference's W1/W2 never touch.  The window runs over the
+# pre-aggregated DAILY table (one row per calendar day, bounded by the
+# calendar — ~2.4k rows for 7 years regardless of source volume), so the
+# single-partition global-order window is NOT a scale hazard: the 100 TB of
+# facts collapse in the distributed groupBy first.  RANGE framing on the
+# day number (-6..0) ≡ RANGE BETWEEN INTERVAL 6 DAY PRECEDING, and handles
+# calendar gaps correctly where a ROWS frame would not.
+# --------------------------------------------------------------------------
+_MOVING_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS dia,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS receita_dec,
+           COUNT(*) AS pedidos
+    FROM orders GROUP BY 1
+)
+SELECT dia,
+       CAST(receita_dec AS DOUBLE) AS receita,
+       CAST(SUM(receita_dec) OVER w AS DOUBLE) AS receita_7d,
+       CAST(SUM(pedidos) OVER w AS BIGINT) AS pedidos_7d
+FROM daily
+WINDOW w AS (ORDER BY dia RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("moving_revenue_7d", oracle=_MOVING_ORACLE)
+def moving_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("dia"))
+        .agg(
+            F.sum(dec("o_totalprice")).alias("receita_dec"),
+            F.count(F.lit(1)).alias("pedidos"),
+        )
+        .withColumn("dia_num", F.unix_date("dia"))
+    )
+    w = Window.orderBy("dia_num").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "dia",
+        F.col("receita_dec").cast("double").alias("receita"),
+        F.sum("receita_dec").over(w).cast("double").alias("receita_7d"),
+        F.sum("pedidos").over(w).alias("pedidos_7d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Argmax join-back (TPC-H Q15 shape): supplier(s) with the maximum total
+# revenue — an aggregate joined against its own global maximum.  The revenue
+# aggregation is the only full shuffle; the 1-row max is broadcast back, so
+# the "find the winner(s)" step costs nothing at scale and returns ALL tied
+# maxima (decimal equality is exact, so ties are well-defined — a float
+# formulation could drop or duplicate winners between engines).
+# --------------------------------------------------------------------------
+_ARGMAX_ORACLE = """
+WITH rev AS (
+    SELECT l_suppkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS receita_dec
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(ROUND(r.receita_dec, 2) AS DOUBLE) AS receita
+FROM rev r
+JOIN (SELECT MAX(receita_dec) AS m FROM rev) t ON r.receita_dec = t.m
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+"""
+
+
+@register("argmax_top_supplier", oracle=_ARGMAX_ORACLE)
+def argmax_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    disc = F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec("l_extendedprice") * disc).alias("receita_dec")
+    )
+    top = rev.agg(F.max("receita_dec").alias("m"))
+    return (
+        rev.join(F.broadcast(top), rev.receita_dec == F.col("m"))
+        .join(
+            F.broadcast(supp.select(F.col("s_suppkey"), "s_name")),
+            rev.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("receita_dec", 2).cast("double").alias("receita"),
+        )
+    )
+
+
 @register("grouping_sets_mixed", oracle=_GSETS_ORACLE)
 def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")

@@ -424,3 +424,52 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = augmented_docs(spark, sf_dir)
     verified = dd.jaccard_pairs(docs, threshold=0.5)
     return dd.dedup_clusters(verified, docs.select("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking — the document → training-sample
+# transform every LLM data pipeline runs after cleaning/dedup (fixed
+# context-window pieces with overlap so no span is split across a boundary
+# without context).  Plan shape: tokens materialize ONCE per document at the
+# Generate (explode) boundary, then each output row slices its own window —
+# O(chunks × chunk_size) work, zero shuffles (fully narrow), so it scales
+# embarrassingly with input splits.  Chunk starts come from
+# sequence(0, n-1, stride), i.e. every stride-th token while < n.
+# ---------------------------------------------------------------------------
+_CHUNK, _STRIDE = 40, 30
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id, toks,
+           CAST(unnest(range(0, len(toks), {_STRIDE})) AS INT) AS inicio
+    FROM t WHERE len(toks) >= 1
+)
+SELECT doc_id, inicio,
+       array_to_string(toks[inicio + 1 : inicio + {_CHUNK}], ' ') AS chunk,
+       CAST(LEAST({_CHUNK}, len(toks) - inicio) AS INT) AS n_tokens
+FROM s
+"""
+
+
+@register("document_chunking", oracle=_CHUNK_ORACLE)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tx.tokens("text").alias("toks")
+    )
+    starts = docs.filter(F.size("toks") >= 1).select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_STRIDE))
+        ).alias("inicio"),
+    )
+    return starts.select(
+        "doc_id",
+        "inicio",
+        F.concat_ws(" ", F.slice("toks", F.col("inicio") + 1, _CHUNK)).alias("chunk"),
+        F.least(F.lit(_CHUNK), F.size("toks") - F.col("inicio")).alias("n_tokens"),
+    )
