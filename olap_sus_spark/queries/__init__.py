@@ -5,6 +5,7 @@ Importing this package populates ``olap_sus_spark.registry.QUERIES`` /
 """
 
 from olap_sus_spark.queries import (  # noqa: F401
+    affinity,
     bands,
     behavior,
     events_windows,
@@ -22,6 +23,7 @@ from olap_sus_spark.queries import (  # noqa: F401
 )
 
 __all__ = [
+    "affinity",
     "bands",
     "behavior",
     "events_windows",

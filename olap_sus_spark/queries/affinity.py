@@ -1,0 +1,147 @@
+"""Customer/product affinity analytics — market-basket co-occurrence and
+RFM segmentation.
+
+Neither shape exists in the reference (its query surface stops at star-join
+roll-ups — SURVEY.md §2.11); both are standard next steps for a warehouse
+user, and both have well-defined distributed shapes:
+
+- **Co-occurrence**: the self-join runs co-partitioned on the basket key
+  (one shuffle per side, same key), so pair generation never crosses
+  baskets; output is bounded by Σ basket_size² — data-dependent, not
+  engine-dependent.
+- **RFM**: metrics are one groupBy over orders; the quartile windows
+  partition by nation (each customer population quartiles within its
+  nation), so ranking distributes instead of collapsing to one partition —
+  the honest 100 TB formulation of NTILE-based segmentation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.queries._util import dec
+from olap_sus_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Market-basket pairs: parts ordered together in the same order, counted
+# across orders, kept where support ≥ 2.  DISTINCT first so a part repeated
+# in one order (multiple lineitems) counts once per basket; a < b emits each
+# unordered pair exactly once.
+# --------------------------------------------------------------------------
+_BASKET_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS pedidos_juntos
+FROM li a
+JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("basket_part_pairs", oracle=_BASKET_ORACLE)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("pedidos_juntos"))
+        .filter(F.col("pedidos_juntos") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: recency (days since last order, anchored at the global
+# max order date so the result is reproducible), frequency (order count),
+# monetary (decimal-exact spend), each quartiled WITHIN the customer's
+# nation.  Ties break on custkey so every NTILE assignment is deterministic
+# in both engines.  The 1-row anchor is a broadcast (cross) join — free.
+# --------------------------------------------------------------------------
+_RFM_ORACLE = """
+WITH m AS (
+    SELECT o_custkey,
+           MAX(o_orderdate) AS ultimo,
+           COUNT(*) AS freq,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS gasto_dec
+    FROM orders GROUP BY o_custkey
+),
+anc AS (SELECT MAX(o_orderdate) AS fim FROM orders),
+base AS (
+    SELECT m.o_custkey,
+           CAST(date_diff('day', CAST(m.ultimo AS DATE), CAST(anc.fim AS DATE))
+                AS INT) AS recencia_dias,
+           m.freq, m.gasto_dec, c.c_nationkey
+    FROM m CROSS JOIN anc
+    JOIN customer c ON c.c_custkey = m.o_custkey
+)
+SELECT o_custkey, recencia_dias,
+       freq AS frequencia,
+       CAST(gasto_dec AS DOUBLE) AS gasto,
+       NTILE(4) OVER (PARTITION BY c_nationkey
+                      ORDER BY recencia_dias, o_custkey) AS r_quartil,
+       NTILE(4) OVER (PARTITION BY c_nationkey
+                      ORDER BY freq DESC, o_custkey) AS f_quartil,
+       NTILE(4) OVER (PARTITION BY c_nationkey
+                      ORDER BY gasto_dec DESC, o_custkey) AS m_quartil
+FROM base
+"""
+
+
+@register("rfm_segmentation", oracle=_RFM_ORACLE)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    m = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("ultimo"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(dec("o_totalprice")).alias("gasto_dec"),
+    )
+    anc = orders.agg(F.max("o_orderdate").alias("fim"))
+    base = (
+        m.join(F.broadcast(anc))
+        .join(
+            F.broadcast(
+                cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+            ),
+            "o_custkey",
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("fim").cast("date"), F.col("ultimo").cast("date")).alias(
+                "recencia_dias"
+            ),
+            "freq",
+            "gasto_dec",
+            "c_nationkey",
+        )
+    )
+    wn = Window.partitionBy("c_nationkey")
+    return base.select(
+        "o_custkey",
+        "recencia_dias",
+        F.col("freq").alias("frequencia"),
+        F.col("gasto_dec").cast("double").alias("gasto"),
+        F.ntile(4)
+        .over(wn.orderBy("recencia_dias", "o_custkey"))
+        .alias("r_quartil"),
+        F.ntile(4)
+        .over(wn.orderBy(F.col("freq").desc(), "o_custkey"))
+        .alias("f_quartil"),
+        F.ntile(4)
+        .over(wn.orderBy(F.col("gasto_dec").desc(), "o_custkey"))
+        .alias("m_quartil"),
+    )

@@ -149,3 +149,108 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization with explicit session IDs — the batch complement
+# of streaming/streams.py:session_counts (Spark's session_window gives the
+# aggregate but not a stable per-event session id).  Classic gaps-and-
+# islands: a session break is a >30-min silence; the running sum of breaks
+# IS the session ordinal.  Both windows and the closing groupBy share the
+# (user_id) partitioning → one shuffle end-to-end at any scale.
+# --------------------------------------------------------------------------
+_SESSIONIZE_ORACLE = """
+WITH d AS (
+    SELECT user_id, event_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+m AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS quebra
+    FROM d
+),
+s AS (
+    SELECT user_id, ts,
+           SUM(quebra) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sessao
+    FROM m
+)
+SELECT user_id, CAST(sessao AS INT) AS sessao,
+       MIN(ts) AS inicio, MAX(ts) AS fim,
+       COUNT(*) AS n_eventos,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duracao_s
+FROM s GROUP BY user_id, sessao
+"""
+
+
+@register("sessionize_events", oracle=_SESSIONIZE_ORACLE)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
+    marked = ev.withColumn(
+        "quebra",
+        F.when(prev_us.isNull() | (ts_us - prev_us > gap_us), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sessao",
+        F.sum("quebra")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"),
+    )
+    # date_diff('second', a, b) counts second-BOUNDARY crossings, not
+    # truncated elapsed time: floor each endpoint to epoch seconds first
+    # (micros are positive, so `div` == floor), then difference.
+    def _sec(c):
+        return F.expr(f"unix_micros(cast({c} as timestamp)) div 1000000")
+
+    return sess.groupBy("user_id", "sessao").agg(
+        F.min("ts").alias("inicio"),
+        F.max("ts").alias("fim"),
+        F.count(F.lit(1)).alias("n_eventos"),
+        (_sec("max(ts)") - _sec("min(ts)")).alias("duracao_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Retention cohort matrix — users grouped by first-seen day, counted on each
+# later active day (the (cohort, age) triangle every growth dashboard draws).
+# Cohort assignment and the distinct-activity grain both shuffle on user_id
+# (co-partitioned join); the final aggregation collapses to a
+# calendar-bounded matrix (≤ |days|² cells) however large the source is.
+# --------------------------------------------------------------------------
+_COHORT_ORACLE = """
+WITH primeiro AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS coorte
+    FROM events GROUP BY user_id
+),
+atividade AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS dia FROM events
+)
+SELECT p.coorte,
+       CAST(date_diff('day', p.coorte, a.dia) AS INT) AS idade_dias,
+       COUNT(*) AS usuarios_ativos
+FROM atividade a
+JOIN primeiro p ON p.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("retention_cohorts", oracle=_COHORT_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("dia")
+    )
+    primeiro = ev.groupBy("user_id").agg(F.min("dia").alias("coorte"))
+    atividade = ev.distinct()
+    return (
+        atividade.join(primeiro, "user_id")
+        .groupBy(
+            "coorte", F.datediff("dia", "coorte").alias("idade_dias")
+        )
+        .agg(F.count(F.lit(1)).alias("usuarios_ativos"))
+    )
