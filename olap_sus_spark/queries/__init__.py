@@ -8,6 +8,7 @@ from olap_sus_spark.queries import (  # noqa: F401
     affinity,
     bands,
     behavior,
+    data_quality,
     events_windows,
     grouping_sets,
     json_functions,
@@ -26,6 +27,7 @@ __all__ = [
     "affinity",
     "bands",
     "behavior",
+    "data_quality",
     "events_windows",
     "grouping_sets",
     "json_functions",

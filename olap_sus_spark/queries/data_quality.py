@@ -1,0 +1,247 @@
+"""Data-quality operators: table profiling, constraint validation, numeric
+histograms, Pareto/ABC classification.
+
+A 100 TB ingest pipeline runs these before anything else touches the data;
+the reference has no validation at all (SURVEY.md §5 — "no tests, no
+checks", its ETL silently fillna's bad rows).  All four are single-pass
+aggregate shapes: profiling and histograms collapse map-side to a handful
+of rows, constraint checks are one anti-join / one groupBy each, and the
+Pareto pass adds one bounded window over pre-aggregated groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.queries._util import dec
+from olap_sus_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Column profile — the "describe" every pipeline runs first: per column,
+# null count, distinct count, and min/max rendered as strings (one schema
+# for heterogeneous columns).  One aggregation pass over the table; output
+# height = number of profiled columns.
+# --------------------------------------------------------------------------
+_PROFILE_ORACLE = """
+WITH a AS (
+    SELECT
+        COUNT(*) AS n_linhas,
+        COUNT(o_custkey) AS nn_custkey,
+        COUNT(DISTINCT o_custkey) AS nd_custkey,
+        CAST(MIN(o_custkey) AS VARCHAR) AS min_custkey,
+        CAST(MAX(o_custkey) AS VARCHAR) AS max_custkey,
+        COUNT(o_orderstatus) AS nn_status,
+        COUNT(DISTINCT o_orderstatus) AS nd_status,
+        MIN(o_orderstatus) AS min_status,
+        MAX(o_orderstatus) AS max_status,
+        COUNT(o_orderpriority) AS nn_prio,
+        COUNT(DISTINCT o_orderpriority) AS nd_prio,
+        MIN(o_orderpriority) AS min_prio,
+        MAX(o_orderpriority) AS max_prio
+    FROM orders
+)
+SELECT coluna, n_linhas, nao_nulos, distintos, minimo, maximo FROM (
+    SELECT 'o_custkey' AS coluna, n_linhas, nn_custkey AS nao_nulos,
+           nd_custkey AS distintos, min_custkey AS minimo, max_custkey AS maximo
+    FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', n_linhas, nn_status, nd_status, min_status, max_status
+    FROM a
+    UNION ALL
+    SELECT 'o_orderpriority', n_linhas, nn_prio, nd_prio, min_prio, max_prio
+    FROM a
+)
+"""
+
+
+@register("profile_columns", oracle=_PROFILE_ORACLE)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_linhas")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            # min/max in the column's own type, cast to string AFTER —
+            # lexicographic min of stringified ints would disagree.
+            F.min(F.col(c)).cast("string").alias(f"min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"max_{c}"),
+        ]
+    wide = orders.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("coluna"),
+                F.col("n_linhas").alias("n_linhas"),
+                F.col(f"nn_{c}").alias("nao_nulos"),
+                F.col(f"nd_{c}").alias("distintos"),
+                F.col(f"min_{c}").alias("minimo"),
+                F.col(f"max_{c}").alias("maximo"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+# --------------------------------------------------------------------------
+# Constraint validation — declarative expectations evaluated distributedly:
+#   pk_unique:     duplicate-key groups in lineitem's declared PK
+#   fk_orphans:    lineitem rows whose l_orderkey misses orders (anti-join;
+#                  at scale a shuffle-hash anti on the fact, broadcast when
+#                  the parent fits)
+#   range_valid:   quantity outside (0, 100]
+#   enum_valid:    returnflag outside its domain
+# Output: one row per rule with the violation count (0 = constraint holds),
+# so the operator doubles as a data-quality gate in a pipeline.
+# --------------------------------------------------------------------------
+_CONSTRAINT_ORACLE = """
+SELECT regra, violacoes FROM (
+    SELECT 'pk_unique' AS regra,
+           (SELECT COUNT(*) FROM (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+            )) AS violacoes
+    UNION ALL
+    SELECT 'fk_orphans',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'range_valid',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity <= 0 OR l_quantity > 100)
+    UNION ALL
+    SELECT 'enum_valid',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_returnflag NOT IN ('A', 'N', 'R'))
+)
+"""
+
+
+@register("constraint_checks", oracle=_CONSTRAINT_ORACLE)
+def constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    pk_dups = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("violacoes"))
+        .select(F.lit("pk_unique").alias("regra"), "violacoes")
+    )
+    orphans = (
+        li.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violacoes"))
+        .select(F.lit("fk_orphans").alias("regra"), "violacoes")
+    )
+    bad_range = (
+        li.filter((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 100))
+        .agg(F.count(F.lit(1)).alias("violacoes"))
+        .select(F.lit("range_valid").alias("regra"), "violacoes")
+    )
+    bad_enum = (
+        li.filter(~F.col("l_returnflag").isin("A", "N", "R"))
+        .agg(F.count(F.lit(1)).alias("violacoes"))
+        .select(F.lit("enum_valid").alias("regra"), "violacoes")
+    )
+    return pk_dups.unionByName(orphans).unionByName(bad_range).unionByName(bad_enum)
+
+
+# --------------------------------------------------------------------------
+# Fixed-width numeric histogram over a money measure.  Bucket boundaries are
+# pure double arithmetic (x / width, floor) — bit-identical in both engines;
+# bucket counts collapse map-side so the shuffle moves |buckets| rows.
+# --------------------------------------------------------------------------
+_HISTOGRAM_ORACLE = """
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS balde,
+       CAST(FLOOR(o_totalprice / 50000.0) AS INT) * 50000.0 AS limite_inferior,
+       COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("histogram_order_value", oracle=_HISTOGRAM_ORACLE)
+def histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    balde = F.floor(F.col("o_totalprice") / 50000.0).cast("int")
+    return (
+        orders.select(balde.alias("balde"))
+        .groupBy("balde")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "balde",
+            (F.col("balde") * 50000.0).alias("limite_inferior"),
+            "n",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto / ABC classification — parts classed by cumulative revenue share
+# (A ≤ 60% < B ≤ 85% < C).  Revenue per part aggregates distributedly
+# (decimal-exact); the cumulative window then runs over one row per part.
+# The running share is an IEEE-double division of two exact decimals, so
+# class boundaries decide identically in both engines.  Rank ties broken by
+# partkey → fully deterministic cumulative order.
+# --------------------------------------------------------------------------
+_PARETO_ORACLE = """
+WITH rev AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS receita_dec
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(receita_dec) AS total_dec FROM rev),
+acum AS (
+    SELECT r.l_partkey,
+           r.receita_dec,
+           CAST(SUM(r.receita_dec) OVER (
+                ORDER BY r.receita_dec DESC, r.l_partkey
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(t.total_dec AS DOUBLE) AS parcela_acum
+    FROM rev r CROSS JOIN tot t
+)
+SELECT l_partkey,
+       CAST(receita_dec AS DOUBLE) AS receita,
+       parcela_acum,
+       CASE WHEN parcela_acum <= 0.60 THEN 'A'
+            WHEN parcela_acum <= 0.85 THEN 'B'
+            ELSE 'C' END AS classe
+FROM acum
+"""
+
+
+@register("pareto_abc_parts", oracle=_PARETO_ORACLE)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice")).alias("receita_dec")
+    )
+    tot = rev.agg(F.sum("receita_dec").alias("total_dec"))
+    w = Window.orderBy(F.col("receita_dec").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    acum = rev.join(F.broadcast(tot)).withColumn(
+        "parcela_acum",
+        F.sum("receita_dec").over(w).cast("double")
+        / F.col("total_dec").cast("double"),
+    )
+    return acum.select(
+        "l_partkey",
+        F.col("receita_dec").cast("double").alias("receita"),
+        "parcela_acum",
+        F.when(F.col("parcela_acum") <= 0.60, "A")
+        .when(F.col("parcela_acum") <= 0.85, "B")
+        .otherwise("C")
+        .alias("classe"),
+    )
