@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_jaccard_pairs",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_lsh_topk",
     "text_quality_features",
     # event-time / streaming
     "events_session_window",
@@ -42,6 +43,15 @@ HEADLINE = [
     "interval_join_attribution",
     # skew-rewrite parity
     "salted_aggregate",
+    # behavioral / affinity analytics
+    "funnel_stage_counts",
+    "sessionize_events",
+    "basket_part_pairs",
+    "rfm_segmentation",
+    # data-quality + corpus prep
+    "constraint_checks",
+    "pareto_abc_parts",
+    "document_chunking",
 ]
 
 

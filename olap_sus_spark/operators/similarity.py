@@ -214,3 +214,105 @@ def kmeans_inertia(emb: DataFrame, centroids: DataFrame,
         .agg(F.max("sim").alias("best"))
     )
     return best.agg(F.avg("best")).first()[0]
+
+
+def _srp_plane(table: int, bit: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane: md5 parity of 'table_bit_dim-index'.
+
+    Reproducible on any engine that has md5 (the DuckDB oracle builds the
+    identical planes), so LSH bucket assignments are portable — no RNG
+    state, no seed files.
+    """
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{table}_{bit}_{j}".encode()).hexdigest()[:15], 16) % 2
+        == 0
+        else -1.0
+        for j in range(dim)
+    ]
+
+
+def srp_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_tables: int = 12,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection LSH bucket per (vector, table) — fully narrow.
+
+    Each of the L×H signature bits is a sequential-fold dot product against
+    a literal hyperplane (bit-identical to the oracle's cross-join + fold
+    formulation); the per-table buckets pack bits into an int and explode to
+    (vec, table, bucket) rows.  Zero shuffles: at 100 TB the signature pass
+    is pure map work, and only the (id, table, bucket) triples — not the
+    vectors — need to move afterwards.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    buckets = []
+    for t in range(n_tables):
+        acc = F.lit(0)
+        for h in range(n_bits):
+            plane = F.array(
+                *[F.lit(x) for x in _srp_plane(t, h, dim)]
+            )
+            d = F.aggregate(
+                F.zip_with(v, plane, lambda x, p: x * p),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc + F.when(d >= 0, F.lit(1 << h)).otherwise(F.lit(0))
+        buckets.append(acc)
+    return emb.select(
+        id_col,
+        vec_col,
+        F.posexplode(F.array(*buckets)).alias("t", "bucket"),
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    dim: int,
+    n_query: int = 5,
+    n_tables: int = 12,
+    n_bits: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN top-k: candidates = bucket collisions in ANY table,
+    exact-cosine reranked.  The collision join is an equi-join on
+    (table, bucket) — the corpus shuffles its *signatures*, vectors move
+    only for the deduped candidate pairs.  Complements ivf_topk: no
+    training step, recall tuned by (L, H) instead of (centroids, nprobe).
+    """
+    b = srp_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
+    qb = b.filter(F.col(id_col) < n_query).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "t", "bucket"
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(
+            b.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
+                     "t", "bucket"),
+            ["t", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "cand_id",
+        cosine(
+            F.col("qvec").cast("array<double>"), F.col("cvec").cast("array<double>")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )

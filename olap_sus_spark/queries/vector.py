@@ -118,3 +118,60 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_dup_pairs(emb, threshold=0.3)
+
+
+# SRP-LSH ANN: 12 tables × 4 sign-random-projection bits, md5-parity planes
+# (portable determinism — both engines construct identical hyperplanes),
+# bucket-collision candidates reranked by exact cosine.  The oracle builds
+# the same index relationally: planes → bits → packed buckets → collision
+# join → rerank.
+_LSH_T, _LSH_H, _DIM = 12, 4, 64
+
+_LSH_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+    SELECT t.t, h.h,
+           list_transform(range(0, {_DIM}), j ->
+               CASE WHEN CAST(concat('0x', substr(md5(
+                        concat(t.t, '_', h.h, '_', j)), 1, 15)) AS BIGINT) % 2 = 0
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+           ) AS plane
+    FROM range({_LSH_T}) t(t) CROSS JOIN range({_LSH_H}) h(h)
+),
+bits AS (
+    SELECT x.vec_id, p.t, p.h,
+           CASE WHEN ({_DOT.format(a='x.v', b='p.plane')}) >= 0
+                THEN 1 ELSE 0 END AS bit
+    FROM v x CROSS JOIN planes p
+),
+buckets AS (
+    SELECT vec_id, t, CAST(SUM(bit * (1 << h)) AS INT) AS bucket
+    FROM bits GROUP BY vec_id, t
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+    FROM buckets q
+    JOIN buckets c ON c.t = q.t AND c.bucket = q.bucket
+    WHERE q.vec_id < {_NQ} AND q.vec_id != c.vec_id
+),
+scored AS (
+    SELECT cand.query_id, cand.cand_id, {_cos('a.v', 'b.v')} AS cosine
+    FROM cand
+    JOIN v a ON a.vec_id = cand.query_id
+    JOIN v b ON b.vec_id = cand.cand_id
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register("ann_lsh_topk", oracle=_LSH_ORACLE)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(
+        emb, dim=_DIM, n_query=_NQ, n_tables=_LSH_T, n_bits=_LSH_H, k=_K
+    )

@@ -143,3 +143,34 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_behavior_and_quality_plan_shapes(spark):
+    """Scale contracts of the behavioral/data-quality operators (PLANS.md):
+    single-shuffle gaps-and-islands shapes, a fully narrow chunker, and no
+    accidental nested loops outside the documented 1-row broadcasts."""
+    import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    # one user_id exchange feeds every window/groupBy downstream
+    for name in ("scd2_user_status", "sessionize_events"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "Join" not in plan, name
+        assert n_nodes(plan, "Exchange") == 1, name
+
+    # chunking is narrow: no exchange at all, one generator
+    chunk = plan_of(QUERIES["document_chunking"](spark, SF_DIR))
+    assert n_nodes(chunk, "Exchange") == 0
+    assert n_nodes(chunk, "Generate") == 1
+
+    # basket self-join must stay an equi-join on the basket key
+    basket = plan_of(QUERIES["basket_part_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in basket
+    assert "BroadcastNestedLoopJoin" not in basket
+
+    # RFM / pareto: the only nested loop is the documented 1-row anchor
+    for name in ("rfm_segmentation", "pareto_abc_parts"):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1, name

@@ -113,3 +113,30 @@ def test_kmeans_improves_clustering(spark):
     q3 = sim.kmeans_inertia(emb, trained)
     assert q3 >= q0 - 1e-9, (q0, q3)  # training never hurts mean best-cosine
     assert trained.count() <= 8
+
+def test_lsh_recall_vs_brute_force(spark):
+    """SRP-LSH (12 tables x 4 bits) must keep reasonable recall@5 vs the
+    exact brute-force ranking (quality gate for the bucketed path)."""
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.operators import similarity as sim
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter("vec_id < 10").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    exact = sim.cosine_topk(emb, queries, k=5)
+    approx = sim.lsh_topk(emb, dim=64, n_query=10, n_tables=12, n_bits=4, k=5)
+    exact_sets: dict = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    approx_sets: dict = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    hit = total = 0
+    for q, want in exact_sets.items():
+        got = approx_sets.get(q, set())
+        hit += len(want & got)
+        total += len(want)
+    assert total > 0
+    assert hit / total >= 0.5, f"recall@5 too low: {hit}/{total}"
