@@ -20,6 +20,7 @@ from olap_sus_spark.queries import (  # noqa: F401
     skew_queries,
     streaming_queries,
     text_pipeline,
+    timeseries,
     vector,
 )
 
@@ -39,5 +40,6 @@ __all__ = [
     "skew_queries",
     "streaming_queries",
     "text_pipeline",
+    "timeseries",
     "vector",
 ]

@@ -1,0 +1,223 @@
+"""Time-series repair + snapshot reconciliation operators.
+
+Three shapes a warehouse needs once data arrives continuously (the
+reference's only notion of time is an append-only ``dt=`` folder —
+SURVEY.md §2.9):
+
+- **Calendar gap fill**: densify a daily series to the full calendar with
+  zeros — the precondition for any window/rolling computation downstream.
+- **Linear interpolation**: reconstruct missing values between known
+  points (sensor/metric repair) via last/next-known windows + lerp.
+- **Snapshot diff**: added/removed/changed rows between two table
+  versions — the reconciliation step of every CDC / backfill pipeline,
+  as one co-partitioned full-outer join.
+
+The calendar frames are bounded by the calendar (|days| rows however big
+the facts), so their single-partition windows are not scale hazards; the
+snapshot diff shuffles each side once on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.queries._util import dec
+from olap_sus_spark.registry import register
+
+# --------------------------------------------------------------------------
+# Calendar gap fill — left join the dense day sequence (derived from the
+# series' own bounds) against the aggregated daily counts, zero-filling
+# holes.  The calendar generates from a 1-row bounds aggregate → broadcast.
+# --------------------------------------------------------------------------
+_GAPFILL_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS dia, COUNT(*) AS n
+    FROM orders GROUP BY 1
+),
+lim AS (SELECT MIN(dia) AS d0, MAX(dia) AS d1 FROM daily),
+cal AS (
+    SELECT CAST(unnest(generate_series(lim.d0, lim.d1, INTERVAL 1 DAY)) AS DATE)
+           AS dia
+    FROM lim
+)
+SELECT c.dia, COALESCE(d.n, 0) AS pedidos
+FROM cal c LEFT JOIN daily d ON d.dia = c.dia
+"""
+
+
+@register("gap_fill_daily", oracle=_GAPFILL_ORACLE)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("dia")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lim = daily.agg(F.min("dia").alias("d0"), F.max("dia").alias("d1"))
+    cal = lim.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("dia")
+    )
+    return cal.join(daily, "dia", "left").select(
+        "dia", F.coalesce("n", F.lit(0)).alias("pedidos")
+    )
+
+
+# --------------------------------------------------------------------------
+# Linear interpolation over a sparse daily series.  A deterministic
+# sparsity rule (day-of-month % 3 == 1 keeps the observation) simulates a
+# sensor that reports every third day; the operator reconstructs the rest:
+#   prev/next known value+day via last/first(ignorenulls) frames,
+#   value = prev + (next - prev) * (day - prev_day) / (next_day - prev_day)
+# Ends extrapolate flat (prev-only / next-only).  The lerp is IEEE double
+# arithmetic on exact operands (decimal-sourced values, int day deltas) —
+# bit-identical in both engines.
+# --------------------------------------------------------------------------
+_INTERP_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS dia,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS receita
+    FROM orders GROUP BY 1
+),
+obs AS (
+    SELECT dia,
+           CASE WHEN EXTRACT(DAY FROM dia) % 3 = 1 THEN receita END AS valor,
+           CASE WHEN EXTRACT(DAY FROM dia) % 3 = 1
+                THEN CAST(date_diff('day', DATE '1970-01-01', dia) AS BIGINT)
+           END AS dia_obs,
+           CAST(date_diff('day', DATE '1970-01-01', dia) AS BIGINT) AS dia_num
+    FROM daily
+),
+marked AS (
+    SELECT dia, dia_num, valor,
+           LAST_VALUE(valor IGNORE NULLS) OVER (
+               ORDER BY dia_num ROWS UNBOUNDED PRECEDING) AS v_prev,
+           LAST_VALUE(dia_obs IGNORE NULLS) OVER (
+               ORDER BY dia_num ROWS UNBOUNDED PRECEDING) AS d_prev,
+           FIRST_VALUE(valor IGNORE NULLS) OVER (
+               ORDER BY dia_num ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS v_next,
+           FIRST_VALUE(dia_obs IGNORE NULLS) OVER (
+               ORDER BY dia_num ROWS BETWEEN CURRENT ROW
+               AND UNBOUNDED FOLLOWING) AS d_next
+    FROM obs
+)
+SELECT dia,
+       CASE WHEN valor IS NOT NULL THEN valor
+            WHEN v_prev IS NULL THEN v_next
+            WHEN v_next IS NULL THEN v_prev
+            ELSE v_prev + (v_next - v_prev)
+                 * ((dia_num - d_prev) / CAST(d_next - d_prev AS DOUBLE))
+       END AS valor_interp,
+       CASE WHEN valor IS NOT NULL THEN 0 ELSE 1 END AS interpolado
+FROM marked
+"""
+
+
+@register("interpolate_daily_revenue", oracle=_INTERP_ORACLE)
+def interpolate_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("dia")).agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("receita")
+    )
+    known = F.dayofmonth("dia") % 3 == 1
+    obs = daily.select(
+        "dia",
+        F.when(known, F.col("receita")).alias("valor"),
+        F.when(known, F.unix_date("dia").cast("bigint")).alias("dia_obs"),
+        F.unix_date("dia").cast("bigint").alias("dia_num"),
+    )
+    wp = Window.orderBy("dia_num").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("dia_num").rowsBetween(0, Window.unboundedFollowing)
+    marked = obs.select(
+        "dia",
+        "dia_num",
+        "valor",
+        F.last("valor", ignorenulls=True).over(wp).alias("v_prev"),
+        F.last("dia_obs", ignorenulls=True).over(wp).alias("d_prev"),
+        F.first("valor", ignorenulls=True).over(wn).alias("v_next"),
+        F.first("dia_obs", ignorenulls=True).over(wn).alias("d_next"),
+    )
+    frac = (F.col("dia_num") - F.col("d_prev")) / (
+        F.col("d_next") - F.col("d_prev")
+    ).cast("double")
+    interp = (
+        F.when(F.col("valor").isNotNull(), F.col("valor"))
+        .when(F.col("v_prev").isNull(), F.col("v_next"))
+        .when(F.col("v_next").isNull(), F.col("v_prev"))
+        .otherwise(F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * frac)
+    )
+    return marked.select(
+        "dia",
+        interp.alias("valor_interp"),
+        F.when(F.col("valor").isNotNull(), 0).otherwise(1).alias("interpolado"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (reconciliation).  Snapshot B derives from orders by
+# deterministic rules both engines apply identically: every 97th key is
+# deleted, every 11th has its status rewritten, every 101st is re-inserted
+# under a shifted key.  The diff is ONE full-outer equi-join on the key —
+# each side shuffles once, co-partitioned — emitting only drift rows.
+# --------------------------------------------------------------------------
+_DIFF_ORACLE = """
+WITH a AS (
+    SELECT o_orderkey, o_orderstatus AS st, o_totalprice AS preco FROM orders
+),
+b AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS st,
+           o_totalprice AS preco
+    FROM orders WHERE o_orderkey % 97 != 0
+    UNION ALL
+    SELECT o_orderkey + 30000000, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 101 = 0
+)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS mudanca
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+   OR a.st != b.st OR a.preco != b.preco
+"""
+
+
+@register("snapshot_diff", oracle=_DIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(
+        "o_orderkey", F.col("o_orderstatus").alias("st"), F.col("o_totalprice").alias("preco")
+    )
+    b = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 11 == 0, "X")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("st"),
+            F.col("o_totalprice").alias("preco"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 30000000).alias("o_orderkey"),
+                F.col("o_orderstatus").alias("st"),
+                F.col("o_totalprice").alias("preco"),
+            )
+        )
+    )
+    al, bl = a.alias("a"), b.alias("b")
+    joined = al.join(bl, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    return joined.filter(
+        F.col("a.o_orderkey").isNull()
+        | F.col("b.o_orderkey").isNull()
+        | (F.col("a.st") != F.col("b.st"))
+        | (F.col("a.preco") != F.col("b.preco"))
+    ).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .otherwise("changed")
+        .alias("mudanca"),
+    )
