@@ -568,3 +568,73 @@ def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("regiao").cast("int").alias("flag_regiao"),
         F.grouping("segmento").cast("int").alias("flag_segmento"),
     )
+
+
+# --------------------------------------------------------------------------
+# Percent-of-total contribution — each nation's revenue share within its
+# region and of the grand total, in one pass over the (region, nation)
+# aggregate.  Both window sums run over the nation grain (25 rows whatever
+# the fact volume); shares are IEEE-double divisions of exact decimal sums,
+# so values are bit-identical in both engines.
+# --------------------------------------------------------------------------
+_CONTRIB_ORACLE = """
+WITH rev AS (
+    SELECT r.r_name AS regiao, n.n_name AS nacao,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS receita_dec
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2
+)
+SELECT regiao, nacao,
+       CAST(receita_dec AS DOUBLE) AS receita,
+       CAST(receita_dec AS DOUBLE)
+       / CAST(SUM(receita_dec) OVER (PARTITION BY regiao) AS DOUBLE)
+       AS parcela_regiao,
+       CAST(receita_dec AS DOUBLE)
+       / CAST(SUM(receita_dec) OVER () AS DOUBLE) AS parcela_total
+FROM rev
+"""
+
+
+@register("contribution_shares", oracle=_CONTRIB_ORACLE)
+def contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            F.broadcast(
+                cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+            ),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name", "n_regionkey"
+                )
+            ),
+            "c_nationkey",
+        )
+        .join(
+            F.broadcast(
+                region.select(F.col("r_regionkey").alias("n_regionkey"), "r_name")
+            ),
+            "n_regionkey",
+        )
+        .groupBy(F.col("r_name").alias("regiao"), F.col("n_name").alias("nacao"))
+        .agg(F.sum(dec("o_totalprice")).alias("receita_dec"))
+    )
+    wr = Window.partitionBy("regiao")
+    wt = Window.partitionBy()
+    d = F.col("receita_dec").cast("double")
+    return rev.select(
+        "regiao",
+        "nacao",
+        d.alias("receita"),
+        (d / F.sum("receita_dec").over(wr).cast("double")).alias("parcela_regiao"),
+        (d / F.sum("receita_dec").over(wt).cast("double")).alias("parcela_total"),
+    )

@@ -473,3 +473,73 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice("toks", F.col("inicio") + 1, _CHUNK)).alias("chunk"),
         F.least(F.lit(_CHUNK), F.size("toks") - F.col("inicio")).alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus source mixing — resample a multi-source corpus toward target
+# mixture weights under a document budget (the "data mixture" step of LLM
+# training-data prep).  Rates are DATA-DEPENDENT: rate(s) = min(1,
+# budget·share(s)/n(s)) from a per-source count, broadcast back onto the
+# scan; acceptance is the portable md5-slice (no RNG state, reproducible
+# across engines/partitionings, same mechanism as stratified_sample_split).
+# Plan: one tiny count agg + broadcast join + narrow filter.
+# ---------------------------------------------------------------------------
+_MIX_BUDGET = 300
+_MIX_HEAVY = ("src0", "src1", "src2", "src3", "src4")  # weight 3, rest 1
+
+_MIX_ORACLE = f"""
+WITH n AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+w AS (
+    SELECT source, n_docs,
+           CASE WHEN source IN {str(tuple(_MIX_HEAVY))} THEN 3.0 ELSE 1.0 END
+           AS peso
+    FROM n
+),
+tot AS (SELECT SUM(peso) AS peso_total FROM w),
+taxa AS (
+    SELECT w.source,
+           LEAST(1.0, {_MIX_BUDGET} * (w.peso / t.peso_total) / w.n_docs)
+           AS aceite
+    FROM w CROSS JOIN tot t
+)
+SELECT d.doc_id, d.source
+FROM documents d
+JOIN taxa ON taxa.source = d.source
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT)
+      / 65536.0 < taxa.aceite
+"""
+
+
+@register("corpus_source_mixing", oracle=_MIX_ORACLE)
+def corpus_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "peso",
+            F.when(F.col("source").isin(*_MIX_HEAVY), F.lit(3.0)).otherwise(
+                F.lit(1.0)
+            ),
+        )
+    )
+    tot = w.agg(F.sum("peso").alias("peso_total"))
+    taxa = w.join(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(_MIX_BUDGET)
+            * (F.col("peso") / F.col("peso_total"))
+            / F.col("n_docs"),
+        ).alias("aceite"),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        / 65536.0
+    )
+    return (
+        docs.join(F.broadcast(taxa), "source")
+        .filter(frac < F.col("aceite"))
+        .select("doc_id", "source")
+    )
