@@ -52,6 +52,10 @@ HEADLINE = [
     "constraint_checks",
     "pareto_abc_parts",
     "document_chunking",
+    "corpus_source_mixing",
+    # time-series + reconciliation
+    "rolling_active_users",
+    "snapshot_diff",
 ]
 
 

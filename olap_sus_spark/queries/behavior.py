@@ -254,3 +254,52 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("usuarios_ativos"))
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling active users (DAU / trailing-7-day WAU).  The oracle states WAU
+# as a BETWEEN range join; the Spark plan avoids the nested-loop that range
+# join would cost by EXPLODING each (user, day) activity row into the ≤7
+# report days it contributes to — a narrow generator — then counting
+# distinct users per report day.  Both formulations count a user toward
+# day D iff they were active in [D-6, D].  Report days are restricted to
+# days with actual activity (semi-join with the DAU grain) so the two
+# shapes emit identical rows.  Shuffles: activity distinct + per-day
+# count-distinct — both on bounded grains.
+# --------------------------------------------------------------------------
+_ACTIVE_ORACLE = """
+WITH atividade AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS dia FROM events
+),
+dau AS (SELECT dia, COUNT(*) AS dau FROM atividade GROUP BY dia),
+wau AS (
+    SELECT c.dia, COUNT(DISTINCT a.user_id) AS wau
+    FROM (SELECT dia FROM dau) c
+    JOIN atividade a ON a.dia BETWEEN c.dia - 6 AND c.dia
+    GROUP BY c.dia
+)
+SELECT d.dia, d.dau, w.wau
+FROM dau d JOIN wau w ON w.dia = d.dia
+"""
+
+
+@register("rolling_active_users", oracle=_ACTIVE_ORACLE)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("dia")
+    )
+    atividade = ev.distinct()
+    dau = atividade.groupBy("dia").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = atividade.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("delta"),
+        F.col("dia").alias("dia_atividade"),
+    ).select("user_id", F.date_add("dia_atividade", F.col("delta")).alias("dia"))
+    wau = (
+        contrib.join(F.broadcast(dau.select("dia")), "dia", "left_semi")
+        .groupBy("dia")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "dia").select("dia", "dau", "wau")
