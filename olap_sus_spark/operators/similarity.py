@@ -251,6 +251,12 @@ def srp_buckets(
     is pure map work, and only the (id, table, bucket) triples — not the
     vectors — need to move afterwards.
     """
+    from olap_sus_spark.catalog import spread_compute
+
+    # The fold-dot signature pass is compute-heavy per row; a single-row-
+    # group parquet scans as ONE task, serializing it.  Re-spread first
+    # (no-op on any real multi-split table — see catalog.spread_compute).
+    emb = spread_compute(emb)
     v = F.col(vec_col).cast("array<double>")
     buckets = []
     for t in range(n_tables):
