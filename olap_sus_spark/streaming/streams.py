@@ -193,3 +193,48 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming twin of the batch ``sessionize_events`` gaps-and-islands
+    operator (queries/behavior.py): assigns each event its per-user session
+    ORDINAL — the stable session id Spark's ``session_window`` aggregate
+    cannot give you — via ``applyInPandasWithState``.
+
+    State per user = (last event micros, current session ordinal).  Each
+    micro-batch sorts its rows by (ts, event_id) and continues the count:
+    a >gap silence since the previous event (in-batch or in-state) starts a
+    new session.  Per-user correctness requires per-user ts-ordered arrival
+    across triggers (the usual prerequisite for exactly reproducing the
+    batch result on a stream); within a trigger, order is restored locally.
+    Arrow-batched, state is two scalars per user — bounded.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+
+    def update(key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState):
+        last_us, sess = state.get if state.exists else (-1, 0)
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = batch["ts"].astype("int64") // 1000
+        prev = ts_us.shift(1)
+        prev.iloc[0] = last_us if last_us >= 0 else float("nan")
+        quebra = prev.isna() | (ts_us - prev > gap_us)
+        sessao = sess + quebra.cumsum().astype("int64")
+        state.update((int(ts_us.iloc[-1]), int(sessao.iloc[-1])))
+        yield pd.DataFrame(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "sessao": sessao.astype("int32"),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, event_id long, sessao int",
+        stateStructType="last_us long, sessao int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -138,3 +138,37 @@ def test_stateful_running_totals(spark, stream_dir):
         n, s = want[r.user_id]
         assert r.n_eventos == n
         assert r.soma_valor == pytest.approx(s, rel=1e-9)
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path_factory):
+    """sessionize_stream across ordered micro-batches == the batch
+    gaps-and-islands sessionization (session ordinals and sizes)."""
+    import time as _time
+
+    from olap_sus_spark.queries.behavior import sessionize_events
+    from olap_sus_spark.streaming.streams import sessionize_stream
+    from tests.conftest import SF_DIR
+
+    # Stage time-RANGED files written sequentially so the file source
+    # (ordered by mtime) replays events in per-user ts order.
+    d = str(tmp_path_factory.mktemp("events_sessions"))
+    ev = load_table(spark, SF_DIR, "events")
+    ranged = ev.repartitionByRange(4, "ts").sortWithinPartitions("ts")
+    for i in range(4):
+        part = ranged.withColumn("p", F.spark_partition_id()).filter(
+            F.col("p") == i
+        ).drop("p")
+        part.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic replay order
+
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    got = (
+        run_available_now(sessionize_stream(stream), "append")
+        .groupBy("user_id", "sessao")
+        .agg(F.count(F.lit(1)).alias("n_eventos"))
+    )
+    want = sessionize_events(spark, SF_DIR).select(
+        "user_id", "sessao", "n_eventos"
+    )
+    assert _sorted(got) == _sorted(want)
+    assert got.count() > 0
