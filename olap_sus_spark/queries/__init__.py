@@ -12,6 +12,7 @@ from olap_sus_spark.queries import (  # noqa: F401
     events_windows,
     grouping_sets,
     json_functions,
+    market,
     multimodal_pipeline,
     olap,
     operators,
@@ -32,6 +33,7 @@ __all__ = [
     "events_windows",
     "grouping_sets",
     "json_functions",
+    "market",
     "multimodal_pipeline",
     "olap",
     "operators",
