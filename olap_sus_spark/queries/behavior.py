@@ -303,3 +303,54 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("wau"))
     )
     return dau.join(wau, "dia").select("dia", "dau", "wau")
+
+
+# --------------------------------------------------------------------------
+# Sequence-pattern detection (MATCH_RECOGNIZE-lite): users whose ordered
+# event stream contains an 'error' followed by a 'signup' within the next
+# 3 events.  The stream collapses to one ordered array per user (same
+# collect+sort shape as the reference's bridge signature, SURVEY §2.4-A2);
+# the pattern test is a pure array expression — EXISTS over positions —
+# evaluated engine-side with no joins.  One shuffle (the per-user collect).
+# --------------------------------------------------------------------------
+_SEQPAT_ORACLE = """
+WITH seq AS (
+    SELECT user_id,
+           list_transform(
+               list_sort(list_zip(
+                   list(ts ORDER BY ts, event_id),
+                   list(event_id ORDER BY ts, event_id),
+                   list(event_type ORDER BY ts, event_id))),
+               p -> p[3]) AS tipos
+    FROM events GROUP BY user_id
+)
+SELECT user_id, len(tipos) AS n_eventos
+FROM seq
+WHERE len(list_filter(range(1, len(tipos) + 1),
+          i -> tipos[i] = 'error'
+               AND len(list_filter(range(i + 1, least(i + 4, len(tipos) + 1)),
+                       j -> tipos[j] = 'signup')) > 0)) > 0
+"""
+
+
+@register("sequence_pattern_users", oracle=_SEQPAT_ORACLE)
+def sequence_pattern_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda p: p["event_type"],
+        ).alias("tipos")
+    )
+    n = F.size("tipos")
+    hit = F.exists(
+        F.sequence(F.lit(1), n),
+        lambda i: (F.element_at(F.col("tipos"), i) == "error")
+        & F.exists(
+            F.sequence(i + 1, F.least(i + 3, n)),
+            lambda j: F.element_at(F.col("tipos"), j) == "signup",
+        ),
+    )
+    return seq.filter(hit).select("user_id", n.alias("n_eventos"))

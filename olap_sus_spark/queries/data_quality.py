@@ -245,3 +245,70 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("classe"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact statistical moments — population variance and Pearson correlation
+# computed from integer POWER SUMS (Σx, Σx², Σxy … all exact BIGINTs),
+# not from the engines' native var/corr aggregates (those use streaming
+# Welford updates whose rounding depends on accumulation order — not
+# reproducible across engines or even partitionings).  The closed-form
+# ratios and sqrt are IEEE operations on exactly-representable integers,
+# so results are bit-identical AND partitioning-independent — the property
+# a distributed profiler actually needs.  One aggregation pass.
+# --------------------------------------------------------------------------
+_MOMENTS_ORACLE = """
+WITH s AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                AS BIGINT) AS sxx,
+           CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sy,
+           CAST(SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT))
+                AS BIGINT) AS syy,
+           CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT))
+                AS BIGINT) AS sxy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS media_qtd,
+       CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * n AS DOUBLE)
+       AS variancia_pop,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS correlacao
+FROM s
+"""
+
+
+@register("exact_moments_battery", oracle=_MOMENTS_ORACLE)
+def exact_moments_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.col("l_linenumber").cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx.cast("double") / n.cast("double")).alias("media_qtd"),
+        ((n * sxx - sx * sx).cast("double") / (n * n).cast("double")).alias(
+            "variancia_pop"
+        ),
+        (
+            (n * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((n * sxx - sx * sx).cast("double"))
+                * F.sqrt((n * syy - sy * sy).cast("double"))
+            )
+        ).alias("correlacao"),
+    )
