@@ -145,3 +145,21 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wn.orderBy(F.col("gasto_dec").desc(), "o_custkey"))
         .alias("m_quartil"),
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the co-purchase graph (rows-only: iterative fixpoint, not
+# ANSI-SQL-expressible).  Edges = basket co-occurrence pairs (support ≥ 2),
+# both directions; ranks surface the parts most central to cross-selling.
+# Unit gates (test_graph_unit.py): Σ rank == 1 every run, deterministic
+# across executions, flat plan via localCheckpoint.
+# --------------------------------------------------------------------------
+@register("pagerank_parts")
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olap_sus_spark.operators.graph import pagerank
+
+    pairs = basket_part_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    return pagerank(edges, iters=8)
