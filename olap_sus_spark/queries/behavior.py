@@ -354,3 +354,66 @@ def sequence_pattern_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return seq.filter(hit).select("user_id", n.alias("n_eventos"))
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (effective-dated) dimension join — every purchase enriched
+# with the SCD2 status interval valid AT ITS TIMESTAMP ([valid_from,
+# valid_to) semantics).  The oracle states it as the textbook BETWEEN
+# interval join; the Spark plan avoids that (it would be a nested loop) by
+# UNIONING interval-open rows with facts and taking last(ignorenulls) over
+# (user, ts) — the as-of trick (relational_ext.asof_join_purchase_click),
+# so the whole join is ONE shuffle on user_id.  Interval opens sort before
+# facts at equal ts, matching `>= valid_from` inclusively.
+# --------------------------------------------------------------------------
+_PIT_ORACLE = """
+WITH dim AS (
+    SELECT user_id, estado, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+    FROM (
+        SELECT user_id, ts, event_id, event_type AS estado,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS anterior
+        FROM events
+    ) WHERE anterior IS NULL OR estado <> anterior
+),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, d.estado AS estado_vigente
+FROM p
+JOIN dim d ON d.user_id = p.user_id
+          AND p.ts >= d.valid_from
+          AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+"""
+
+
+@register("point_in_time_status", oracle=_PIT_ORACLE)
+def point_in_time_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = scd2_user_status(spark, sf_dir).select(
+        "user_id", "estado", F.col("valid_from").alias("ts")
+    )
+    facts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    tagged = dim.select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        "estado", F.lit(0).alias("kind")
+    ).unionByName(
+        facts.select(
+            "user_id", "ts", "event_id",
+            F.lit(None).cast("string").alias("estado"), F.lit(1).alias("kind"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vigente = F.last(F.when(F.col("kind") == 0, F.col("estado")), ignorenulls=True)
+    return (
+        tagged.withColumn("estado_vigente", vigente.over(w))
+        .filter(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "estado_vigente")
+    )

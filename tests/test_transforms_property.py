@@ -61,7 +61,11 @@ def model_coded_age(s):
         return None
     p = _lpad(s, 3, "0")
     unit = int(p[0]) if p[0].isdigit() else None
-    val = int(p[1:3]) if re.fullmatch(r"[0-9]{2}", p[1:3]) else None
+    # value parses under ANSI cast lexical rules (trim + optional sign) —
+    # '4-0' decodes to 0, matching the reference's plain cast (found by
+    # hypothesis)
+    tail = p[1:3].strip()
+    val = int(tail) if re.fullmatch(r"[+-]?[0-9]+", tail) else None
     if unit is None:
         return None
     if unit < 4:
