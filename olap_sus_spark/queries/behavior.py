@@ -345,12 +345,16 @@ def sequence_pattern_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tipos")
     )
     n = F.size("tipos")
+    # the lookahead uses slice (which CLAMPS at the array end) rather than
+    # index arithmetic: element_at beyond the end throws under ANSI mode —
+    # hit in the 100x scale probe when a user's LAST event is 'error'
+    # (sequence(i+1, least(i+3, n)) turns descending and walks off the end)
     hit = F.exists(
         F.sequence(F.lit(1), n),
         lambda i: (F.element_at(F.col("tipos"), i) == "error")
         & F.exists(
-            F.sequence(i + 1, F.least(i + 3, n)),
-            lambda j: F.element_at(F.col("tipos"), j) == "signup",
+            F.slice(F.col("tipos"), i + 1, 3),
+            lambda x: x == "signup",
         ),
     )
     return seq.filter(hit).select("user_id", n.alias("n_eventos"))
