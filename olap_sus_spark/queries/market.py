@@ -135,3 +135,54 @@ def important_stock_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("qtd") * 2000 > F.col("total_qtd"))
         .select("l_partkey", "qtd")
     )
+
+
+# --------------------------------------------------------------------------
+# Skyline (Pareto frontier): parts not DOMINATED on (min price ↓, total
+# quantity ↑) — no other part is both cheaper-or-equal and
+# higher-or-equal-volume with at least one strict.  The dominance test is
+# a non-equi NOT EXISTS anti-join, but it runs on the *aggregated part
+# grain* (dim-bounded rows however large the fact table), so the
+# broadcast nested loop is intended and cheap; at larger grains the
+# standard refinement is grid-blocking by rank buckets.  The fact-side
+# aggregation is the only real shuffle.
+# --------------------------------------------------------------------------
+_SKYLINE_ORACLE = """
+WITH pp AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qtd,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS menor_preco
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT a.l_partkey, a.menor_preco, a.qtd
+FROM pp a
+WHERE NOT EXISTS (
+    SELECT 1 FROM pp b
+    WHERE b.menor_preco <= a.menor_preco AND b.qtd >= a.qtd
+      AND (b.menor_preco < a.menor_preco OR b.qtd > a.qtd)
+)
+"""
+
+
+@register("skyline_parts", oracle=_SKYLINE_ORACLE)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qtd"),
+        F.min(dec("l_extendedprice")).cast("double").alias("menor_preco"),
+    )
+    a, b = pp.alias("a"), pp.alias("b")
+    dominated = (
+        (F.col("b.menor_preco") <= F.col("a.menor_preco"))
+        & (F.col("b.qtd") >= F.col("a.qtd"))
+        & (
+            (F.col("b.menor_preco") < F.col("a.menor_preco"))
+            | (F.col("b.qtd") > F.col("a.qtd"))
+        )
+    )
+    return a.join(F.broadcast(b), dominated, "left_anti").select(
+        F.col("a.l_partkey").alias("l_partkey"),
+        F.col("a.menor_preco").alias("menor_preco"),
+        F.col("a.qtd").alias("qtd"),
+    )
