@@ -100,9 +100,7 @@ def merge_upsert(
 
     staging = path.rstrip("/") + ".__staging__"
     merged.write.mode("overwrite").parquet(staging)
-    final = spark.read.parquet(staging)
-    final.write.mode("overwrite").parquet(path)  # swap (local FS: atomic enough)
-    _rm(spark, staging)
+    _swap_in(spark, path, staging)
     return path
 
 
@@ -116,8 +114,7 @@ def compact_partition(spark: SparkSession, path: str, target_files: int = 1) -> 
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".__compact__"
     df.coalesce(target_files).write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
-    _rm(spark, staging)
+    _swap_in(spark, path, staging)
     return sum(
         1 for f in os.listdir(path) if f.endswith(".parquet")
     ) if "://" not in path else target_files
@@ -141,6 +138,33 @@ def write_sorted(
         .parquet(path)
     )
     return path
+
+
+def _swap_in(spark: SparkSession, path: str, staging: str) -> None:
+    """Commit a staged rewrite by directory renames, never by rewriting the
+    live table: retire the current dir, promote staging, drop the retired
+    copy.  A crash before the promote leaves the original table intact (at
+    worst under the retired name); a crash after it leaves the new table
+    live — there is no window where the data exists only as a half-written
+    directory.  (On object stores swap a manifest instead; renames there
+    are copies.)"""
+    if "://" not in path:
+        import shutil
+
+        retired = path.rstrip("/") + ".__old__"
+        shutil.rmtree(retired, ignore_errors=True)  # stale from a prior crash
+        os.rename(path, retired)
+        os.rename(staging, path)
+        shutil.rmtree(retired, ignore_errors=True)
+    else:  # pragma: no cover
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        retired = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__old__")
+        fs.rename(jvm.org.apache.hadoop.fs.Path(path), retired)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(staging), jvm.org.apache.hadoop.fs.Path(path))
+        fs.delete(retired, True)
 
 
 def _rm(spark: SparkSession, path: str) -> None:
