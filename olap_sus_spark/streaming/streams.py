@@ -238,3 +238,43 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ordered funnel (behavior.py:
+    funnel_stage_counts): a per-user stage machine over
+    ``applyInPandasWithState`` emitting the user's furthest stage after
+    every micro-batch (0 none, 1 viewed, 2 clicked-after-view,
+    3 purchased-after-click).
+
+    State = (first_view_us, first_qualifying_click_us, stage) — three
+    scalars per user, bounded.  Requires per-user ts-ordered arrival for
+    exact batch parity (same prerequisite as sessionize_stream; the batch
+    twin's RANGE framing additionally lets equal-timestamp events see each
+    other, so parity is exact when per-user timestamps are strictly
+    increasing — true of microsecond event streams in practice).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState):
+        fv, fc, stage = state.get if state.exists else (-1, -1, 0)
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        ts_us = batch["ts"].astype("int64") // 1000
+        for t, kind in zip(ts_us, batch["event_type"]):
+            if kind == "view" and fv < 0:
+                fv, stage = t, max(stage, 1)
+            elif kind == "click" and fv >= 0 and fc < 0 and t >= fv:
+                fc, stage = t, max(stage, 2)
+            elif kind == "purchase" and fc >= 0 and t >= fc:
+                stage = 3
+        state.update((int(fv), int(fc), int(stage)))
+        yield pd.DataFrame({"user_id": [key[0]], "etapa": [stage]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, etapa int",
+        stateStructType="fv long, fc long, etapa int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -172,3 +172,36 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path_factory):
     )
     assert _sorted(got) == _sorted(want)
     assert got.count() > 0
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path_factory):
+    """funnel_stream's final per-user stages aggregate to the same stage
+    counts as the batch funnel (view/click/purchase semantics)."""
+    import time as _time
+
+    from olap_sus_spark.queries.behavior import funnel_stage_counts
+    from olap_sus_spark.streaming.streams import funnel_stream
+    from tests.conftest import SF_DIR
+
+    d = str(tmp_path_factory.mktemp("events_funnel"))
+    ev = load_table(spark, SF_DIR, "events")
+    ranged = ev.repartitionByRange(3, "ts").sortWithinPartitions("ts")
+    for i in range(3):
+        part = ranged.withColumn("p", F.spark_partition_id()).filter(
+            F.col("p") == i
+        ).drop("p")
+        part.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+
+    stream = read_event_stream(spark, d, max_files_per_trigger=1)
+    updates = run_available_now(funnel_stream(stream), "update")
+    # final stage per user = max stage emitted (stages only move forward)
+    final = updates.groupBy("user_id").agg(F.max("etapa").alias("etapa"))
+    got = {
+        etapa: final.filter(F.col("etapa") >= nivel).count()
+        for etapa, nivel in [("view", 1), ("click", 2), ("purchase", 3)]
+    }
+    want = {
+        r.etapa: r.usuarios for r in funnel_stage_counts(spark, SF_DIR).collect()
+    }
+    assert got == want
