@@ -54,3 +54,68 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over a stream; the fixture has unique
     event ids, so the result must be exactly the input relation."""
     return run_available_now(dedup_events_stream(_events_stream(spark, sf_dir)), "append")
+
+
+_SESSIONIZE_EVENTS_ORACLE = """
+WITH d AS (
+    SELECT user_id, event_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+m AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS quebra
+    FROM d
+)
+SELECT user_id, event_id,
+       CAST(SUM(quebra) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS INT) AS sessao
+FROM m
+"""
+
+
+@register("streaming_sessionize", oracle=_SESSIONIZE_EVENTS_ORACLE)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session ids assigned by the stateful streaming operator
+    (applyInPandasWithState), drained in one AvailableNow batch and
+    hash-verified against the gaps-and-islands SQL."""
+    from olap_sus_spark.streaming.streams import sessionize_stream
+
+    return run_available_now(
+        sessionize_stream(_events_stream(spark, sf_dir)), "append"
+    )
+
+
+_FUNNEL_STAGES_ORACLE = """
+WITH v AS (SELECT user_id, MIN(ts) AS t_view
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+     c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+           FROM events e JOIN v ON v.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts >= v.t_view
+           GROUP BY e.user_id),
+     p AS (SELECT e.user_id, MIN(e.ts) AS t_buy
+           FROM events e JOIN c ON c.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+           GROUP BY e.user_id)
+SELECT u.user_id,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS etapa
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+"""
+
+
+@register("streaming_funnel_stages", oracle=_FUNNEL_STAGES_ORACLE)
+def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user furthest funnel stage from the streaming stage machine,
+    hash-verified against the chained-aggregate SQL."""
+    from olap_sus_spark.streaming.streams import funnel_stream
+
+    return run_available_now(
+        funnel_stream(_events_stream(spark, sf_dir)), "update"
+    )
