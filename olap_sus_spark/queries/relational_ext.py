@@ -638,3 +638,54 @@ def contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d / F.sum("receita_dec").over(wr).cast("double")).alias("parcela_regiao"),
         (d / F.sum("receita_dec").over(wt).cast("double")).alias("parcela_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch (linear) attribution — each purchase's value split equally
+# across the clicks in its 1-hour attribution window (the revenue-credit
+# step downstream of interval_join_attribution, which this reuses).  The
+# per-purchase count window partitions by purchase id — rows per partition
+# = clicks in one window, bounded by the horizon.  credito is a double /
+# int division of identical operands in both engines.
+# --------------------------------------------------------------------------
+_MTA_ORACLE = """
+WITH pares AS (
+    SELECT p.event_id AS compra, p.user_id, p.value AS valor, c.ts AS click_ts
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+)
+SELECT compra, user_id, click_ts,
+       valor / COUNT(*) OVER (PARTITION BY compra) AS credito
+FROM pares
+"""
+
+
+@register("multitouch_attribution", oracle=_MTA_ORACLE)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("compra"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("valor"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    pares = p.join(
+        c,
+        (p.user_id == c.c_user_id)
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    w = Window.partitionBy("compra")
+    return pares.select(
+        "compra",
+        "user_id",
+        "click_ts",
+        (F.col("valor") / F.count(F.lit(1)).over(w)).alias("credito"),
+    )
