@@ -56,6 +56,8 @@ HEADLINE = [
     # time-series + reconciliation
     "rolling_active_users",
     "snapshot_diff",
+    # stateful streaming (applyInPandasWithState end-to-end)
+    "streaming_sessionize",
 ]
 
 
