@@ -163,3 +163,89 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p1").alias("src"), F.col("p2").alias("dst")
     ).unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
     return pagerank(edges, iters=8)
+
+
+# --------------------------------------------------------------------------
+# Exact MODE aggregate — most frequent order priority per year, smallest
+# value on ties (neither engine's native mode() has portable tie-breaks, so
+# both sides state it as count + rank — deterministic everywhere).  Two
+# aggregations then a per-year top-1: WindowGroupLimit pushes the rank<=1
+# filter into a partial top-1 before the exchange.
+# --------------------------------------------------------------------------
+_MODE_ORACLE = """
+WITH c AS (
+    SELECT EXTRACT(YEAR FROM o_orderdate)::INT AS ano,
+           o_orderpriority AS prioridade, COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+)
+SELECT ano, prioridade, n FROM (
+    SELECT ano, prioridade, n,
+           ROW_NUMBER() OVER (PARTITION BY ano
+                              ORDER BY n DESC, prioridade) AS rk
+    FROM c
+) WHERE rk = 1
+"""
+
+
+@register("exact_mode_priority", oracle=_MODE_ORACLE)
+def exact_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(
+        F.year("o_orderdate").alias("ano"),
+        F.col("o_orderpriority").alias("prioridade"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("ano").orderBy(F.col("n").desc(), "prioridade")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("ano", "prioridade", "n")
+    )
+
+
+# --------------------------------------------------------------------------
+# Item-to-item recommendations: top-3 co-purchased parts per part by basket
+# support (ties → smallest partner id).  Pairs come from basket_part_pairs;
+# each unordered pair fans out to both directions so every part gets its
+# own ranked partner list — the "customers also bought" shape.
+# --------------------------------------------------------------------------
+_COBUY_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pares AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS suporte
+    FROM li a
+    JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+),
+dirigido AS (
+    SELECT p1 AS parte, p2 AS parceiro, suporte FROM pares
+    UNION ALL
+    SELECT p2, p1, suporte FROM pares
+)
+SELECT parte, parceiro, suporte FROM (
+    SELECT parte, parceiro, suporte,
+           ROW_NUMBER() OVER (PARTITION BY parte
+                              ORDER BY suporte DESC, parceiro) AS rk
+    FROM dirigido
+) WHERE rk <= 3
+"""
+
+
+@register("top_copurchases_per_part", oracle=_COBUY_ORACLE)
+def top_copurchases_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pares = basket_part_pairs(spark, sf_dir).withColumnRenamed(
+        "pedidos_juntos", "suporte"
+    )
+    dirigido = pares.select(
+        F.col("p1").alias("parte"), F.col("p2").alias("parceiro"), "suporte"
+    ).unionByName(
+        pares.select(
+            F.col("p2").alias("parte"), F.col("p1").alias("parceiro"), "suporte"
+        )
+    )
+    w = Window.partitionBy("parte").orderBy(F.col("suporte").desc(), "parceiro")
+    return (
+        dirigido.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("parte", "parceiro", "suporte")
+    )
