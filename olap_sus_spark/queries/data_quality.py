@@ -312,3 +312,59 @@ def exact_moments_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("correlacao"),
     )
+
+
+# --------------------------------------------------------------------------
+# IQR outlier detection — orders whose value falls outside
+# [Q1 − 1.5·IQR, Q3 + 1.5·IQR] of their year.  Money is floored to CENT
+# INTEGERS first (FLOOR(x·100): double multiply + floor are IEEE-identical
+# in both engines, unlike double→int CAST which truncates in Spark but
+# rounds in DuckDB); interpolated quartiles over integers at quarter
+# fractions are exact (same argument as quantile_stats), so the fence
+# arithmetic and every boundary comparison decide identically.  Plan: one
+# year-grain percentile aggregation broadcast back onto the scan.
+# --------------------------------------------------------------------------
+_OUTLIER_ORACLE = """
+WITH cents AS (
+    SELECT o_orderkey, EXTRACT(YEAR FROM o_orderdate)::INT AS ano,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS centavos
+    FROM orders
+),
+q AS (
+    SELECT ano,
+           quantile_cont(centavos, 0.25) AS q1,
+           quantile_cont(centavos, 0.75) AS q3
+    FROM cents GROUP BY ano
+)
+SELECT c.o_orderkey, c.ano, c.centavos,
+       CASE WHEN c.centavos < q.q1 - 1.5 * (q.q3 - q.q1) THEN 'baixo'
+            ELSE 'alto' END AS lado
+FROM cents c
+JOIN q ON q.ano = c.ano
+WHERE c.centavos < q.q1 - 1.5 * (q.q3 - q.q1)
+   OR c.centavos > q.q3 + 1.5 * (q.q3 - q.q1)
+"""
+
+
+@register("outlier_orders_iqr", oracle=_OUTLIER_ORACLE)
+def outlier_orders_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("ano"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("centavos"),
+    )
+    q = cents.groupBy("ano").agg(
+        F.expr("percentile(centavos, 0.25)").alias("q1"),
+        F.expr("percentile(centavos, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    joined = cents.join(F.broadcast(q), "ano")
+    low = F.col("centavos") < F.col("q1") - 1.5 * iqr
+    high = F.col("centavos") > F.col("q3") + 1.5 * iqr
+    return joined.filter(low | high).select(
+        "o_orderkey",
+        "ano",
+        "centavos",
+        F.when(low, "baixo").otherwise("alto").alias("lado"),
+    )
