@@ -421,3 +421,73 @@ def point_in_time_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kind") == 1)
         .select("event_id", "user_id", "ts", "estado_vigente")
     )
+
+
+# --------------------------------------------------------------------------
+# Top navigation paths — the most common event-type sequences per session
+# (product-analytics "user flows").  Composite of gap-sessionization and
+# the ordered-collect shape (bridge signatures, SURVEY §2.4-A2): each
+# session's events concatenate in (ts, event_id) order into a path string;
+# paths are counted and top-10 ranked with a deterministic tie-break.
+# Session assignment + path build share the user_id exchange; the path
+# count is a second, tiny aggregation.
+# --------------------------------------------------------------------------
+_PATHS_ORACLE = """
+WITH d AS (
+    SELECT user_id, event_id, ts, event_type,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+),
+s AS (
+    SELECT user_id, event_id, ts, event_type,
+           SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sessao
+    FROM d
+),
+caminhos AS (
+    SELECT user_id, sessao,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS caminho
+    FROM s GROUP BY user_id, sessao
+)
+SELECT caminho, n, posicao FROM (
+    SELECT caminho, COUNT(*) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, caminho) AS INT)
+           AS posicao
+    FROM caminhos GROUP BY caminho
+) WHERE posicao <= 10
+"""
+
+
+@register("top_session_paths", oracle=_PATHS_ORACLE)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
+    s = ev.withColumn(
+        "sessao",
+        F.sum(
+            F.when(prev_us.isNull() | (ts_us - prev_us > gap_us), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    caminhos = s.groupBy("user_id", "sessao").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda p: p["event_type"],
+            ),
+        ).alias("caminho")
+    )
+    contagem = caminhos.groupBy("caminho").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), "caminho")
+    return (
+        contagem.withColumn("posicao", F.row_number().over(wr))
+        .filter(F.col("posicao") <= 10)
+        .select("caminho", "n", "posicao")
+    )
