@@ -72,7 +72,10 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_text_unit.py::test_approx_aggregates_bounded_error
     against the exact values."""
     orders = load_table(spark, sf_dir, "orders")
+    # Scalar p50/p90 columns, not one array column: the driver's pandas
+    # canonicalizer cannot hash list-valued cells.
     return orders.agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("clientes_aprox"),
-        F.percentile_approx("o_totalprice", [0.5, 0.9], 10000).alias("percentis_preco"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), 10000).alias("p50_preco"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), 10000).alias("p90_preco"),
     )

@@ -15,7 +15,7 @@ _JSON_ORACLE = """
 SELECT
     event_type,
     COUNT(*) AS n_eventos,
-    SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS soma_k,
+    CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS soma_k,
     MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 GROUP BY event_type

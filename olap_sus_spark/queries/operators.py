@@ -32,7 +32,8 @@ from olap_sus_spark.registry import register
 # (PushedFilters / ReadSchema in .explain).
 # --------------------------------------------------------------------------
 _SCAN_ORACLE = """
-SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
   AND l_discount > 0.05
@@ -49,7 +50,14 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") > 0.05)
             & (F.col("l_returnflag") == "R")
         )
-        .select("l_orderkey", "l_linenumber", dec("l_extendedprice").alias("price"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            # scale-2 decimal -> double is exact in both engines (_util.py);
+            # raw Decimal objects hash differently from DuckDB's float64 in
+            # the driver's pandas canonicalizer.
+            dec("l_extendedprice").cast("double").alias("price"),
+        )
     )
 
 
@@ -217,10 +225,12 @@ def roleplay_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # U1 — UNION ALL assembling heterogeneous slices (init.sql:494-506).
 # --------------------------------------------------------------------------
 _UNION_ORACLE = """
-SELECT 'pedido_1995' AS origem, o_orderkey AS chave, CAST(o_totalprice AS DECIMAL(18,2)) AS valor
+SELECT 'pedido_1995' AS origem, o_orderkey AS chave,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS valor
 FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
 UNION ALL
-SELECT 'pedido_2001' AS origem, o_orderkey AS chave, CAST(o_totalprice AS DECIMAL(18,2)) AS valor
+SELECT 'pedido_2001' AS origem, o_orderkey AS chave,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS valor
 FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 2001
 """
 
@@ -233,7 +243,7 @@ def union_all_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         return orders.filter(F.year("o_orderdate") == year).select(
             F.lit(tag).alias("origem"),
             F.col("o_orderkey").alias("chave"),
-            dec("o_totalprice").alias("valor"),
+            dec("o_totalprice").cast("double").alias("valor"),
         )
 
     return slice_year(1995, "pedido_1995").unionByName(slice_year(2001, "pedido_2001"))
@@ -389,7 +399,7 @@ _SORT_ORACLE = """
 SELECT
     s_suppkey,
     s_name,
-    CAST(s_acctbal AS DECIMAL(18,2)) AS saldo,
+    CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS saldo,
     CAST(ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS posicao
 FROM supplier
 """
@@ -402,7 +412,7 @@ def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supp.select(
         "s_suppkey",
         "s_name",
-        dec("s_acctbal").alias("saldo"),
+        dec("s_acctbal").cast("double").alias("saldo"),
         F.row_number().over(w).alias("posicao"),
     )
 

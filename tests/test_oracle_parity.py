@@ -30,6 +30,28 @@ def test_entry_smoke(spark):
     assert set(e.oracle_sql()) <= set(e.queries())
 
 
+def test_no_canon_hostile_output_types(spark, oracle_con):
+    """The driver canonicalizes through pandas (toPandas vs fetchdf), where
+    three equal-value output shapes still hash-mismatch: raw DECIMAL columns
+    (Spark Decimal objects vs DuckDB float64), DuckDB HUGEINT aggregates
+    (float64 vs Spark int64), and list/struct cells (unhashable).  Guard the
+    whole registry against all three — schema-only, no execution."""
+    hostile = ("decimal", "array", "map", "struct")
+    bad = []
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF_DIR)
+        for f in df.schema.fields:
+            tn = f.dataType.simpleString()
+            if any(tn.startswith(h) for h in hostile):
+                bad.append(f"{name}: spark col {f.name} is {tn}")
+    for name in sorted(ORACLE):
+        rel = oracle_con.execute(f"DESCRIBE {ORACLE[name]}")
+        for col, ctype, *_ in rel.fetchall():
+            if "HUGEINT" in str(ctype).upper():
+                bad.append(f"{name}: oracle col {col} is {ctype} (wrap in CAST(... AS BIGINT))")
+    assert not bad, "canon-hostile output types:\n" + "\n".join(bad)
+
+
 def test_coverage_doc_mentions_every_query():
     """COVERAGE.md is the judge-facing inventory map — every registered
     query must appear in it (guards against doc drift)."""

@@ -50,7 +50,7 @@ def test_approx_aggregates_bounded_error(spark):
     orders = load_table(spark, SF_DIR, "orders")
     exact = orders.select("o_custkey").distinct().count()
     assert abs(row.clientes_aprox - exact) / exact < 0.05
-    p50, p90 = row.percentis_preco
+    p50, p90 = row.p50_preco, row.p90_preco
     fr = orders.selectExpr(
         "percentile(o_totalprice, 0.5) AS p50", "percentile(o_totalprice, 0.9) AS p90"
     ).first()
