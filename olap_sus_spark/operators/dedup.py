@@ -13,7 +13,7 @@ Five dedup families, each designed shuffle-light for 100 TB:
   k md5-derived hash functions over shingles → banded signatures → bucket
   join.  Only bucket-collisions shuffle; verification re-checks exact
   Jaccard on candidates only.
-- **SimHash** (:func:`simhash64`): 64-bit sign-aggregated token hash;
+- **SimHash** (:func:`simhash60`): 60-bit sign-aggregated md5 token hash;
   near-dup = small Hamming distance (join on rotated prefixes at scale).
 - **embedding cosine** (:func:`embedding_dup_pairs` in similarity.py terms):
   see operators/similarity.py — same blocked-pair construction with a
@@ -206,30 +206,40 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash64(text: Column | str, id_weighted: bool = False) -> Column:
-    """64-bit SimHash over tokens: for each bit, sum ±1 across token hashes
-    and take the sign.  Expressed with aggregate() over the token array —
-    per-row, no shuffle.  (Bit j of token hash via shiftright & 1.)"""
-    toks = F.array_distinct(tokens(text))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+SIMHASH_BITS = 60  # md5_int is a 60-bit hash — bits 60..63 carry no signal
 
-    def vote_fn(j: int):
-        # PySpark derives the HOF arity from the lambda signature, so the
-        # bit index is bound via closure, not a default arg.
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
 
-    bit_exprs = []
-    for j in range(64):
-        votes = F.aggregate(hashes, F.lit(0).cast("bigint"), vote_fn(j))
-        bit_exprs.append(F.when(votes > 0, F.lit(1).cast("bigint")).otherwise(0).alias(f"b{j}"))
-    # Pack bits: sum(b_j << j)
-    packed = None
-    for j, be in enumerate(bit_exprs):
-        term = F.shiftleft(be, j)
-        packed = term if packed is None else packed + term
-    return packed
+def simhash60(text: Column | str) -> Column:
+    """60-bit SimHash over distinct tokens: for each bit, sum ±1 across
+    token hashes and take the sign.  Token hashes are md5-derived
+    (:func:`~olap_sus_spark.operators.text.md5_int`), so the value is
+    **engine-portable** — the DuckDB oracle reproduces it bit-exactly from
+    the same md5 arithmetic (queries/text_pipeline.py).
+
+    One ``aggregate()`` pass with a 60-counter array accumulator: the md5
+    transform is evaluated exactly once per row (60 separate per-bit
+    aggregates would re-evaluate the outer hash expression per bit — the
+    HOF re-evaluation gotcha).  Bit j is tested as ``(h % 2^(j+1)) >= 2^j``
+    — pure BIGINT modulo, exact in every engine (shift-by-column isn't
+    expressible in the DataFrame API, and float division would lose bits
+    past 2⁵³).  Per-row, no shuffle."""
+    powers = F.array(*[F.lit(2**j).cast("bigint") for j in range(SIMHASH_BITS)])
+    hashes = F.transform(F.array_distinct(tokens(text)), md5_int)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a
+            + F.when((h % (p + p)) >= p, F.lit(1)).otherwise(F.lit(-1)).cast("bigint"),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
 
 
 def embedding_dup_pairs(

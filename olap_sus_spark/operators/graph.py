@@ -6,6 +6,15 @@ a fixpoint" shapes.  Both follow the same scale discipline: per round, ONE
 shuffle (the rank contribution groupBy) with every other input broadcast,
 and ``localCheckpoint`` truncating lineage so the plan stays flat however
 many rounds run (the kmeans pattern from operators/similarity.py).
+
+PageRank runs in **fixed-point integer arithmetic**: ranks are BIGINT
+multiples of 1/`scale` (default 10⁻¹²), damping is the rational 85/100, and
+every division is integer division.  That makes the fixpoint engine-portable
+— DuckDB reproduces it bit-exactly from an unrolled-CTE twin (the same trick
+as the cent-integer IQR quartiles) — so the iterative operator gets a full
+value-hash oracle instead of a rows-only check.  Mass is monotonically lost
+to truncation (< n_edges + 2·n_nodes units of 10⁻¹² per round), never
+created, so Σ rank ∈ (1 − ε, 1].
 """
 
 from __future__ import annotations
@@ -13,22 +22,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+FP_SCALE = 1_000_000_000_000  # ranks are BIGINT multiples of 1e-12
+
 
 def pagerank(
     edges: DataFrame,
     iters: int = 10,
-    damping: float = 0.85,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = FP_SCALE,
     src: str = "src",
     dst: str = "dst",
 ) -> DataFrame:
-    """PageRank over a directed edge list; returns (node, rank).
+    """PageRank over a directed edge list; returns (node, rank_fp, rank).
 
-    Standard damped formulation with dangling-mass redistribution, so
-    Σ rank == 1 every round (asserted by the unit gate).  Each iteration:
-    contributions = ranks ⋈ edges (broadcast ranks when small, else
-    co-partitioned on src) → groupBy(dst) — one shuffle; the dangling mass
-    and N are 1-row broadcasts.  Deterministic: no RNG, no order
-    dependence (sums are grouped exactly once per node).
+    ``rank_fp`` is the exact BIGINT fixed-point score (multiples of
+    1/``scale``); ``rank`` is its double view (exact: rank_fp < 2⁵³ and
+    ``scale`` is a power of ten, so the division is a single correctly
+    rounded IEEE op in any engine).
+
+    Per iteration, all in BIGINT:
+
+    - contribution of node u over each out-edge: ``rank_fp[u] div grau[u]``;
+    - dangling mass = Σ rank_fp of nodes with no out-edges, redistributed
+      as ``massa div n`` to every node;
+    - ``rank_fp' = base + (damping_num · (soma + massa div n))
+      div damping_den`` where ``base = ((scale · (damping_den −
+      damping_num)) div damping_den) div n``.
+
+    One shuffle per round (the contribution groupBy); degree and the 1-row
+    dangling aggregate are broadcast.  Deterministic: integer sums have no
+    float reassociation, so the result is bit-identical across engines,
+    partitionings, and runs.
 
     At 100 TB-scale graphs, pre-partition ``edges`` by ``src`` once
     (bucketed table) and every round's join is shuffle-free; rank state is
@@ -41,23 +66,32 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_fp"),
+            F.lit(0.0).alias("rank"),
+        )
+    base = ((scale * (damping_den - damping_num)) // damping_den) // n_nodes
     degree = edges.groupBy(F.col(src).alias("node")).agg(
         F.count(F.lit(1)).alias("grau")
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    ranks = nodes.withColumn("rank_fp", F.lit(scale // n_nodes).cast("long"))
 
     for _ in range(iters):
         state = ranks.join(F.broadcast(degree), "node", "left")
         contrib = (
             state.filter(F.col("grau").isNotNull())
             .join(edges.withColumnRenamed(src, "node"), "node")
-            .select(F.col(dst).alias("node"), (F.col("rank") / F.col("grau")).alias("c"))
+            .select(
+                F.col(dst).alias("node"),
+                F.expr("rank_fp div grau").alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("soma"))
         )
-        dangling = (
-            state.filter(F.col("grau").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("massa"))
+        dangling = state.filter(F.col("grau").isNull()).agg(
+            F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("massa")
         )
         ranks = (
             nodes.join(contrib, "node", "left")
@@ -65,11 +99,17 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit((1.0 - damping) / n_nodes)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("soma"), F.lit(0.0)) + F.col("massa") / n_nodes)
-                ).alias("rank"),
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_num} * (coalesce(soma, 0L)"
+                        f" + massa div {n_nodes})) div {damping_den}"
+                    )
+                )
+                .cast("long")
+                .alias("rank_fp"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select(
+        "node", "rank_fp", (F.col("rank_fp") / F.lit(float(scale))).alias("rank")
+    )

@@ -148,13 +148,71 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# PageRank over the co-purchase graph (rows-only: iterative fixpoint, not
-# ANSI-SQL-expressible).  Edges = basket co-occurrence pairs (support ≥ 2),
-# both directions; ranks surface the parts most central to cross-selling.
-# Unit gates (test_graph_unit.py): Σ rank == 1 every run, deterministic
-# across executions, flat plan via localCheckpoint.
+# PageRank over the co-purchase graph.  Edges = basket co-occurrence pairs
+# (support ≥ 2), both directions; ranks surface the parts most central to
+# cross-selling.  The operator runs in fixed-point BIGINT arithmetic
+# (operators/graph.py), so the iterative fixpoint IS SQL-expressible: the
+# oracle unrolls the 8 iterations as chained CTEs over the same integer
+# ops — bit-exact by construction.  The graph is symmetric, hence no
+# dangling nodes and the oracle needs no mass-redistribution arm (the
+# operator's dangling aggregate evaluates to 0 and contributes nothing).
+# Unit gates (test_graph_unit.py): Σ rank ∈ (1−ε, 1], determinism, known
+# orderings, flat plan via localCheckpoint.
 # --------------------------------------------------------------------------
-@register("pagerank_parts")
+_PR_ITERS = 8
+_PR_SCALE = 1_000_000_000_000
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS, scale: int = _PR_SCALE) -> str:
+    head = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pares AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2
+    FROM li a
+    JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+),
+edges AS (
+    SELECT p1 AS src, p2 AS dst FROM pares
+    UNION ALL
+    SELECT p2, p1 FROM pares
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+params AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((({scale} * 15) // 100) // COUNT(*) AS BIGINT) AS base
+    FROM nodes
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS grau FROM edges GROUP BY 1),
+r0 AS (
+    SELECT node, CAST({scale} // p.n AS BIGINT) AS rank_fp
+    FROM nodes CROSS JOIN params p
+)"""
+    steps = "".join(
+        f""",
+r{i} AS (
+    SELECT n2.node,
+           CAST(p.base + (85 * COALESCE(s.soma, 0)) // 100 AS BIGINT) AS rank_fp
+    FROM nodes n2 CROSS JOIN params p
+    LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(r.rank_fp // d.grau) AS BIGINT) AS soma
+        FROM r{i - 1} r
+        JOIN deg d ON d.node = r.node
+        JOIN edges e ON e.src = r.node
+        GROUP BY e.dst
+    ) s ON s.node = n2.node
+)"""
+        for i in range(1, iters + 1)
+    )
+    tail = f"""
+SELECT node AS parte, rank_fp,
+       rank_fp / {float(scale)} AS rank
+FROM r{iters}"""
+    return head + steps + tail
+
+
+@register("pagerank_parts", oracle=_pagerank_oracle())
 def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olap_sus_spark.operators.graph import pagerank
 
@@ -162,7 +220,9 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("p1").alias("src"), F.col("p2").alias("dst")
     ).unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-    return pagerank(edges, iters=8)
+    return pagerank(edges, iters=_PR_ITERS, scale=_PR_SCALE).select(
+        F.col("node").alias("parte"), "rank_fp", "rank"
+    )
 
 
 # --------------------------------------------------------------------------

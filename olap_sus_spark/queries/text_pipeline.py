@@ -291,12 +291,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (rows-only: Spark xxhash64 has no DuckDB twin).
+# SimHash — md5-derived 60-bit token hashes, so the sign-vote aggregation is
+# pure integer arithmetic and DuckDB reproduces every bit.  Bit j of a hash
+# is tested as (h % 2^(j+1)) >= 2^j on both sides (no shift-by-column in the
+# DataFrame API; float division would lose bits past 2^53).
 # ---------------------------------------------------------------------------
-@register("dedup_simhash")
+def _simhash_oracle() -> str:
+    votes = ",\n        ".join(
+        f"CAST(SUM(CASE WHEN (h % {2 ** (j + 1)}) >= {2**j} THEN 1 ELSE -1 END)"
+        f" AS BIGINT) AS v{j}"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    pack = "\n         + ".join(
+        f"(CASE WHEN v.v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(dd.SIMHASH_BITS)
+    )
+    toks = _TOKENS_SQL.format(t="text")
+    return f"""
+WITH t AS (SELECT doc_id, list_distinct({toks}) AS toks FROM documents),
+u AS (
+    SELECT doc_id, unnest(list_transform(toks, x -> {_md5_int_sql('x')})) AS h
+    FROM t
+),
+v AS (SELECT doc_id, {votes} FROM u GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST({pack} AS BIGINT) AS simhash
+FROM t d LEFT JOIN v ON v.doc_id = d.doc_id
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_compute(load_table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", dd.simhash64(F.col("text")).alias("simhash"))
+    return docs.select("doc_id", dd.simhash60(F.col("text")).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -394,7 +421,55 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("corpus_clean_neardup")  # rows-only: iterative CC fixpoint inside
+# The connected-components fixpoint (min label over the component) equals
+# the minimum id reachable over the candidate-pair graph, which a DuckDB
+# recursive CTE computes directly: reach = transitive closure of labels,
+# then MIN per node.  Shared by both near-dup cluster queries; `src_cte`
+# names the CTE holding the (doc_id, text-hash grams) population.
+def _cc_tail_sql(src_cte: str, out_col: str) -> str:
+    return f"""
+g0 AS (
+    SELECT doc_id,
+        list_distinct(list_transform(list_distinct({_GRAMS}), x -> {_md5_int_sql('x')}))
+            AS grams
+    FROM {src_cte}
+),
+g AS (SELECT doc_id, CAST(list_min(grams) AS VARCHAR) AS block, grams FROM g0),
+p AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+    SELECT doc_id AS doc, doc_id AS lbl FROM {src_cte}
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.doc
+)
+SELECT doc AS doc_id, MIN(lbl) AS {out_col} FROM reach GROUP BY doc
+"""
+
+
+_CLEAN_NEARDUP_ORACLE = f"""
+WITH RECURSIVE {_AUG_SQL},
+q AS (
+    SELECT doc_id, text,
+        len({_TOKS}) AS q_tokens,
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+            / CAST(length(text) AS DOUBLE) AS q_punct_ratio,
+        {_langid_sql('text')} AS lang_pred
+    FROM aug
+),
+kept AS (
+    SELECT doc_id, text FROM q
+    WHERE q_tokens >= 5 AND q_punct_ratio <= 0.3 AND lang_pred = 'en'
+),
+{_cc_tail_sql('kept', 'keep_doc')}
+"""
+
+
+@register("corpus_clean_neardup", oracle=_CLEAN_NEARDUP_ORACLE)
 def corpus_clean_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full prep pipeline ending in *near*-dup suppression: quality +
     language filters, then MinHash-free blocked Jaccard clustering over the
@@ -416,11 +491,18 @@ def corpus_clean_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_near_clusters")  # rows-only: iterative fixpoint, not ANSI-SQL
+_NEAR_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_AUG_SQL},
+{_cc_tail_sql('aug', 'cluster_id')}
+"""
+
+
+@register("dedup_near_clusters", oracle=_NEAR_CLUSTERS_ORACLE)
 def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full near-dup pipeline at its scale shape: minhash -> LSH candidates
-    -> exact-Jaccard verify -> connected components -> one row per doc with
-    its cluster representative."""
+    """Full near-dup pipeline at its scale shape: blocked-Jaccard candidate
+    pairs -> connected components (iterative min-label propagation) -> one
+    row per doc with its cluster representative.  The oracle replays the
+    fixpoint as a DuckDB recursive-CTE transitive closure + MIN(label)."""
     docs = augmented_docs(spark, sf_dir)
     verified = dd.jaccard_pairs(docs, threshold=0.5)
     return dd.dedup_clusters(verified, docs.select("doc_id"))

@@ -11,7 +11,7 @@ from olap_sus_spark.operators import text as tx
 
 def _hashes(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "text string")
-    return [r.h for r in df.select(dd.simhash64(F.col("text")).alias("h")).collect()]
+    return [r.h for r in df.select(dd.simhash60(F.col("text")).alias("h")).collect()]
 
 
 def test_simhash_deterministic(spark):
@@ -27,7 +27,7 @@ def test_simhash_locality(spark):
     h_base, h_near, h_far = _hashes(spark, [base, near, far])
 
     def hamming(x, y):
-        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+        return bin((x ^ y) & ((1 << 60) - 1)).count("1")
 
     assert hamming(h_base, h_near) < hamming(h_base, h_far)
     assert hamming(h_base, h_near) <= 16  # near-dup within typical threshold
