@@ -6,10 +6,14 @@ functions over ``mapInPandas`` (never row-at-a-time Python UDFs).  The
 reference has no media columns, so this module is a pure extension
 (BASELINE.json north star).
 
-The decode/resize/frame-sample steps need codec libraries that are not in
-this container, so they are STUBBED: each has the real Spark plumbing
-(schema, batching, partition behavior) and a deterministic fake used by
-tests, with the codec call isolated behind ``NotImplementedError``.
+Image *dimension/type extraction* is fully real — a codec-free pure-Python
+header parser (PNG IHDR / GIF logical screen / JPEG SOF marker walk, see
+:func:`parse_image_dimensions`) verified end-to-end against real container
+headers.  Only the pixel-level steps (resize, frame demux, feature
+encoding) need codec libraries that are not in this container; those run
+deterministic fakes inside the same real Spark plumbing (schema, batching,
+partition behavior), so swapping in Pillow/libvips/PyAV touches one
+function body each.
 
 Scale notes: mapInPandas streams Arrow batches, so payloads never
 materialize on the driver; per-batch work is embarrassingly parallel with
@@ -98,14 +102,90 @@ def extract_metadata(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, METADATA_SCHEMA)
 
 
-def decode_image(payload: bytes, mime: str) -> tuple[int, int]:
-    """Decode an image payload to (width, height).
+def parse_image_dimensions(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """Codec-free image header probe → (mime, width, height).
 
-    STUB — codec libraries (Pillow/libvips) are not installed here.  The
-    Spark-side plumbing that calls this (schema, batching) is real and
-    tested via :func:`extract_metadata`-style fakes.
+    Pure-Python struct parsing of the three dominant container headers — no
+    Pillow/libvips needed (pixel *decode* still requires a codec library,
+    but dimension/type extraction, the metadata every pipeline wants, does
+    not):
+
+    - PNG: 8-byte signature, then the IHDR chunk holds width/height as
+      big-endian u32 at offsets 16/20;
+    - GIF (87a/89a): logical screen descriptor, little-endian u16 at 6/8;
+    - JPEG: walk the marker segments from SOI; any SOF0–SOF3 frame header
+      carries height/width as big-endian u16 at offsets +5/+7 (skipping
+      APPn/COM/quantization segments by their declared lengths).
+
+    Returns (None, None, None) for unrecognized or truncated payloads, and
+    ('image/jpeg', None, None) for a JPEG whose SOF marker never appears —
+    the caller keeps nulls instead of erroring mid-batch.
     """
-    raise NotImplementedError("image decode requires a codec library (Pillow/libvips)")
+    if payload is None:
+        return (None, None, None)
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        return (
+            "image/png",
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+        )
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            "image/gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0–SOF3
+                return (
+                    "image/jpeg",
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            if 0xD0 <= marker <= 0xD9:  # RSTn/SOI/EOI: no length field
+                i += 2
+                continue
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+        return ("image/jpeg", None, None)
+    return (None, None, None)
+
+
+DIMENSIONS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("mime_detected", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def image_dimensions(assets: DataFrame) -> DataFrame:
+    """(asset_id, mime_detected, width, height) per asset via Arrow-batched
+    mapInPandas over :func:`parse_image_dimensions` — same no-shuffle,
+    payload-stays-on-executor shape as :func:`extract_metadata`."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            parsed = [parse_image_dimensions(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "mime_detected": [m for m, _, _ in parsed],
+                    "width": pd.array([w for _, w, _ in parsed], dtype="Int32"),
+                    "height": pd.array([h for _, _, h in parsed], dtype="Int32"),
+                }
+            )
+
+    return assets.mapInPandas(batches, DIMENSIONS_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(

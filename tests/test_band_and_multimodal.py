@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 
 from olap_sus_spark.operators.joins import band_join, band_label
 from olap_sus_spark.operators.multimodal import (
-    decode_image,
     extract_metadata,
     sample_frames,
     text_as_assets,
@@ -85,11 +84,6 @@ def test_sample_frames_shape(spark):
     assert all(isinstance(f.frame, (bytes, bytearray)) for f in frames)
 
 
-def test_decode_image_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG", "image/png")
-
-
 def test_resize_and_features_batch_shapes(spark):
     from olap_sus_spark.operators import multimodal as mm
     from pyspark.sql import functions as F
@@ -112,3 +106,30 @@ def test_resize_and_features_batch_shapes(spark):
     assert feats[2] is None
     assert len(feats[1]) == 8
     assert all(0.0 <= v <= 1.0 for v in feats[1])
+
+
+def test_parse_image_dimensions_edge_cases():
+    """Pure-Python header parser: real headers, truncation, unknown bytes."""
+    from olap_sus_spark.operators import multimodal as mm
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + b"\x08\x06\x00\x00\x00" + b"\xde\xad\xbe\xef"
+    )
+    assert mm.parse_image_dimensions(png) == ("image/png", 640, 480)
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\xf7\x00\x00"
+    assert mm.parse_image_dimensions(gif) == ("image/gif", 320, 200)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"  # APP0 skipped
+        + b"\xff\xc2\x00\x11\x08"  # progressive SOF2 counts too
+        + (99).to_bytes(2, "big") + (123).to_bytes(2, "big")
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01" + b"\xff\xd9"
+    )
+    assert mm.parse_image_dimensions(jpeg) == ("image/jpeg", 123, 99)
+    assert mm.parse_image_dimensions(None) == (None, None, None)
+    assert mm.parse_image_dimensions(b"not an image") == (None, None, None)
+    assert mm.parse_image_dimensions(png[:20]) == (None, None, None)  # truncated IHDR
+    assert mm.parse_image_dimensions(b"\xff\xd8\xff\xd9") == ("image/jpeg", None, None)
