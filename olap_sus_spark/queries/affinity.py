@@ -114,9 +114,9 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         m.join(F.broadcast(anc))
         .join(
-            F.broadcast(
-                cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
-            ),
+            # both sides are customer-cardinality: co-partitioned shuffle
+            # join on the key (a hard broadcast hint would OOM at scale)
+            cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
             "o_custkey",
         )
         .select(

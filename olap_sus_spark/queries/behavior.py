@@ -393,8 +393,20 @@ JOIN dim d ON d.user_id = p.user_id
 
 @register("point_in_time_status", oracle=_PIT_ORACLE)
 def point_in_time_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dim = scd2_user_status(spark, sf_dir).select(
-        "user_id", "estado", F.col("valid_from").alias("ts")
+    # Change rows re-derived WITH their source event_id (scd2_user_status
+    # drops it from its output): two changes at an identical ts must
+    # tie-break on event_id, matching the oracle's interval join where the
+    # later (ts, event_id) change wins and the earlier gets a zero-width
+    # interval.  The window orders by (ts, kind, ord) with ord = the source
+    # event_id on BOTH arms, so the resolution is fully deterministic.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("estado")
+    )
+    wd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.withColumn("anterior", F.lag("estado").over(wd))
+        .filter(F.col("anterior").isNull() | (F.col("estado") != F.col("anterior")))
+        .select("user_id", "ts", "event_id", "estado")
     )
     facts = (
         load_table(spark, sf_dir, "events")
@@ -403,16 +415,17 @@ def point_in_time_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tagged = dim.select(
         "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
-        "estado", F.lit(0).alias("kind")
+        "estado", F.lit(0).alias("kind"), F.col("event_id").alias("ord"),
     ).unionByName(
         facts.select(
             "user_id", "ts", "event_id",
             F.lit(None).cast("string").alias("estado"), F.lit(1).alias("kind"),
+            F.col("event_id").alias("ord"),
         )
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "kind")
+        .orderBy("ts", "kind", "ord")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     vigente = F.last(F.when(F.col("kind") == 0, F.col("estado")), ignorenulls=True)

@@ -62,16 +62,16 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - F.col("l_discount").cast("decimal(6,4)")
     )
     base = (
+        # No broadcast hint on orders: it is a fact table (a hard hint never
+        # degrades to a shuffle join, it OOMs at real scale).  AQE picks the
+        # strategy — shuffle join on l_orderkey at 100 TB, broadcast at
+        # small SF if it sees fit.  The dims below stay hard-broadcast.
         li.join(
-            F.broadcast(
-                orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
-            ),
+            orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"),
             "l_orderkey",
         )
         .join(
-            F.broadcast(
-                supp.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
-            ),
+            supp.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"),
             "l_suppkey",
         )
         .join(

@@ -86,8 +86,11 @@ def rollup_family_schooling(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return (
+        # part/customer grow linearly with SF — no hard broadcast hint (it
+        # cannot degrade to a shuffle join at 100 TB); AQE broadcasts them
+        # when they actually fit.  Bounded dims keep explicit hints.
         li.join(
-            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")),
+            part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
             "l_partkey",
         )
         .join(
@@ -95,7 +98,7 @@ def rollup_family_schooling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
         )
         .join(
-            F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")),
+            cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"),
             "o_custkey",
         )
         .groupBy(F.col("p_brand").alias("familia"), F.col("c_mktsegment").alias("escolaridade"))
@@ -189,7 +192,7 @@ def slice_dice_city_years(
     )
     return (
         orders.filter(F.year("o_orderdate").between(y0, y1))
-        .join(F.broadcast(cust_keys), "o_custkey")
+        .join(cust_keys, "o_custkey")  # customer-derived: linear, AQE decides
         .groupBy(
             month_name_ptbr(F.col("o_orderdate")).alias("mes"),
             F.year("o_orderdate").alias("ano"),
@@ -236,7 +239,7 @@ def pivot_year_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "r_name")
     )
     pivoted = (
-        orders.join(F.broadcast(geo), "o_custkey")
+        orders.join(geo, "o_custkey")  # geo is customer-cardinality: no hard hint
         .groupBy(F.year("o_orderdate").alias("ano"))
         .pivot("r_name", _REGIONS)
         .agg(F.sum(dec("o_totalprice")))
@@ -295,13 +298,13 @@ def drill_across_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_custkey"), F.col("n_name"))
     )
     ord_agg = (
-        orders.join(F.broadcast(geo.withColumnRenamed("c_custkey", "o_custkey")), "o_custkey")
+        orders.join(geo.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
         .groupBy(F.year("o_orderdate").alias("ano"), F.col("n_name").alias("nacao"))
         .agg(F.count(F.lit(1)).alias("quantidade_pedidos"))
     )
     ship_agg = (
         li.join(orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"), "l_orderkey")
-        .join(F.broadcast(geo.withColumnRenamed("c_custkey", "o_custkey")), "o_custkey")
+        .join(geo.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
         .groupBy(F.year("l_shipdate").alias("ano"), F.col("n_name").alias("nacao"))
         .agg(money_sum("l_extendedprice", "receita_enviada"))
     )
@@ -376,7 +379,9 @@ def topk_parts_per_nation(spark: SparkSession, sf_dir: str, k: int = 10) -> Data
             "s_nationkey",
         )
         .join(
-            F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_name")),
+            # the top-k frame (≤ k·25 rows) is the small side here — AQE
+            # broadcasts it; a hard hint on linear-growth part would OOM.
+            part.select(F.col("p_partkey").alias("l_partkey"), "p_name"),
             "l_partkey",
         )
         .select(

@@ -46,9 +46,7 @@ def count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     joined = orders.join(
-        F.broadcast(
-            cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment", "c_nationkey")
-        ),
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment", "c_nationkey"),
         "o_custkey",
     ).join(
         F.broadcast(nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")),
@@ -290,7 +288,8 @@ def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
     return (
         a.join(
-            F.broadcast(b),
+            b,  # blocked equi-join on bloco — shuffles at scale; AQE
+            # broadcasts the build side only while it actually fits
             (F.col("a.bloco") == F.col("b.bloco"))
             & (F.col("a.p_partkey") < F.col("b.p_partkey"))
             & (
@@ -533,7 +532,9 @@ def argmax_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(top), rev.receita_dec == F.col("m"))
         .join(
-            F.broadcast(supp.select(F.col("s_suppkey"), "s_name")),
+            # the argmax frame (1 row) is the small side — AQE broadcasts
+            # it; supplier grows with SF, so no hard hint on it.
+            supp.select(F.col("s_suppkey"), "s_name"),
             rev.l_suppkey == F.col("s_suppkey"),
         )
         .select(
@@ -606,9 +607,7 @@ def contribution_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     rev = (
         orders.join(
-            F.broadcast(
-                cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
-            ),
+            cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
             "o_custkey",
         )
         .join(

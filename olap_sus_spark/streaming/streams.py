@@ -217,7 +217,10 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     def update(key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState):
         last_us, sess = state.get if state.exists else (-1, 0)
         batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        ts_us = batch["ts"].astype("int64") // 1000
+        # Normalize to ns before the int64 view: pandas 2 can hand Arrow
+        # batches over as datetime64[us], where a fixed //1000 would turn
+        # micros into millis and merge nearly all sessions.
+        ts_us = batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
         prev = ts_us.shift(1)
         prev.iloc[0] = last_us if last_us >= 0 else float("nan")
         quebra = prev.isna() | (ts_us - prev > gap_us)
@@ -249,18 +252,26 @@ def funnel_stream(events: DataFrame) -> DataFrame:
 
     State = (first_view_us, first_qualifying_click_us, stage) — three
     scalars per user, bounded.  Requires per-user ts-ordered arrival for
-    exact batch parity (same prerequisite as sessionize_stream; the batch
-    twin's RANGE framing additionally lets equal-timestamp events see each
-    other, so parity is exact when per-user timestamps are strictly
-    increasing — true of microsecond event streams in practice).
+    exact batch parity (same prerequisite as sessionize_stream).  The batch
+    twin's RANGE framing lets equal-timestamp events see each other (its
+    gates compare with >=), so within a micro-batch events are processed in
+    (ts, stage-kind, event_id) order — all views at a timestamp before the
+    clicks at that timestamp before its purchases — which reproduces the
+    >=-gate result even when a later-stage event carries a smaller
+    event_id at the same ts.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    _KIND_RANK = {"view": 0, "click": 1, "purchase": 2}
+
     def update(key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState):
         fv, fc, stage = state.get if state.exists else (-1, -1, 0)
-        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        ts_us = batch["ts"].astype("int64") // 1000
+        batch = pd.concat(list(pdfs))
+        batch = batch.assign(
+            _kind_rank=batch["event_type"].map(_KIND_RANK).fillna(3).astype("int64")
+        ).sort_values(["ts", "_kind_rank", "event_id"])
+        ts_us = batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
         for t, kind in zip(ts_us, batch["event_type"]):
             if kind == "view" and fv < 0:
                 fv, stage = t, max(stage, 1)
