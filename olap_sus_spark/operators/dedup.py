@@ -286,6 +286,10 @@ def dedup_clusters(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # Materialize once: the candidate-pair pipeline upstream (shingling +
+        # blocked self-join) must not be re-executed on every iteration —
+        # edges are re-read by every round's join AND the convergence check.
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(id_col).alias("src"), F.col(id_col).alias("label"))
     for _ in range(max_iter):
@@ -294,21 +298,21 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # The convergence flag rides in the frame itself: one checkpoint
+        # materializes both the new labels and the change count, so each
+        # round is exactly one join+groupBy+join pipeline — no separate
+        # old-vs-new comparison join.
         new_labels = (
             labels.join(neighbor_min, "src", "left")
             .select(
                 "src",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("label") > F.coalesce("nbr_label", "label")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))

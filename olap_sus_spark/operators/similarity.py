@@ -20,6 +20,8 @@ reassociation on either side).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -99,25 +101,24 @@ def assign_centroids(
     )
 
 
-def ivf_topk(
-    emb: DataFrame,
+def ivf_probe(
+    indexed: DataFrame,
+    centroids: DataFrame,
     queries: DataFrame,
-    num_centroids: int = 16,
     nprobe: int = 4,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """IVF approximate top-k: probe the nprobe nearest centroid lists only.
+    """Query-path half of IVF: given a built index (``indexed`` =
+    (id, vec, centroid_id) assignments + the centroid table), probe the
+    nprobe nearest centroid lists and rerank by exact cosine.
 
-    Deterministic 'training': centroids = the num_centroids smallest-id
-    vectors (swap in k-means offline at scale; the index machinery is the
-    same).
+    This is what a serving query costs once the index is maintained as a
+    table — the assignment pass (:func:`assign_centroids`) amortizes across
+    every query, exactly like a real vector store's index build.
     """
-    centroids = emb.orderBy(id_col).limit(num_centroids)
-    indexed = assign_centroids(emb, centroids, id_col, vec_col)
-
     # Queries probe their nprobe nearest centroids.
     cents = _as_double(centroids, vec_col, "centv").select(
         F.col(id_col).alias("centroid_id"), "centv"
@@ -148,6 +149,29 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: index build (assignment) + probe in one plan.
+
+    Deterministic 'training': centroids = the num_centroids smallest-id
+    vectors (swap in k-means offline at scale; the index machinery is the
+    same).  :func:`ivf_probe` is the serving half when the index is
+    maintained as a table.
+    """
+    centroids = emb.orderBy(id_col).limit(num_centroids)
+    indexed = assign_centroids(emb, centroids, id_col, vec_col)
+    return ivf_probe(indexed, centroids, queries, nprobe, k, id_col, vec_col,
+                     query_id_col)
 
 
 def kmeans_centroids(
@@ -279,23 +303,20 @@ def srp_buckets(
     )
 
 
-def lsh_topk(
-    emb: DataFrame,
-    dim: int,
+def lsh_probe(
+    b: DataFrame,
     n_query: int = 5,
-    n_tables: int = 12,
-    n_bits: int = 4,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """LSH-bucketed ANN top-k: candidates = bucket collisions in ANY table,
-    exact-cosine reranked.  The collision join is an equi-join on
+    """Query-path half of SRP-LSH: given the bucket table ``b`` =
+    (id, vec, t, bucket) rows (from :func:`srp_buckets`, live or loaded from
+    a maintained index table), join bucket collisions and rerank the deduped
+    candidates by exact cosine.  The collision join is an equi-join on
     (table, bucket) — the corpus shuffles its *signatures*, vectors move
-    only for the deduped candidate pairs.  Complements ivf_topk: no
-    training step, recall tuned by (L, H) instead of (centroids, nprobe).
+    only for the deduped candidate pairs.
     """
-    b = srp_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
     qb = b.filter(F.col(id_col) < n_query).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "t", "bucket"
     )
@@ -322,3 +343,124 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    dim: int,
+    n_query: int = 5,
+    n_tables: int = 12,
+    n_bits: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP-LSH ANN top-k: signature pass (index build) + probe in one plan.
+
+    Complements ivf_topk: no training step, recall tuned by (L, H) instead
+    of (centroids, nprobe).  :func:`lsh_probe` is the serving half when the
+    bucket table is maintained as an index table
+    (:func:`load_or_build_srp_index`).
+    """
+    b = srp_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
+    return lsh_probe(b, n_query, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Maintained index tables
+#
+# Real vector-search deployments build the index ONCE per corpus version and
+# amortize it over every query; only the probe is on the serving path.  The
+# helpers below persist the SRP bucket table / IVF assignment+centroid tables
+# as Parquet via the warehouse sink machinery (sources/sinks.py), keyed by
+# the corpus file's identity (path + mtime + size) so a changed corpus
+# invalidates the index.  The bucket table is written range-partitioned and
+# sorted on (t, bucket): Parquet min/max footer stats then prune
+# non-colliding files for any selective probe.
+
+
+def _index_root() -> str:
+    import tempfile
+
+    return os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_ann_index"),
+    )
+
+
+def _corpus_stamp(sf_dir: str, table: str = "embeddings") -> str:
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        return f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        return "na"
+
+
+def srp_index_path(sf_dir: str, dim: int, n_tables: int, n_bits: int) -> str:
+    import hashlib
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{_corpus_stamp(sf_dir)}|{dim}|{n_tables}|{n_bits}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(_index_root(), f"srp_{key}")
+
+
+def ivf_index_path(sf_dir: str, num_centroids: int) -> str:
+    import hashlib
+
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{_corpus_stamp(sf_dir)}|ivf|{num_centroids}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(_index_root(), f"ivf_{key}")
+
+
+def load_or_build_srp_index(
+    spark,
+    sf_dir: str,
+    dim: int,
+    n_tables: int = 12,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Return the (id, vec, t, bucket) SRP bucket table for the corpus at
+    ``sf_dir``, building + persisting it on first use (index build), loading
+    the Parquet table afterwards (serving path)."""
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.sources.sinks import write_sorted
+
+    path = srp_index_path(sf_dir, dim, n_tables, n_bits)
+    if not os.path.exists(path):
+        emb = load_table(spark, sf_dir, "embeddings")
+        b = srp_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
+        os.makedirs(_index_root(), exist_ok=True)
+        write_sorted(b, path, sort_cols=["t", "bucket"], files=4)
+    return spark.read.parquet(path)
+
+
+def load_or_build_ivf_index(
+    spark,
+    sf_dir: str,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Return (assignments, centroids) for the IVF index over the corpus at
+    ``sf_dir``, building + persisting both tables on first use.  Assignments
+    are written range-partitioned + sorted on centroid_id so a probe of a
+    few lists prunes most files via footer stats."""
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.sources.sinks import write_sorted
+
+    path = ivf_index_path(sf_dir, num_centroids)
+    apath = os.path.join(path, "assignments")
+    cpath = os.path.join(path, "centroids")
+    if not (os.path.exists(apath) and os.path.exists(cpath)):
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = emb.orderBy(id_col).limit(num_centroids)
+        assigned = assign_centroids(emb, centroids, id_col, vec_col)
+        os.makedirs(path, exist_ok=True)
+        write_sorted(assigned, apath, sort_cols=["centroid_id"], files=4)
+        centroids.coalesce(1).write.mode("overwrite").parquet(cpath)
+    return spark.read.parquet(apath), spark.read.parquet(cpath)

@@ -140,3 +140,35 @@ def test_lsh_recall_vs_brute_force(spark):
         total += len(want)
     assert total > 0
     assert hit / total >= 0.5, f"recall@5 too low: {hit}/{total}"
+
+
+def test_probe_queries_match_inline_variants(spark, tmp_path, monkeypatch):
+    """The maintained-index probe path (build once → persist → probe) must
+    return exactly the rows of the build-inline variants, and the second
+    call must reuse the persisted index (no rebuild)."""
+    import os
+
+    from olap_sus_spark.queries import vector as vq
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+
+    for inline, probe in [
+        ("ann_lsh_topk", "ann_lsh_probe_topk"),
+        ("ann_ivf_topk", "ann_ivf_probe_topk"),
+    ]:
+        from olap_sus_spark.registry import QUERIES
+
+        want = sorted(map(tuple, QUERIES[inline](spark, SF_DIR).collect()))
+        got = sorted(map(tuple, QUERIES[probe](spark, SF_DIR).collect()))
+        assert got == want, probe
+
+    # Index dirs were materialized under the overridden root and are reused.
+    built = os.listdir(tmp_path)
+    assert any(d.startswith("srp_") for d in built), built
+    assert any(d.startswith("ivf_") for d in built), built
+    mtimes = {d: os.path.getmtime(os.path.join(tmp_path, d)) for d in built}
+    from olap_sus_spark.registry import QUERIES
+
+    QUERIES["ann_lsh_probe_topk"](spark, SF_DIR).collect()
+    assert {d: os.path.getmtime(os.path.join(tmp_path, d)) for d in built} == mtimes

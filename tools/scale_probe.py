@@ -1,0 +1,112 @@
+"""100× scale probe for the dedup / ANN / text-pipeline family.
+
+Replicates documents + embeddings ×N with shifted ids (duplicate-cluster
+*density* preserved: each replica keeps its internal duplicate structure;
+texts get a per-replica suffix token and vectors a small deterministic
+per-replica perturbation so clusters do not merge across replicas), stages
+the result as a synthetic sf_dir, and times the registered queries against
+it — the same recipe as the events probes recorded in PLANS.md.
+
+Usage: python tools/scale_probe.py [N] [query ...]
+Defaults: N=100, the dedup/ANN/text headline family.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from olap_sus_spark.catalog import load_table  # noqa: E402
+from olap_sus_spark.session import get_spark  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+DEFAULT_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_near_clusters",
+    "dedup_simhash",
+    "ann_ivf_probe_topk",
+    "ann_lsh_probe_topk",
+    "text_quality_features",
+    "document_chunking",
+    "corpus_clean_pipeline",
+    "corpus_source_mixing",
+]
+
+
+def replicate(spark, n: int, out_dir: str) -> None:
+    docs = load_table(spark, BASE_SF, "documents")
+    emb = load_table(spark, BASE_SF, "embeddings")
+    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+    # Documents: shift ids, salt the text tail with a replica token so
+    # duplicate clusters stay within-replica (density preserved, count ×N).
+    d = (
+        docs.select("*", rep)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * max_doc)
+        .withColumn(
+            "text", F.concat_ws(" ", F.col("text"), F.concat(F.lit("rtag"), F.col("rep")))
+        )
+        .drop("rep")
+    )
+    # Embeddings: shift ids, deterministically perturb each component so
+    # replicas are near but not identical vectors (cluster density kept).
+    e = (
+        emb.select("*", rep)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * max_vec)
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (x, i) -> cast(x + sin(rep * 97 + i) * 0.05 as float))"
+            ),
+        )
+        .drop("rep")
+    )
+    d.repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    e.repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    names = sys.argv[2:] or DEFAULT_QUERIES
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    import olap_sus_spark.queries  # noqa: F401
+
+    from olap_sus_spark.registry import QUERIES
+
+    out_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_probe_x{n}")
+    if not os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
+        t0 = time.perf_counter()
+        replicate(spark, n, out_dir)
+        print(f"replicated x{n} in {time.perf_counter() - t0:.1f}s -> {out_dir}")
+
+    for name in names:
+        if name not in QUERIES:
+            print(f"{name}: NOT REGISTERED")
+            continue
+        best, rows = float("inf"), -1
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = QUERIES[name](spark, out_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            print(f"{name}: {best:.2f}s  rows={rows}")
+        except Exception as exc:  # noqa: BLE001 — probe keeps going
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
