@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_jaccard_pairs",
     "dedup_near_clusters",  # linear-output near-dup shape (the 100 TB path)
+    "dedup_near_clusters_star",  # star-reduced edges: linear under mega-clusters
     "ann_cosine_topk",
     "ann_ivf_probe_topk",  # serving path over a maintained IVF index
     "ann_lsh_probe_topk",  # serving path over a maintained SRP bucket index

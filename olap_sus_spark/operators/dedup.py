@@ -266,6 +266,50 @@ def embedding_dup_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+def star_edges(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Star-reduced candidate edges: per min-gram block, connect every member
+    to the block's smallest id (the hub) instead of all-pairs, then verify
+    each edge with exact n-gram Jaccard.
+
+    This is the mega-cluster-safe edge generator: a document duplicated m
+    times produces m−1 edges instead of m²/2 pairs, so the edge count —
+    and the connected-components input — stays LINEAR in corpus size no
+    matter how pathological the duplicate density (boilerplate pages at
+    100 TB are exactly this).  The cost is recall through the hub only:
+    two docs similar to each other but not to the hub are not directly
+    linked (they still cluster if a verified path exists).  All joins are
+    equi (block, then hub id); nothing quadratic anywhere.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(F.array_distinct(token_ngrams(F.col(text_col), n)), md5_int)
+        ).alias("grams_h"),
+    ).withColumn("block", F.array_min(F.col("grams_h")).cast("string"))
+    hubs = grams.groupBy("block").agg(F.min(id_col).alias("hub_id"))
+    members = (
+        grams.join(hubs, "block")
+        .filter(F.col(id_col) != F.col("hub_id"))
+        .select(F.col("hub_id"), F.col(id_col).alias("id_b"), F.col("grams_h").alias("grams_b"))
+    )
+    hub_grams = grams.select(
+        F.col(id_col).alias("hub_id"), F.col("grams_h").alias("grams_a")
+    )
+    pairs = members.join(hub_grams, "hub_id")
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    union = F.size(F.array_union("grams_a", "grams_b"))
+    jac = inter.cast("double") / union.cast("double")
+    return pairs.select(
+        F.col("hub_id").alias("id_a"), "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     nodes: DataFrame,

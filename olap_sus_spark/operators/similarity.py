@@ -240,6 +240,17 @@ def kmeans_inertia(emb: DataFrame, centroids: DataFrame,
     return best.agg(F.avg("best")).first()[0]
 
 
+def auto_bits(corpus_rows: int, target_bucket: int = 256) -> int:
+    """Recommended SRP bits per table for a given corpus size: keeps the
+    expected bucket occupancy near ``target_bucket`` (so probe candidate
+    sets stay bounded as the corpus grows — with fixed bits, candidates
+    grow linearly with N).  Recall is then tuned by n_tables.  The tiny
+    test corpora use the 4-bit floor; a 10⁹-vector corpus gets ~22 bits."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(1, corpus_rows) / target_bucket)))
+
+
 def _srp_plane(table: int, bit: int, dim: int) -> list[float]:
     """Deterministic ±1 hyperplane: md5 parity of 'table_bit_dim-index'.
 
@@ -433,9 +444,13 @@ def load_or_build_srp_index(
     path = srp_index_path(sf_dir, dim, n_tables, n_bits)
     if not os.path.exists(path):
         emb = load_table(spark, sf_dir, "embeddings")
-        b = srp_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
+        # Materialize the signature pass once: write_sorted's range
+        # partitioner runs a sampling job first, which would otherwise
+        # execute the (compute-heavy) signature expressions twice.
+        b = srp_buckets(emb, dim, n_tables, n_bits, id_col, vec_col).persist()
         os.makedirs(_index_root(), exist_ok=True)
         write_sorted(b, path, sort_cols=["t", "bucket"], files=4)
+        b.unpersist()
     return spark.read.parquet(path)
 
 
@@ -459,8 +474,11 @@ def load_or_build_ivf_index(
     if not (os.path.exists(apath) and os.path.exists(cpath)):
         emb = load_table(spark, sf_dir, "embeddings")
         centroids = emb.orderBy(id_col).limit(num_centroids)
-        assigned = assign_centroids(emb, centroids, id_col, vec_col)
+        # persist: the range partitioner's sampling job would otherwise run
+        # the assignment scoring pass a second time.
+        assigned = assign_centroids(emb, centroids, id_col, vec_col).persist()
         os.makedirs(path, exist_ok=True)
         write_sorted(assigned, apath, sort_cols=["centroid_id"], files=4)
+        assigned.unpersist()
         centroids.coalesce(1).write.mode("overwrite").parquet(cpath)
     return spark.read.parquet(apath), spark.read.parquet(cpath)

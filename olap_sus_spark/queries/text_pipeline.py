@@ -508,6 +508,56 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(verified, docs.select("doc_id"))
 
 
+# Star-reduced variant: per-block hub edges instead of all-pairs.  A doc
+# duplicated m times contributes m−1 verified edges, not m²/2 — the edge
+# set (and the CC input) stays linear under boilerplate mega-clusters,
+# which is what actually breaks pair-emitting dedup at 100 TB (the ×100
+# probe OOMed the all-pairs path when replicas merged into one cluster).
+def _cc_star_tail_sql(src_cte: str, out_col: str) -> str:
+    return f"""
+g0 AS (
+    SELECT doc_id,
+        list_distinct(list_transform(list_distinct({_GRAMS}), x -> {_md5_int_sql('x')}))
+            AS grams
+    FROM {src_cte}
+),
+g AS (SELECT doc_id, CAST(list_min(grams) AS VARCHAR) AS block, grams FROM g0),
+hub AS (SELECT block, MIN(doc_id) AS hub_id FROM g GROUP BY block),
+p AS (
+    SELECT h.hub_id AS id_a, m.doc_id AS id_b
+    FROM g m JOIN hub h ON m.block = h.block AND m.doc_id != h.hub_id
+    JOIN g gh ON gh.doc_id = h.hub_id
+    WHERE CAST(len(list_intersect(gh.grams, m.grams)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(gh.grams, m.grams))) AS DOUBLE) >= 0.5
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+    SELECT doc_id AS doc, doc_id AS lbl FROM {src_cte}
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.doc
+)
+SELECT doc AS doc_id, MIN(lbl) AS {out_col} FROM reach GROUP BY doc
+"""
+
+
+_NEAR_CLUSTERS_STAR_ORACLE = f"""
+WITH RECURSIVE {_AUG_SQL},
+{_cc_star_tail_sql('aug', 'cluster_id')}
+"""
+
+
+@register("dedup_near_clusters_star", oracle=_NEAR_CLUSTERS_STAR_ORACLE)
+def dedup_near_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mega-cluster-safe near-dup clustering: star-reduced verified edges
+    (operators/dedup.py:star_edges) -> connected components.  Linear edge
+    count regardless of duplicate density; the trade is recall through the
+    hub only (docs similar to each other but not to the hub link only via
+    a verified path)."""
+    docs = augmented_docs(spark, sf_dir)
+    edges = dd.star_edges(docs, threshold=0.5)
+    return dd.dedup_clusters(edges, docs.select("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # Overlapping token-window chunking — the document → training-sample
 # transform every LLM data pipeline runs after cleaning/dedup (fixed

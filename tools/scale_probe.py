@@ -32,6 +32,7 @@ DEFAULT_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_near_clusters",
+    "dedup_near_clusters_star",
     "dedup_simhash",
     "ann_ivf_probe_topk",
     "ann_lsh_probe_topk",
@@ -49,13 +50,29 @@ def replicate(spark, n: int, out_dir: str) -> None:
     max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
 
     rep = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
-    # Documents: shift ids, salt the text tail with a replica token so
-    # duplicate clusters stay within-replica (density preserved, count ×N).
+    # Documents: shift ids and INTERLEAVE a salt word after every original
+    # word, tagged with (replica, preceding word).  Original tokens survive,
+    # so stopword counts (langid), punct/length quality features, and
+    # exact-dup structure are preserved per replica; every token n-gram
+    # picks up a salt, so cross-replica shingle overlap is zero — duplicate
+    # clusters keep their size and multiply in count ("density preserved").
+    # Recipe archaeology, each variant probed: a mere suffix token keeps
+    # cross-replica Jaccard ≈ 1 and merges clusters ×N (39M pairs + OOM);
+    # per-word rewriting kills the stopwords and zeroes the language-gated
+    # pipelines; a CONSTANT interleaved salt manufactures shared
+    # (salt, w, salt) trigrams between any two docs sharing vocabulary and
+    # inflates within-replica pair counts ~20×.  Word-dependent salts make
+    # shingle overlap require shared original word *bigrams* — closest to
+    # the original trigram similarity structure.
     d = (
         docs.select("*", rep)
         .withColumn("doc_id", F.col("doc_id") + F.col("rep") * max_doc)
         .withColumn(
-            "text", F.concat_ws(" ", F.col("text"), F.concat(F.lit("rtag"), F.col("rep")))
+            "text",
+            F.expr(
+                "array_join(flatten(transform(split(text, ' '),"
+                " w -> array(w, concat('qq', rep, w)))), ' ')"
+            ),
         )
         .drop("rep")
     )
