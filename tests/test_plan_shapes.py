@@ -174,3 +174,35 @@ def test_behavior_and_quality_plan_shapes(spark):
         plan = plan_of(QUERIES[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1, name
+
+
+def test_ann_probe_and_star_cluster_plan_shapes(spark, tmp_path, monkeypatch):
+    """Scale contracts of the maintained-index ANN serving path and the
+    star-reduced near-dup edges: equi/broadcast joins only, and the SRP
+    probe's query filter reaches the index table's parquet scan."""
+    import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.operators import dedup as dd
+    from olap_sus_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    probe = plan_of(QUERIES["ann_lsh_probe_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in probe
+    assert "BroadcastNestedLoopJoin" not in probe
+    assert "SortMergeJoin" not in probe
+    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)" in probe
+
+    ivf = plan_of(QUERIES["ann_ivf_probe_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in ivf
+    # the only nested loop is the documented query×centroid cross — a
+    # broadcast of the 16-row centroid table (PLANS.md)
+    assert n_nodes(ivf, "BroadcastNestedLoopJoin") <= 1
+    assert n_nodes(ivf, "BroadcastHashJoin") >= 1  # probe ⋈ assignments
+
+    # star edges: two equi-joins (hub assignment + hub grams), nothing
+    # quadratic, regardless of block sizes
+    from olap_sus_spark.catalog import load_table
+
+    star = plan_of(dd.star_edges(load_table(spark, SF_DIR, "documents")))
+    assert "CartesianProduct" not in star
+    assert "BroadcastNestedLoopJoin" not in star

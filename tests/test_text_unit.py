@@ -172,3 +172,20 @@ def test_probe_queries_match_inline_variants(spark, tmp_path, monkeypatch):
 
     QUERIES["ann_lsh_probe_topk"](spark, SF_DIR).collect()
     assert {d: os.path.getmtime(os.path.join(tmp_path, d)) for d in built} == mtimes
+
+
+def test_star_edges_linear_in_cluster_size(spark):
+    """A cluster of m near-identical docs yields exactly m-1 star edges
+    (all through the hub), not m(m-1)/2 pairs — the mega-cluster guarantee."""
+    m = 12
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(m)],
+        "doc_id bigint, text string",
+    )
+    edges = dd.star_edges(docs, threshold=0.5).collect()
+    assert len(edges) == m - 1
+    assert all(e.id_a == 0 for e in edges)  # hub = smallest id
+    assert sorted(e.id_b for e in edges) == list(range(1, m))
+    # and the pair emitter on the same corpus is quadratic:
+    pairs = dd.jaccard_pairs(docs, threshold=0.5).collect()
+    assert len(pairs) == m * (m - 1) // 2
