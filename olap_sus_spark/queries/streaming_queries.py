@@ -119,3 +119,68 @@ def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         funnel_stream(_events_stream(spark, sf_dir)), "update"
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join: the watermarked two-sided join is the one
+# streaming shape the batch-registered interval_join_attribution doesn't
+# exercise end-to-end.  Both sides come from the same staged file source
+# (a stream self-join); watermarks bound the click-side state to
+# watermark + horizon at real scale.  Same oracle as the batch twin.
+# --------------------------------------------------------------------------
+from olap_sus_spark.queries.relational_ext import _INTERVAL_ORACLE  # noqa: E402
+
+
+@register("streaming_interval_join", oracle=_INTERVAL_ORACLE)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases stream ⋈ clicks stream on (user_id, 1-hour range) with
+    watermarks on both event-time columns, drained AvailableNow and
+    hash-verified against the batch interval-join SQL."""
+    from pyspark.sql import functions as F
+
+    from olap_sus_spark.streaming.streams import interval_join_attribution as ij
+
+    ev = _events_stream(spark, sf_dir)
+    return run_available_now(
+        ij(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "click"),
+            horizon="1 hour",
+        ),
+        "append",
+    )
+
+
+# --------------------------------------------------------------------------
+# Stream-static enrichment: the standard "facts stream in, dimensions sit
+# in the warehouse" join.  The static side is broadcast per micro-batch
+# (re-read each trigger, so a dimension update is picked up without
+# restarting the query); the stream side never shuffles.
+# --------------------------------------------------------------------------
+_ENRICH_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_name AS cliente,
+       c.c_mktsegment AS segmento
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+"""
+
+
+@register("streaming_dim_enrich", oracle=_ENRICH_ORACLE)
+def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event stream enriched with the static customer dimension (broadcast
+    stream-static equi-join), drained AvailableNow."""
+    from pyspark.sql import functions as F
+
+    ev = _events_stream(spark, sf_dir)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey"), F.col("c_name"), F.col("c_mktsegment")
+        )
+    )
+    joined = ev.join(cust, ev.user_id == cust.c_custkey).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("c_name").alias("cliente"),
+        F.col("c_mktsegment").alias("segmento"),
+    )
+    return run_available_now(joined, "append")
