@@ -266,6 +266,42 @@ def embedding_dup_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+def contaminated_docs(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval decontamination: for each training document, count the
+    distinct token n-grams it shares with ANY eval-set document — the
+    benchmark-leakage check every pre-training pipeline runs before
+    training.  Returns (doc_id, n_hits) for contaminated docs only.
+
+    Scale shape: both sides explode to 60-bit gram *hashes* (never text),
+    the eval side is deduplicated (a benchmark suite is tiny next to the
+    corpus — typically broadcastable), and the join is equi on the hash.
+    Work is O(corpus grams); nothing quadratic.
+    """
+    def gram_hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.transform(F.array_distinct(token_ngrams(F.col(text_col), n)), md5_int)
+                )
+            ).alias("g"),
+        )
+
+    eval_grams = gram_hashes(evalset).select("g").distinct()
+    return (
+        gram_hashes(train)
+        .join(eval_grams, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def star_edges(
     df: DataFrame,
     threshold: float = 0.5,

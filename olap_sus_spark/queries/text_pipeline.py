@@ -675,3 +675,79 @@ def corpus_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(frac < F.col("aceite"))
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination — benchmark-leakage check: count distinct
+# 5-gram hashes each training doc shares with the (tiny) eval set.  Only
+# 60-bit hashes move; the eval gram set is broadcast-sized by construction.
+# ---------------------------------------------------------------------------
+_DECONTAM_N = 5
+
+
+def _decontam_oracle() -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    grams = _ngrams_expr_sql("t", _DECONTAM_N)
+    return f"""
+WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+g AS (
+    SELECT doc_id,
+        list_distinct(list_transform({grams}, x -> {_md5_int_sql('x')})) AS grams
+    FROM tk
+),
+eg AS (SELECT DISTINCT unnest(grams) AS h FROM g WHERE doc_id % 97 = 0),
+tg AS (SELECT doc_id, unnest(grams) AS h FROM g WHERE doc_id % 97 != 0)
+SELECT tg.doc_id, COUNT(*) AS n_hits
+FROM tg JOIN eg ON eg.h = tg.h
+GROUP BY tg.doc_id
+"""
+
+
+@register("decontaminate_train", oracle=_decontam_oracle())
+def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs contaminated by eval-set n-grams (eval = doc_id % 97
+    == 0 here; a real benchmark suite in production), with the count of
+    distinct shared grams (operators/dedup.py:contaminated_docs)."""
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
+    evalset = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return dd.contaminated_docs(train, evalset, n=_DECONTAM_N)
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition ratio — the Gopher-style duplication filter
+# basis: fraction of token 3-grams that repeat an earlier occurrence.
+# Purely narrow (per-row expressions, zero shuffle); the grams array is
+# staged as a real column so the tokenizer runs once per doc.
+# ---------------------------------------------------------------------------
+def _repetition_oracle() -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    grams = _ngrams_expr_sql("t", 3)
+    return f"""
+WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+g AS (SELECT doc_id, {grams} AS grams FROM tk)
+SELECT doc_id,
+    CAST(len(grams) AS INT) AS n_grams,
+    CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+    CASE WHEN len(grams) > 0
+         THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                  / CAST(len(grams) AS DOUBLE)
+         ELSE 0.0 END AS dup_ratio
+FROM g
+"""
+
+
+@register("text_repetition_ratio", oracle=_repetition_oracle())
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
+    staged = docs.select("doc_id", tx.token_ngrams(F.col("text"), 3).alias("grams"))
+    n = F.size("grams")
+    nd = F.size(F.array_distinct("grams"))
+    return staged.select(
+        "doc_id",
+        n.alias("n_grams"),
+        nd.alias("n_distinct"),
+        F.when(n > 0, F.lit(1.0) - nd.cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )
