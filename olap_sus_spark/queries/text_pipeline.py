@@ -751,3 +751,98 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — assign documents to fixed token-budget training bins
+# by contiguous cumulative token count within each source partition (the
+# distributed-friendly variant of greedy packing: one shuffle on source,
+# deterministic doc_id order inside).  bin = exclusive-cumsum // budget.
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+
+_PACK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens AS prev_cum
+    FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(prev_cum // {_PACK_BUDGET} AS INT) AS bin
+FROM c
+"""
+
+
+@register("sequence_packing", oracle=_PACK_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", "source", tx.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_cum = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(prev_cum / _PACK_BUDGET).cast("int").alias("bin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — email/phone detection + redaction, the compliance pass
+# every corpus runs before training.  Patterns avoid constructs where Java
+# (Spark) and RE2-ish (DuckDB) dialects diverge; every 13th document gets
+# deterministic injected PII on BOTH engines so the scrub is exercised.
+# Output carries counts + an md5 of the redacted text (hash-comparable
+# without shipping megabytes through the gate).
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+_PHONE_RE = "[0-9][0-9][0-9][-. ][0-9][0-9][0-9][-. ][0-9][0-9][0-9][0-9]"
+
+_PII_ORACLE = f"""
+WITH p AS (
+    SELECT doc_id,
+        CASE WHEN doc_id % 13 = 0
+             THEN text || ' contato bob@example.com tel 555-123-4567'
+             ELSE text END AS text
+    FROM documents
+)
+SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+    CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones,
+    md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM p
+"""
+
+
+@register("text_pii_scrub", oracle=_PII_ORACLE)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
+    injected = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.col("text"), F.lit(" contato bob@example.com tel 555-123-4567")),
+    ).otherwise(F.col("text"))
+    staged = docs.select("doc_id", injected.alias("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return staged.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
