@@ -449,8 +449,12 @@ def load_or_build_srp_index(
         # execute the (compute-heavy) signature expressions twice.
         b = srp_buckets(emb, dim, n_tables, n_bits, id_col, vec_col).persist()
         os.makedirs(_index_root(), exist_ok=True)
-        write_sorted(b, path, sort_cols=["t", "bucket"], files=4)
+        # Stage + atomic rename: a crash mid-build must never leave a
+        # directory that existence-checks mistake for a complete index.
+        staging = path + ".__build__"
+        write_sorted(b, staging, sort_cols=["t", "bucket"], files=4)
         b.unpersist()
+        _promote(staging, path)
     return spark.read.parquet(path)
 
 
@@ -471,14 +475,30 @@ def load_or_build_ivf_index(
     path = ivf_index_path(sf_dir, num_centroids)
     apath = os.path.join(path, "assignments")
     cpath = os.path.join(path, "centroids")
-    if not (os.path.exists(apath) and os.path.exists(cpath)):
+    if not os.path.exists(path):
         emb = load_table(spark, sf_dir, "embeddings")
         centroids = emb.orderBy(id_col).limit(num_centroids)
         # persist: the range partitioner's sampling job would otherwise run
-        # the assignment scoring pass a second time.
+        # the assignment scoring pass a second time.  Both tables build
+        # under a staging dir promoted atomically — a crash mid-build must
+        # never leave a directory that passes the existence check.
         assigned = assign_centroids(emb, centroids, id_col, vec_col).persist()
-        os.makedirs(path, exist_ok=True)
-        write_sorted(assigned, apath, sort_cols=["centroid_id"], files=4)
+        staging = path + ".__build__"
+        os.makedirs(staging, exist_ok=True)
+        write_sorted(assigned, os.path.join(staging, "assignments"),
+                     sort_cols=["centroid_id"], files=4)
         assigned.unpersist()
-        centroids.coalesce(1).write.mode("overwrite").parquet(cpath)
+        centroids.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staging, "centroids")
+        )
+        _promote(staging, path)
     return spark.read.parquet(apath), spark.read.parquet(cpath)
+
+
+def _promote(staging: str, path: str) -> None:
+    """Commit a staged index build by rename (same crash-safety contract as
+    sources/sinks._swap_in; index builds only ever create, never replace)."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)  # stale partial from a prior crash
+    os.rename(staging, path)
