@@ -41,6 +41,20 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def gram_hash_array(text_col: Column, n: int = 3) -> Column:
+    """Distinct 60-bit hashes of the distinct token n-grams — the shared
+    set-algebra unit for Jaccard, blocking, star edges and decontamination
+    (hash once, compare longs; collision bound in jaccard_pairs)."""
+    return F.array_distinct(F.transform(F.array_distinct(token_ngrams(text_col, n)), md5_int))
+
+
+def jaccard_of(a: str, b: str) -> Column:
+    """Exact Jaccard of two staged gram-hash array columns."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union.cast("double")
+
+
 def with_block_key(df: DataFrame, text_col: str = "text", bucket: int = 64) -> DataFrame:
     """Length-bucket blocking key: (lang, token-count bucket).
 
@@ -90,9 +104,7 @@ def jaccard_pairs(
     grams = df.select(
         F.col(id_col),
         *([F.col("block")] if "block" in df.columns else []),
-        F.array_distinct(
-            F.transform(F.array_distinct(token_ngrams(F.col(text_col), n)), md5_int)
-        ).alias("grams_h"),
+        gram_hash_array(F.col(text_col), n).alias("grams_h"),
     )
     if "block" not in df.columns:
         grams = grams.withColumn("block", F.array_min(F.col("grams_h")).cast("string"))
@@ -103,12 +115,9 @@ def jaccard_pairs(
         F.col(id_col).alias("id_b"), F.col("block"), F.col("grams_h").alias("grams_b")
     )
     pairs = a.join(b, "block").filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
-    jac = inter.cast("double") / union.cast("double")
-    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
-    )
+    return pairs.select(
+        "id_a", "id_b", jaccard_of("grams_a", "grams_b").alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 MINHASH_P = 2_147_483_647
@@ -286,11 +295,7 @@ def contaminated_docs(
     def gram_hashes(df: DataFrame) -> DataFrame:
         return df.select(
             F.col(id_col),
-            F.explode(
-                F.array_distinct(
-                    F.transform(F.array_distinct(token_ngrams(F.col(text_col), n)), md5_int)
-                )
-            ).alias("g"),
+            F.explode(gram_hash_array(F.col(text_col), n)).alias("g"),
         )
 
     eval_grams = gram_hashes(evalset).select("g").distinct()
@@ -324,9 +329,7 @@ def star_edges(
     """
     grams = df.select(
         F.col(id_col),
-        F.array_distinct(
-            F.transform(F.array_distinct(token_ngrams(F.col(text_col), n)), md5_int)
-        ).alias("grams_h"),
+        gram_hash_array(F.col(text_col), n).alias("grams_h"),
     ).withColumn("block", F.array_min(F.col("grams_h")).cast("string"))
     hubs = grams.groupBy("block").agg(F.min(id_col).alias("hub_id"))
     members = (
@@ -338,11 +341,8 @@ def star_edges(
         F.col(id_col).alias("hub_id"), F.col("grams_h").alias("grams_a")
     )
     pairs = members.join(hub_grams, "hub_id")
-    inter = F.size(F.array_intersect("grams_a", "grams_b"))
-    union = F.size(F.array_union("grams_a", "grams_b"))
-    jac = inter.cast("double") / union.cast("double")
     return pairs.select(
-        F.col("hub_id").alias("id_a"), "id_b", jac.alias("jaccard")
+        F.col("hub_id").alias("id_a"), "id_b", jaccard_of("grams_a", "grams_b").alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
 

@@ -431,19 +431,29 @@ def load_or_build_srp_index(
     sf_dir: str,
     dim: int,
     n_tables: int = 12,
-    n_bits: int = 4,
+    n_bits: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Return the (id, vec, t, bucket) SRP bucket table for the corpus at
     ``sf_dir``, building + persisting it on first use (index build), loading
-    the Parquet table afterwards (serving path)."""
+    the Parquet table afterwards (serving path).
+
+    ``n_bits=None`` sizes the signature with :func:`auto_bits` (log N bits,
+    one count() at build time) so bucket occupancy — and therefore probe
+    candidate-set size — stays bounded as the corpus grows.  The registered
+    parity queries pass an explicit 4 to match their fixed oracles."""
     from olap_sus_spark.catalog import load_table
     from olap_sus_spark.sources.sinks import write_sorted
 
+    emb = None
+    if n_bits is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        n_bits = auto_bits(emb.count())
     path = srp_index_path(sf_dir, dim, n_tables, n_bits)
     if not os.path.exists(path):
-        emb = load_table(spark, sf_dir, "embeddings")
+        if emb is None:
+            emb = load_table(spark, sf_dir, "embeddings")
         # Materialize the signature pass once: write_sorted's range
         # partitioner runs a sampling job first, which would otherwise
         # execute the (compute-heavy) signature expressions twice.
@@ -451,7 +461,7 @@ def load_or_build_srp_index(
         os.makedirs(_index_root(), exist_ok=True)
         # Stage + atomic rename: a crash mid-build must never leave a
         # directory that existence-checks mistake for a complete index.
-        staging = path + ".__build__"
+        staging = _staging_path(path)
         write_sorted(b, staging, sort_cols=["t", "bucket"], files=4)
         b.unpersist()
         _promote(staging, path)
@@ -475,7 +485,9 @@ def load_or_build_ivf_index(
     path = ivf_index_path(sf_dir, num_centroids)
     apath = os.path.join(path, "assignments")
     cpath = os.path.join(path, "centroids")
-    if not os.path.exists(path):
+    # Check both component tables, not just the parent dir: a partial index
+    # left by a pre-staging crash must trigger a rebuild (_promote clears it).
+    if not (os.path.exists(apath) and os.path.exists(cpath)):
         emb = load_table(spark, sf_dir, "embeddings")
         centroids = emb.orderBy(id_col).limit(num_centroids)
         # persist: the range partitioner's sampling job would otherwise run
@@ -483,7 +495,7 @@ def load_or_build_ivf_index(
         # under a staging dir promoted atomically — a crash mid-build must
         # never leave a directory that passes the existence check.
         assigned = assign_centroids(emb, centroids, id_col, vec_col).persist()
-        staging = path + ".__build__"
+        staging = _staging_path(path)
         os.makedirs(staging, exist_ok=True)
         write_sorted(assigned, os.path.join(staging, "assignments"),
                      sort_cols=["centroid_id"], files=4)
@@ -495,10 +507,26 @@ def load_or_build_ivf_index(
     return spark.read.parquet(apath), spark.read.parquet(cpath)
 
 
+def _staging_path(path: str) -> str:
+    """Per-process unique staging dir: concurrent builders (bench + tests)
+    must never write into each other's staging."""
+    import uuid
+
+    return f"{path}.__build__{os.getpid()}_{uuid.uuid4().hex[:8]}"
+
+
 def _promote(staging: str, path: str) -> None:
     """Commit a staged index build by rename (same crash-safety contract as
-    sources/sinks._swap_in; index builds only ever create, never replace)."""
+    sources/sinks._swap_in; index builds only ever create, never replace).
+    Losing a concurrent-build race is fine — both stagings are complete
+    indexes over the same corpus, so the loser just discards its copy."""
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)  # stale partial from a prior crash
-    os.rename(staging, path)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        if os.path.exists(path):  # another builder promoted first
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            raise

@@ -793,11 +793,14 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     prev_cum = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    return t.select(
+    # Integer `div`, not double `/`+floor: cumulative token counts past 2^53
+    # (reachable at 100 TB) would lose bits in the double and diverge from
+    # the oracle's exact BIGINT // division.
+    return t.withColumn("prev_cum", prev_cum).select(
         "doc_id",
         "source",
         "n_tokens",
-        F.floor(prev_cum / _PACK_BUDGET).cast("int").alias("bin"),
+        F.expr(f"CAST(prev_cum DIV {_PACK_BUDGET} AS INT)").alias("bin"),
     )
 
 

@@ -2,10 +2,12 @@
 
 Replicates documents + embeddings ×N with shifted ids (duplicate-cluster
 *density* preserved: each replica keeps its internal duplicate structure;
-texts get a per-replica suffix token and vectors a small deterministic
-per-replica perturbation so clusters do not merge across replicas), stages
-the result as a synthetic sf_dir, and times the registered queries against
-it — the same recipe as the events probes recorded in PLANS.md.
+texts get word-dependent salt words INTERLEAVED between the original
+tokens — see replicate() for why the simpler salting variants are wrong —
+and vectors a small deterministic per-replica perturbation, so clusters do
+not merge across replicas), stages the result as a synthetic sf_dir, and
+times the registered queries against it — the same recipe as the events
+probes recorded in PLANS.md.
 
 Usage: python tools/scale_probe.py [N] [query ...]
 Defaults: N=100, the dedup/ANN/text headline family.
