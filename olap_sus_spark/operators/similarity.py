@@ -240,6 +240,50 @@ def kmeans_inertia(emb: DataFrame, centroids: DataFrame,
     return best.agg(F.avg("best")).first()[0]
 
 
+def quantize_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the standard 4× storage /
+    bandwidth reduction for 100 TB embedding corpora (scan-side dequant is
+    one multiply).  scale = max|x|/127; q_i = floor(x_i/scale + 0.5)
+    (explicit half-up — engine-portable, unlike round()'s dialect-specific
+    tie behavior).  Fully narrow, zero shuffle.
+
+    Returns per-vector scalars (id, n_dims, scale, q_checksum,
+    max_abs_err): the quantized array itself would be written to storage;
+    the checksum + reconstruction error are the verifiable surface.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = amax / F.lit(127.0)
+    staged = emb.select(F.col(id_col), v.alias("_v"), scale.alias("_scale"))
+    vq = F.zip_with(
+        F.col("_q"), F.col("_v"), lambda qi, xi: F.abs(qi * F.col("_scale") - xi)
+    )
+    return (
+        staged.withColumn(
+            "_q",
+            F.transform(
+                F.col("_v"),
+                lambda x: F.when(F.col("_scale") == 0.0, F.lit(0).cast("bigint"))
+                .otherwise(F.floor(x / F.col("_scale") + F.lit(0.5)))
+                .cast("bigint"),
+            ),
+        )
+        .select(
+            id_col,
+            F.size("_v").alias("n_dims"),
+            F.col("_scale").alias("scale"),
+            F.aggregate(F.col("_q"), F.lit(0).cast("bigint"), lambda a, b: a + b).alias(
+                "q_checksum"
+            ),
+            F.array_max(vq).alias("max_abs_err"),
+        )
+    )
+
+
 def auto_bits(corpus_rows: int, target_bucket: int = 256) -> int:
     """Recommended SRP bits per table for a given corpus size: keeps the
     expected bucket occupancy near ``target_bucket`` (so probe candidate

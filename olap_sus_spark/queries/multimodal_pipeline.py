@@ -109,3 +109,34 @@ def multimodal_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("application/octet-stream").alias("mime"),
     )
     return image_dimensions(assets)
+
+
+# ---------------------------------------------------------------------------
+# Binary-content dedup: the multimodal twin of exact text dedup — group by
+# md5 of the payload BYTES (images fetched from multiple mirrors/URLs are
+# byte-identical far more often than their metadata suggests).  Payloads are
+# synthesized with deterministic duplicate groups (5 assets share one blob)
+# on both engines; the shuffle moves 16-byte digests, never blobs.
+# ---------------------------------------------------------------------------
+_BINARY_DEDUP_ORACLE = """
+SELECT md5('asset-' || CAST(doc_id // 5 AS VARCHAR)) AS content_hash,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("multimodal_binary_dedup", oracle=_BINARY_DEDUP_ORACLE)
+def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olap_sus_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.concat(F.lit("asset-"), F.expr("CAST(doc_id DIV 5 AS STRING)")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return exact_dedup(assets, text_col="payload", id_col="asset_id")

@@ -200,3 +200,38 @@ def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     return sim.ivf_probe(assigned, cents, queries, nprobe=_NPROBE, k=_K)
+
+
+# Symmetric int8 quantization — the 4x storage/bandwidth reduction pass for
+# embedding corpora.  Verified via per-vector scalars (scale, checksum of
+# the quantized ints, max reconstruction error) — the array itself is the
+# storage artifact, not the query surface.  Half-up rounding is spelled out
+# as floor(x/scale + 0.5) on BOTH engines (round() ties differ by dialect).
+_QUANT_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM v
+),
+q AS (
+    SELECT vec_id, v, scale,
+           list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS qv
+    FROM s
+)
+SELECT vec_id,
+       CAST(len(v) AS INT) AS n_dims,
+       scale,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (a, b) -> a + b)
+           AS q_checksum,
+       list_max(list_transform(range(1, len(v) + 1),
+           i -> abs(qv[i] * scale - v[i]))) AS max_abs_err
+FROM q
+"""
+
+
+@register("embedding_quantize_int8", oracle=_QUANT_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.quantize_int8(emb)
