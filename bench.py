@@ -38,6 +38,7 @@ HEADLINE = [
     "ann_ivf_probe_topk",  # serving path over a maintained IVF index
     "ann_lsh_probe_topk",  # serving path over a maintained SRP bucket index
     "text_quality_features",
+    "decontaminate_train",  # benchmark-leakage gram-hash join
     # event-time / streaming
     "events_session_window",
     "streaming_tumbling_window",

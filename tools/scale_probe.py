@@ -42,6 +42,12 @@ DEFAULT_QUERIES = [
     "document_chunking",
     "corpus_clean_pipeline",
     "corpus_source_mixing",
+    "decontaminate_train",
+    "sequence_packing",
+    "text_pii_scrub",
+    "text_repetition_ratio",
+    "embedding_quantize_int8",
+    "multimodal_binary_dedup",
 ]
 
 
