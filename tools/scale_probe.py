@@ -101,9 +101,54 @@ def replicate(spark, n: int, out_dir: str) -> None:
     e.repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
+FACTS_QUERIES = [
+    "pricing_summary",
+    "rollup_state_ageband",
+    "slice_dice_city_years",
+    "topk_parts_per_nation",
+    "drill_across_growth",
+    "pivot_year_by_region",
+]
+
+
+def replicate_facts(spark, n: int, out_dir: str) -> None:
+    """Fact-growth replication: lineitem + orders ×N with shifted order
+    keys; dimensions (customer/supplier/part/nation/region) written through
+    unchanged — at 100 TB facts grow, dimension cardinality doesn't.
+    Foreign keys into the dims stay in range, so star joins keep their
+    selectivity; per-order basket structure is preserved per replica."""
+    from olap_sus_spark.catalog import TABLES
+
+    orders = load_table(spark, BASE_SF, "orders")
+    li = load_table(spark, BASE_SF, "lineitem")
+    shift = orders.agg(F.max("o_orderkey")).first()[0] + 1
+
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+    o = (
+        orders.select("*", rep)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * shift)
+        .drop("rep")
+    )
+    l_ = (
+        li.select("*", rep)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * shift)
+        .drop("rep")
+    )
+    o.repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+    l_.repartition(64).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    for t in TABLES:
+        if t in ("orders", "lineitem"):
+            continue
+        load_table(spark, BASE_SF, t).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    args = [a for a in sys.argv[1:] if a != "--facts"]
+    facts_mode = "--facts" in sys.argv[1:]
+    n = int(args[0]) if args else 100
+    names = args[1:] or (FACTS_QUERIES if facts_mode else DEFAULT_QUERIES)
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -111,10 +156,12 @@ def main() -> None:
 
     from olap_sus_spark.registry import QUERIES
 
-    out_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_probe_x{n}")
-    if not os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
+    tag = "facts_" if facts_mode else ""
+    out_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_probe_{tag}x{n}")
+    sentinel = "orders.parquet" if facts_mode else "embeddings.parquet"
+    if not os.path.exists(os.path.join(out_dir, sentinel)):
         t0 = time.perf_counter()
-        replicate(spark, n, out_dir)
+        (replicate_facts if facts_mode else replicate)(spark, n, out_dir)
         print(f"replicated x{n} in {time.perf_counter() - t0:.1f}s -> {out_dir}")
 
     for name in names:
