@@ -452,11 +452,18 @@ def _corpus_stamp(sf_dir: str, table: str = "embeddings") -> str:
         return "na"
 
 
+# Bump when the signature/assignment ALGORITHM changes (plane construction,
+# hash family, bucket packing): the corpus stamp catches data changes but a
+# persisted index built by older code would otherwise be silently reused.
+_INDEX_ALGO_VERSION = "v1"
+
+
 def srp_index_path(sf_dir: str, dim: int, n_tables: int, n_bits: int) -> str:
     import hashlib
 
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{_corpus_stamp(sf_dir)}|{dim}|{n_tables}|{n_bits}".encode()
+        f"{_INDEX_ALGO_VERSION}|{os.path.abspath(sf_dir)}|{_corpus_stamp(sf_dir)}"
+        f"|{dim}|{n_tables}|{n_bits}".encode()
     ).hexdigest()[:16]
     return os.path.join(_index_root(), f"srp_{key}")
 
@@ -465,7 +472,8 @@ def ivf_index_path(sf_dir: str, num_centroids: int) -> str:
     import hashlib
 
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{_corpus_stamp(sf_dir)}|ivf|{num_centroids}".encode()
+        f"{_INDEX_ALGO_VERSION}|{os.path.abspath(sf_dir)}|{_corpus_stamp(sf_dir)}"
+        f"|ivf|{num_centroids}".encode()
     ).hexdigest()[:16]
     return os.path.join(_index_root(), f"ivf_{key}")
 
