@@ -688,3 +688,40 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         (F.col("valor") / F.count(F.lit(1)).over(w)).alias("credito"),
     )
+
+
+# --------------------------------------------------------------------------
+# Window distribution-function battery — percent_rank / cume_dist /
+# first_value / nth_value, the §2.5 window surface the ranking battery
+# doesn't touch.  Order is (o_totalprice, o_orderkey): unique, so the
+# rank-derived fractions are exact bigint ratios divided identically (IEEE)
+# on both engines.  One shuffle on the partition key.
+# --------------------------------------------------------------------------
+_WINDOW_DIST_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority AS prioridade,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       first_value(o_orderkey) OVER w AS menor_pedido,
+       nth_value(o_orderkey, 2) OVER w AS segundo_pedido
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("window_distribution_battery", oracle=_WINDOW_DIST_ORACLE)
+def window_distribution_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prioridade"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_orderkey").over(wrows).alias("menor_pedido"),
+        F.nth_value("o_orderkey", 2).over(wrows).alias("segundo_pedido"),
+    )
