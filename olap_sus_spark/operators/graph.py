@@ -50,10 +50,16 @@ def pagerank(
       div damping_den`` where ``base = ((scale · (damping_den −
       damping_num)) div damping_den) div n``.
 
-    One shuffle per round (the contribution groupBy); degree and the 1-row
-    dangling aggregate are broadcast.  Deterministic: integer sums have no
-    float reassociation, so the result is bit-identical across engines,
-    partitionings, and runs.
+    One shuffle per round (the contribution groupBy); only the 1-row
+    dangling aggregate carries a broadcast hint.  The rank⋈degree join is
+    deliberately UNhinted: degree has one row per NODE, so pinning it
+    broadcast would OOM the driver on a billion-node graph — the optimizer
+    (AQE) broadcasts it adaptively when it is actually small and falls back
+    to a co-partitioned shuffle join otherwise (both sides are node-keyed,
+    so the exchanges align; tests/test_plan_shapes.py::
+    test_pagerank_degree_join_not_pinned_broadcast pins the no-hint shape).
+    Deterministic: integer sums have no float reassociation, so the result
+    is bit-identical across engines, partitionings, and runs.
 
     At 100 TB-scale graphs, pre-partition ``edges`` by ``src`` once
     (bucketed table) and every round's join is shuffle-free; rank state is
@@ -79,37 +85,57 @@ def pagerank(
     ranks = nodes.withColumn("rank_fp", F.lit(scale // n_nodes).cast("long"))
 
     for _ in range(iters):
-        state = ranks.join(F.broadcast(degree), "node", "left")
-        contrib = (
-            state.filter(F.col("grau").isNotNull())
-            .join(edges.withColumnRenamed(src, "node"), "node")
-            .select(
-                F.col(dst).alias("node"),
-                F.expr("rank_fp div grau").alias("c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("c").alias("soma"))
-        )
-        dangling = state.filter(F.col("grau").isNull()).agg(
-            F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("massa")
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .join(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"({damping_num} * (coalesce(soma, 0L)"
-                        f" + massa div {n_nodes})) div {damping_den}"
-                    )
-                )
-                .cast("long")
-                .alias("rank_fp"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        ranks = _pagerank_step(
+            nodes, edges, degree, ranks, n_nodes, base,
+            damping_num, damping_den, src, dst,
+        ).localCheckpoint(eager=True)
     return ranks.select(
         "node", "rank_fp", (F.col("rank_fp") / F.lit(float(scale))).alias("rank")
+    )
+
+
+def _pagerank_step(
+    nodes: DataFrame,
+    edges: DataFrame,
+    degree: DataFrame,
+    ranks: DataFrame,
+    n_nodes: int,
+    base: int,
+    damping_num: int,
+    damping_den: int,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    """One PageRank round, pre-checkpoint — factored out so the plan tests
+    can assert the per-iteration physical shape (no pinned broadcast of the
+    per-node degree table) on the uncheckpointed plan."""
+    state = ranks.join(degree, "node", "left")
+    contrib = (
+        state.filter(F.col("grau").isNotNull())
+        .join(edges.withColumnRenamed(src, "node"), "node")
+        .select(
+            F.col(dst).alias("node"),
+            F.expr("rank_fp div grau").alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("c").alias("soma"))
+    )
+    dangling = state.filter(F.col("grau").isNull()).agg(
+        F.coalesce(F.sum("rank_fp"), F.lit(0)).cast("long").alias("massa")
+    )
+    return (
+        nodes.join(contrib, "node", "left")
+        .join(F.broadcast(dangling))
+        .select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"({damping_num} * (coalesce(soma, 0L)"
+                    f" + massa div {n_nodes})) div {damping_den}"
+                )
+            )
+            .cast("long")
+            .alias("rank_fp"),
+        )
     )

@@ -186,12 +186,16 @@ def kmeans_centroids(
     ones.
 
     Each round: broadcast the k centroids, assign every vector (narrow),
-    recompute means with one groupBy per round (element-wise array mean via
-    aggregate over zip_with).  ``localCheckpoint`` truncates lineage so the
-    plan stays flat across rounds; k rows always fit on the driver.
-    Returns (centroid_id, embedding).
+    recompute means with posexplode → groupBy(centroid_id, pos) partial
+    sums — every aggregation buffer holds ONE (cluster, dimension) running
+    (sum, count) pair, so memory stays bounded no matter how many vectors a
+    hot cluster attracts (a collect_list-of-vectors mean would materialize
+    the whole cluster in one buffer).  The k×dim per-dimension means then
+    reassemble into ordered arrays with a dim-bounded collect_list.
+    ``localCheckpoint`` truncates lineage so the plan stays flat across
+    rounds; k rows always fit on the driver.  Returns
+    (centroid_id, embedding).
     """
-    dim = len(emb.select(vec_col).first()[0])
     cents = (
         _as_double(emb.orderBy(id_col).limit(k), vec_col, "centv")
         .select(F.col(id_col).alias("centroid_id"), "centv")
@@ -208,18 +212,22 @@ def kmeans_centroids(
         )
         w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
         best = assigned.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
-        # element-wise mean: sum vectors with zip_with-fold, divide by count
-        summed = best.groupBy("centroid_id").agg(
-            F.aggregate(
-                F.collect_list("v"),
-                F.array_repeat(F.lit(0.0), dim),
-                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-            ).alias("vsum"),
-            F.count(F.lit(1)).alias("n"),
+        # element-wise mean with bounded buffers: one (sum, count) pair per
+        # (centroid, dimension) — never a whole cluster's vectors in memory
+        dim_means = (
+            best.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
         )
-        cents = summed.select(
-            "centroid_id",
-            F.transform(F.col("vsum"), lambda x: x / F.col("n")).alias("centv"),
+        cents = dim_means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("pos"), (F.col("s") / F.col("n")).alias("m"))
+                    )
+                ),
+                lambda st: st["m"],
+            ).alias("centv")
         ).localCheckpoint(eager=True)
     return cents.select("centroid_id", F.col("centv").alias(vec_col))
 

@@ -65,17 +65,100 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_aggregates")  # rows-only: sketch internals differ per engine
+# Sketch internals aren't bit-portable across engines, so the verifiable
+# surface is (a) exact twins of each sketch (computable in DuckDB too) and
+# (b) within-bound booleans asserting |approx − exact| / exact ≤ bound.
+# Both are deterministic, so the row gets a full value-hash oracle.  The
+# exact quantile twin is the DISCRETE percentile — the value at 1-based rank
+# floor((n−1)·p)+1 of the sorted column — an actual stored double, immune to
+# the cross-engine interpolation-order hazard of continuous quantiles.
+_HLL_RSD = 0.02
+_HLL_BOUND = 0.06  # 3·rsd — ~3σ of the HLL estimator's relative error
+_PCTL_ACC = 10000
+_PCTL_BOUND = 0.02  # rank error ≤ n/accuracy ⇒ tiny relative value error
+
+_APPROX_ORACLE = f"""
+WITH s AS (
+    SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS clientes_exatos
+    FROM orders
+),
+r AS (
+    SELECT o_totalprice AS v, ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn
+    FROM orders
+)
+SELECT
+    s.clientes_exatos,
+    MAX(CASE WHEN r.rn = CAST(floor((s.n - 1) * 0.5) AS BIGINT) + 1
+             THEN r.v END) AS p50_exato,
+    MAX(CASE WHEN r.rn = CAST(floor((s.n - 1) * 0.9) AS BIGINT) + 1
+             THEN r.v END) AS p90_exato,
+    TRUE AS hll_within_bound,
+    TRUE AS p50_within_bound,
+    TRUE AS p90_within_bound
+FROM r CROSS JOIN s
+WHERE r.rn IN (CAST(floor((s.n - 1) * 0.5) AS BIGINT) + 1,
+               CAST(floor((s.n - 1) * 0.9) AS BIGINT) + 1)
+GROUP BY s.clientes_exatos
+"""
+
+
+@register("approx_aggregates", oracle=_APPROX_ORACLE)
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — HyperLogLog distinct count and approximate
-    quantiles.  No DuckDB oracle (sketches aren't bit-portable); accuracy is
-    pinned by tests/test_text_unit.py::test_approx_aggregates_bounded_error
-    against the exact values."""
+    quantiles — with a deterministic verification surface.
+
+    Output = exact twins (COUNT DISTINCT, discrete p50/p90 — identical in
+    any engine) plus ``*_within_bound`` booleans comparing the Spark sketch
+    against its exact twin; the oracle asserts the booleans are TRUE.  The
+    bound for HLL is 3·rsd; tests/test_text_unit.py pins tighter accuracy.
+
+    Scale note: the SKETCHES are the production surface (one streaming pass,
+    constant memory — at 100 TB only they survive); the exact twins exist to
+    make the sketches verifiable and would be dropped at scale — the global
+    row_number sort below is verification machinery, not the operator.
+    """
+    from pyspark.sql.window import Window
+
     orders = load_table(spark, sf_dir, "orders")
-    # Scalar p50/p90 columns, not one array column: the driver's pandas
-    # canonicalizer cannot hash list-valued cells.
-    return orders.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("clientes_aprox"),
-        F.percentile_approx("o_totalprice", F.lit(0.5), 10000).alias("p50_preco"),
-        F.percentile_approx("o_totalprice", F.lit(0.9), 10000).alias("p90_preco"),
+    stats = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_custkey").alias("clientes_exatos"),
+        F.approx_count_distinct("o_custkey", rsd=_HLL_RSD).alias("_hll"),
+        F.percentile_approx("o_totalprice", F.lit(0.5), _PCTL_ACC).alias("_ap50"),
+        F.percentile_approx("o_totalprice", F.lit(0.9), _PCTL_ACC).alias("_ap90"),
+    )
+    ranked = orders.select(
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(Window.orderBy("o_totalprice")).alias("rn"),
+    )
+
+    def k(p: float):
+        return F.floor((F.col("n") - 1) * F.lit(p)).cast("long") + 1
+
+    picked = (
+        ranked.crossJoin(F.broadcast(stats))
+        .filter((F.col("rn") == k(0.5)) | (F.col("rn") == k(0.9)))
+        .agg(
+            F.max("clientes_exatos").alias("clientes_exatos"),
+            F.max(F.when(F.col("rn") == k(0.5), F.col("v"))).alias("p50_exato"),
+            F.max(F.when(F.col("rn") == k(0.9), F.col("v"))).alias("p90_exato"),
+            F.max("_hll").alias("_hll"),
+            F.max("_ap50").alias("_ap50"),
+            F.max("_ap90").alias("_ap90"),
+        )
+    )
+    rel_err = lambda approx, exact: F.abs(approx - exact) / exact  # noqa: E731
+    return picked.select(
+        "clientes_exatos",
+        "p50_exato",
+        "p90_exato",
+        (rel_err(F.col("_hll"), F.col("clientes_exatos")) <= _HLL_BOUND).alias(
+            "hll_within_bound"
+        ),
+        (rel_err(F.col("_ap50"), F.col("p50_exato")) <= _PCTL_BOUND).alias(
+            "p50_within_bound"
+        ),
+        (rel_err(F.col("_ap90"), F.col("p90_exato")) <= _PCTL_BOUND).alias(
+            "p90_within_bound"
+        ),
     )

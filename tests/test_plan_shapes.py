@@ -190,7 +190,11 @@ def test_ann_probe_and_star_cluster_plan_shapes(spark, tmp_path, monkeypatch):
     assert "CartesianProduct" not in probe
     assert "BroadcastNestedLoopJoin" not in probe
     assert "SortMergeJoin" not in probe
-    assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)" in probe
+    # both predicates pushed to the index scan — asserted separately so a
+    # Spark upgrade that reorders/reformats the bracket text can't break it
+    pushed = [ln for ln in probe.splitlines() if "PushedFilters:" in ln]
+    assert any("LessThan(vec_id,5)" in ln for ln in pushed), pushed
+    assert any("IsNotNull(vec_id)" in ln for ln in pushed), pushed
 
     ivf = plan_of(QUERIES["ann_ivf_probe_topk"](spark, SF_DIR))
     assert "CartesianProduct" not in ivf
@@ -206,3 +210,37 @@ def test_ann_probe_and_star_cluster_plan_shapes(spark, tmp_path, monkeypatch):
     star = plan_of(dd.star_edges(load_table(spark, SF_DIR, "documents")))
     assert "CartesianProduct" not in star
     assert "BroadcastNestedLoopJoin" not in star
+
+
+def test_pagerank_degree_join_not_pinned_broadcast(spark):
+    """The per-iteration rank⋈degree join must not carry a hard broadcast
+    hint: degree has one row per node, so a pinned broadcast OOMs the driver
+    on a billion-node graph.  With the adaptive threshold disabled the step
+    plan must fall back to shuffle joins — a hint would keep broadcasting
+    regardless of the threshold, so this pins hint-freeness."""
+    from olap_sus_spark.operators.graph import _pagerank_step
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    nodes = edges.selectExpr("src AS node").union(
+        edges.selectExpr("dst AS node")
+    ).distinct()
+    degree = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("grau")
+    )
+    ranks = nodes.withColumn("rank_fp", F.lit(10**12 // 3).cast("long"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        step = _pagerank_step(
+            nodes, edges, degree, ranks, 3, 50_000_000_000, 85, 100, "src", "dst"
+        )
+        plan = plan_of(step)
+        # equi-joins all degrade to SortMergeJoin (no hint survives);
+        # the only broadcast left is the documented 1-row dangling anchor
+        assert n_nodes(plan, "BroadcastHashJoin") == 0, plan
+        assert n_nodes(plan, "SortMergeJoin") >= 3, plan
+        assert n_nodes(plan, "BroadcastNestedLoopJoin") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

