@@ -21,6 +21,7 @@ from olap_sus_spark.session import get_spark  # noqa: E402
 # data-pipeline operators (extended as coverage grows).
 HEADLINE = [
     "pricing_summary",
+    "money_cost_rollup",  # DECIMAL(15,2) factInternacoes money-measure twin
     "rollup_family_schooling",
     "rollup_state_ageband",
     "slice_dice_city_years",
@@ -37,6 +38,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_ivf_probe_topk",  # serving path over a maintained IVF index
     "ann_lsh_probe_topk",  # serving path over a maintained SRP bucket index
+    "ann_lsh_auto_topk",  # same, with corpus-sized signature width (auto_bits)
     "text_quality_features",
     "decontaminate_train",  # benchmark-leakage gram-hash join
     # event-time / streaming
@@ -87,17 +89,24 @@ def main() -> None:
 
     from olap_sus_spark.operators import similarity as _sim
 
+    # Hyperparameters come from the registered queries themselves so the
+    # pre-built index key always matches what the probe queries will load —
+    # a drift would silently move the full build onto the measured path.
+    from olap_sus_spark.queries.vector import _DIM, _LSH_H, _LSH_T, _NC
+
     index_build: dict[str, float] = {}
     for name, path_fn, build_fn in [
         (
             "srp_lsh",
-            lambda: _sim.srp_index_path(sf_dir, 64, 12, 4),
-            lambda: _sim.load_or_build_srp_index(spark, sf_dir, dim=64),
+            lambda: _sim.srp_index_path(sf_dir, _DIM, _LSH_T, _LSH_H),
+            lambda: _sim.load_or_build_srp_index(
+                spark, sf_dir, dim=_DIM, n_tables=_LSH_T, n_bits=_LSH_H
+            ),
         ),
         (
             "ivf",
-            lambda: _sim.ivf_index_path(sf_dir, 16),
-            lambda: _sim.load_or_build_ivf_index(spark, sf_dir, num_centroids=16),
+            lambda: _sim.ivf_index_path(sf_dir, _NC),
+            lambda: _sim.load_or_build_ivf_index(spark, sf_dir, num_centroids=_NC),
         ),
     ]:
         shutil.rmtree(path_fn(), ignore_errors=True)

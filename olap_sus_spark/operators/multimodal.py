@@ -188,6 +188,155 @@ def image_dimensions(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, DIMENSIONS_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Real PNG pixel codec (stdlib-only).
+#
+# PNG pixel data is zlib-deflated scanlines with a 1-byte per-row filter —
+# both fully decodable with `zlib` + ~60 lines of unfiltering, no codec
+# library needed.  That makes resize REAL for the dominant lossless format;
+# JPEG/video stay deterministic fakes (DCT entropy coding genuinely needs a
+# codec library absent from this container).
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def png_decode(payload: bytes | None) -> tuple[int, int, int, bytearray] | None:
+    """Decode an 8-bit, non-interlaced, non-palette PNG to raw pixels.
+
+    Returns (width, height, channels, row-major pixel bytes) or None for
+    anything that isn't such a PNG (palette/16-bit/Adam7 → None; callers
+    fall back to their non-PNG path).  Implements the full filter set
+    (None/Sub/Up/Average/Paeth) per the PNG spec §9.
+    """
+    import zlib
+
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, width, height, channels, idat = 8, None, None, None, b""
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            if len(data) < 13:
+                return None
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            depth, color, interlace = data[8], data[9], data[12]
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                return None
+            channels = _PNG_CHANNELS[color]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if not (width and height and channels and idat):
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        return None
+    out = bytearray(height * stride)
+    prev_start = -stride  # row above; first row's "above" reads as 0
+    for y in range(height):
+        rowpos = y * (stride + 1)
+        f = raw[rowpos]
+        line = raw[rowpos + 1 : rowpos + 1 + stride]
+        o = y * stride
+        if f == 0:  # None
+            out[o : o + stride] = line
+        elif f == 1:  # Sub
+            for x in range(stride):
+                left = out[o + x - channels] if x >= channels else 0
+                out[o + x] = (line[x] + left) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                up = out[o + prev_start + x] if y > 0 else 0
+                out[o + x] = (line[x] + up) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = out[o + x - channels] if x >= channels else 0
+                up = out[o + prev_start + x] if y > 0 else 0
+                out[o + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = out[o + x - channels] if x >= channels else 0
+                up = out[o + prev_start + x] if y > 0 else 0
+                ul = out[o + prev_start + x - channels] if (y > 0 and x >= channels) else 0
+                out[o + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            return None
+    return (width, height, channels, out)
+
+
+def png_encode(pixels: bytes, width: int, height: int, channels: int) -> bytes:
+    """Encode raw row-major 8-bit pixels as a minimal valid PNG
+    (filter 0 rows, one zlib IDAT).  Inverse of :func:`png_decode`."""
+    import zlib
+
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride : (y + 1) * stride]) for y in range(height)
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def nearest_resize(
+    pixels: bytes, sw: int, sh: int, channels: int, dw: int, dh: int
+) -> bytearray:
+    """Nearest-neighbor resample with pixel-center sampling
+    (src = floor((i + 0.5) · src/dst), the PIL NEAREST convention)."""
+    out = bytearray(dw * dh * channels)
+    xs = [min(sw - 1, (2 * x + 1) * sw // (2 * dw)) for x in range(dw)]
+    for y in range(dh):
+        sy = min(sh - 1, (2 * y + 1) * sh // (2 * dh))
+        src_row = sy * sw * channels
+        dst_row = y * dw * channels
+        for x in range(dw):
+            s = src_row + xs[x] * channels
+            d = dst_row + x * channels
+            out[d : d + channels] = pixels[s : s + channels]
+    return out
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("asset_id", LongType(), False),
@@ -201,10 +350,13 @@ RESIZED_SCHEMA = StructType(
 def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Resize image payloads to (width, height) via Arrow-batched mapInPandas.
 
-    The pixel work is stubbed (no codec libs in this container): the fake
-    produces a deterministic payload of ``width*height//64`` digest-derived
-    bytes so tests can pin batch shape, null passthrough, and output schema.
-    A real build calls Pillow/libvips inside the same batch loop.
+    PNG payloads take the REAL pixel path: :func:`png_decode` (zlib +
+    full filter-set unfiltering) → :func:`nearest_resize` →
+    :func:`png_encode` — no codec library involved, verified against known
+    pixel values in tests/test_band_and_multimodal.py.  Non-PNG formats
+    (JPEG/GIF — entropy coding needs a codec library this container lacks)
+    fall back to a deterministic digest-derived fake inside the same batch
+    loop, so swapping in Pillow touches one branch.
     """
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -216,6 +368,14 @@ def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> Dat
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 if payload is None:
                     rows.append((asset_id, None, None, None))
+                    continue
+                decoded = png_decode(payload)
+                if decoded is not None:
+                    sw, sh, ch, pix = decoded
+                    resized = nearest_resize(pix, sw, sh, ch, width, height)
+                    rows.append(
+                        (asset_id, width, height, png_encode(resized, width, height, ch))
+                    )
                     continue
                 fake = (hashlib.md5(bytes(payload)).digest() * (size // 16 + 1))[:size]
                 rows.append((asset_id, width, height, fake))

@@ -452,8 +452,23 @@ def _index_root() -> str:
 
 
 def _corpus_stamp(sf_dir: str, table: str = "embeddings") -> str:
+    """Identity stamp of the corpus dataset.  For a directory dataset the
+    stamp hashes the sorted (name, size, mtime_ns) of the part files inside
+    it — a directory's own st_size/st_mtime don't reliably change when a
+    part file is rewritten in place, so stat'ing the directory could
+    silently reuse a stale index."""
+    import hashlib
+
     src = os.path.join(sf_dir, f"{table}.parquet")
     try:
+        if os.path.isdir(src):
+            parts = sorted(
+                (name, st.st_size, st.st_mtime_ns)
+                for name, st in (
+                    (e.name, e.stat()) for e in os.scandir(src) if e.is_file()
+                )
+            )
+            return hashlib.md5(repr(parts).encode()).hexdigest()[:16]
         st = os.stat(src)
         return f"{st.st_mtime_ns}_{st.st_size}"
     except OSError:
@@ -512,6 +527,7 @@ def load_or_build_srp_index(
         n_bits = auto_bits(emb.count())
     path = srp_index_path(sf_dir, dim, n_tables, n_bits)
     if not os.path.exists(path):
+        _sweep_stale_staging()
         if emb is None:
             emb = load_table(spark, sf_dir, "embeddings")
         # Materialize the signature pass once: write_sorted's range
@@ -545,9 +561,16 @@ def load_or_build_ivf_index(
     path = ivf_index_path(sf_dir, num_centroids)
     apath = os.path.join(path, "assignments")
     cpath = os.path.join(path, "centroids")
-    # Check both component tables, not just the parent dir: a partial index
-    # left by a pre-staging crash must trigger a rebuild (_promote clears it).
+    # Check both component tables, not just the parent dir: the index is
+    # complete iff both exist.  A parent dir missing either one is known-
+    # stale (our builds only ever rename a complete staging in), so clearing
+    # it here is safe — _promote itself never deletes the destination.
     if not (os.path.exists(apath) and os.path.exists(cpath)):
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+        _sweep_stale_staging()
         emb = load_table(spark, sf_dir, "embeddings")
         centroids = emb.orderBy(id_col).limit(num_centroids)
         # persist: the range partitioner's sampling job would otherwise run
@@ -575,18 +598,44 @@ def _staging_path(path: str) -> str:
     return f"{path}.__build__{os.getpid()}_{uuid.uuid4().hex[:8]}"
 
 
+def _sweep_stale_staging(max_age_sec: float = 3600.0) -> None:
+    """Reap staging dirs abandoned by crashed builds.  A live build's
+    staging is at most minutes old, so anything past ``max_age_sec`` is a
+    leak; the rename-race loser already cleans its own copy up."""
+    import shutil
+    import time
+
+    root = _index_root()
+    try:
+        entries = list(os.scandir(root))
+    except OSError:
+        return
+    cutoff = time.time() - max_age_sec
+    for e in entries:
+        if ".__build__" in e.name and e.is_dir():
+            try:
+                if e.stat().st_mtime < cutoff:
+                    shutil.rmtree(e.path, ignore_errors=True)
+            except OSError:
+                pass
+
+
 def _promote(staging: str, path: str) -> None:
     """Commit a staged index build by rename (same crash-safety contract as
-    sources/sinks._swap_in; index builds only ever create, never replace).
-    Losing a concurrent-build race is fine — both stagings are complete
-    indexes over the same corpus, so the loser just discards its copy."""
+    sources/sinks._swap_in).  The destination is NEVER deleted: it can only
+    exist via a completed atomic rename, so an existing destination means a
+    concurrent builder won the race over the same corpus — deleting it would
+    open a window where a reader finds no index at all.  The loser just
+    discards its (equivalent) staging copy."""
     import shutil
 
-    shutil.rmtree(path, ignore_errors=True)  # stale partial from a prior crash
+    if os.path.exists(path):  # lost the race — keep the live index untouched
+        shutil.rmtree(staging, ignore_errors=True)
+        return
     try:
         os.rename(staging, path)
     except OSError:
-        if os.path.exists(path):  # another builder promoted first
+        if os.path.exists(path):  # another builder promoted between check & rename
             shutil.rmtree(staging, ignore_errors=True)
         else:
             raise

@@ -13,6 +13,7 @@ from olap_sus_spark.queries import (  # noqa: F401
     grouping_sets,
     json_functions,
     market,
+    money,
     multimodal_pipeline,
     olap,
     operators,
@@ -34,6 +35,7 @@ __all__ = [
     "grouping_sets",
     "json_functions",
     "market",
+    "money",
     "multimodal_pipeline",
     "olap",
     "operators",

@@ -191,6 +191,70 @@ def ann_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_probe(b, n_query=_NQ, k=_K)
 
 
+# Auto-sized SRP serving variant: n_bits is derived from the corpus row
+# count (auto_bits = max(4, ceil(log2(N / 256)))) so expected bucket
+# occupancy — and therefore probe candidate-set size — stays bounded as the
+# corpus grows.  The oracle computes the SAME bit count relationally (nb
+# CTE) and builds that many planes, so the two sides stay in lock-step at
+# any scale; 22 is a generous upper bound (a 10^9-vector corpus needs 22).
+_LSH_AUTO_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nb AS (
+    SELECT GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / 256.0)) AS INTEGER)) AS b
+    FROM embeddings
+),
+planes AS (
+    SELECT t.t, h.h,
+           list_transform(range(0, {_DIM}), j ->
+               CASE WHEN CAST(concat('0x', substr(md5(
+                        concat(t.t, '_', h.h, '_', j)), 1, 15)) AS BIGINT) % 2 = 0
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+           ) AS plane
+    FROM range({_LSH_T}) t(t) CROSS JOIN range(22) h(h), nb
+    WHERE h.h < nb.b
+),
+bits AS (
+    SELECT x.vec_id, p.t, p.h,
+           CASE WHEN ({_DOT.format(a='x.v', b='p.plane')}) >= 0
+                THEN 1 ELSE 0 END AS bit
+    FROM v x CROSS JOIN planes p
+),
+buckets AS (
+    SELECT vec_id, t, CAST(SUM(bit * (1 << h)) AS INT) AS bucket
+    FROM bits GROUP BY vec_id, t
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+    FROM buckets q
+    JOIN buckets c ON c.t = q.t AND c.bucket = q.bucket
+    WHERE q.vec_id < {_NQ} AND q.vec_id != c.vec_id
+),
+scored AS (
+    SELECT cand.query_id, cand.cand_id, {_cos('a.v', 'b.v')} AS cosine
+    FROM cand
+    JOIN v a ON a.vec_id = cand.query_id
+    JOIN v b ON b.vec_id = cand.cand_id
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register("ann_lsh_auto_topk", oracle=_LSH_AUTO_ORACLE)
+def ann_lsh_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH probe over an index whose signature width is sized from the
+    corpus (n_bits=None → auto_bits): the scale-correct serving default —
+    fixed bits would let candidate sets grow linearly with N."""
+    b = sim.load_or_build_srp_index(
+        spark, sf_dir, dim=_DIM, n_tables=_LSH_T, n_bits=None
+    )
+    return sim.lsh_probe(b, n_query=_NQ, k=_K)
+
+
 @register("ann_ivf_probe_topk", oracle=_IVF_ORACLE)
 def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, cents = sim.load_or_build_ivf_index(spark, sf_dir, num_centroids=_NC)
