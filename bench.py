@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_jaccard_pairs",
     "dedup_near_clusters",  # linear-output near-dup shape (the 100 TB path)
     "dedup_near_clusters_star",  # star-reduced edges: linear under mega-clusters
+    "dedup_keep_best",  # kept-corpus output: best-quality doc per cluster
+    "tfidf_top_terms",
     "ann_cosine_topk",
     "ann_ivf_probe_topk",  # serving path over a maintained IVF index
     "ann_lsh_probe_topk",  # serving path over a maintained SRP bucket index

@@ -10,10 +10,12 @@ derived double ratio) over the TPC-H-ish tables, giving the money path a
 full value-hash oracle and a bench headline.
 
 Exactness: ``valor_total`` stays DECIMAL through the aggregation (decimal
-sums are exact and engine-portable; the final precision cast is lossless);
-the derived ratio converts the scale-2 decimal to double (exact — scaled
-magnitude < 2^53) and divides by the count in pure IEEE arithmetic, so all
-three measures are bit-identical across engines.
+sums are exact and engine-portable); the OUTPUT is its double view — the
+scale-2 → double conversion is exact (scaled magnitude < 2^53) and raw
+Decimal cells would hash-mismatch in the driver's pandas canonicalizer
+(tests/test_oracle_parity.py::test_no_canon_hostile_output_types).  The
+derived ratio divides that double by the count in pure IEEE arithmetic, so
+all three measures are bit-identical across engines.
 """
 
 from __future__ import annotations
@@ -30,8 +32,8 @@ _COST_ROLLUP_ORACLE = """
 SELECT
     r.r_name AS regiao,
     n.n_name AS nacao,
-    CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(15,2))
-        AS valor_total,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(15,2))
+         AS DOUBLE) AS valor_total,
     COUNT(*) AS quantidade_itens,
     CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(15,2))
          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ticket_medio
@@ -74,7 +76,7 @@ def money_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), "n_regionkey")
         .groupBy(F.col("r_name").alias("regiao"), F.col("n_name").alias("nacao"))
         .agg(
-            total.alias("valor_total"),
+            total.cast("double").alias("valor_total"),
             cnt.alias("quantidade_itens"),
             (total.cast("double") / cnt.cast("double")).alias("ticket_medio"),
         )

@@ -513,7 +513,9 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # set (and the CC input) stays linear under boilerplate mega-clusters,
 # which is what actually breaks pair-emitting dedup at 100 TB (the ×100
 # probe OOMed the all-pairs path when replicas merged into one cluster).
-def _cc_star_tail_sql(src_cte: str, out_col: str) -> str:
+def _cc_star_ctes(src_cte: str) -> str:
+    """The star-edge connected-components CTE chain WITHOUT a final select,
+    so downstream oracles (keep-best selection) can keep composing."""
     return f"""
 g0 AS (
     SELECT doc_id,
@@ -535,7 +537,11 @@ reach AS (
     SELECT doc_id AS doc, doc_id AS lbl FROM {src_cte}
     UNION
     SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.doc
-)
+)"""
+
+
+def _cc_star_tail_sql(src_cte: str, out_col: str) -> str:
+    return f"""{_cc_star_ctes(src_cte)}
 SELECT doc AS doc_id, MIN(lbl) AS {out_col} FROM reach GROUP BY doc
 """
 
@@ -556,6 +562,58 @@ def dedup_near_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = augmented_docs(spark, sf_dir)
     edges = dd.star_edges(docs, threshold=0.5)
     return dd.dedup_clusters(edges, docs.select("doc_id"))
+
+
+# The corpus-SELECTION output: one kept document per near-dup cluster,
+# chosen by quality (token count, ties → smallest doc_id).  This is what a
+# training pipeline actually writes out after dedup — not the pair list,
+# not even the cluster map, but the winning documents.  Shape on top of the
+# star-CC map: one quality join + one window on cluster_id — linear output,
+# one extra shuffle.
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_AUG_SQL},
+{_cc_star_ctes('aug')},
+cc AS (SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc),
+q AS (SELECT doc_id, CAST(len({_TOKS}) AS INT) AS q_tokens FROM aug),
+r AS (
+    SELECT cc.cluster_id, cc.doc_id, q.q_tokens,
+           ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                              ORDER BY q.q_tokens DESC, cc.doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY cc.cluster_id) AS n_membros
+    FROM cc JOIN q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keep_doc, q_tokens, n_membros
+FROM r WHERE rn = 1
+"""
+
+
+@register("dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster, keep the highest-quality document (most
+    tokens, deterministic doc_id tie-break) — the kept-corpus output a
+    pre-training pipeline materializes.  Built on the mega-cluster-safe
+    star edges, so edge count and output stay linear at any duplicate
+    density; the winner selection is one window over cluster_id."""
+    from pyspark.sql.window import Window
+
+    docs = augmented_docs(spark, sf_dir)
+    edges = dd.star_edges(docs, threshold=0.5)
+    clusters = dd.dedup_clusters(edges, docs.select("doc_id"))
+    quality = docs.select("doc_id", tx.token_count(F.col("text")).alias("q_tokens"))
+    w = Window.partitionBy("cluster_id")
+    ranked = (
+        clusters.join(quality, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.col("q_tokens").desc(), F.col("doc_id"))
+            ),
+        )
+        .withColumn("n_membros", F.count(F.lit(1)).over(w))
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id", F.col("doc_id").alias("keep_doc"), "q_tokens", "n_membros"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -848,4 +906,65 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), F.lit(0))).alias("n_emails"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(_PHONE_RE), F.lit(0))).alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — the standard keyword/feature extraction
+# over a cleaned corpus.  idf is the LINEAR variant N/df (not log(N/df)):
+# both engines then compute the score as exactly two IEEE ops (one div, one
+# mul) on integers exactly representable as doubles — bit-identical — where
+# a transcendental log could differ in the last ulp between libm builds and
+# silently flip rank ties.  Scale shape: Generate (explode) → one shuffle
+# to (doc, term) counts → term-grain df aggregate joined back on term → one
+# window per doc.  The df table is vocabulary-sized (≪ corpus), N is a
+# 1-row broadcast.
+# ---------------------------------------------------------------------------
+_TFIDF_K = 3
+
+_TFIDF_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+               AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= {_TFIDF_K}
+"""
+
+
+@register("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} characteristic terms per document by tf·idf (linear idf,
+    deterministic term tie-break)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = tf.join(df, "term").join(F.broadcast(n)).select(
+        "doc_id", "term", "tf", "df",
+        (
+            F.col("tf").cast("double")
+            * (F.col("n").cast("double") / F.col("df").cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
     )

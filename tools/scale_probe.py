@@ -35,6 +35,7 @@ DEFAULT_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_near_clusters",
     "dedup_near_clusters_star",
+    "dedup_keep_best",
     "dedup_simhash",
     "ann_ivf_probe_topk",
     "ann_lsh_probe_topk",
