@@ -210,6 +210,14 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
 
+# Ceiling on declared pixel count (4M px ≈ 2048×2048 RGBA = 16 MB raw).
+# Two jobs: (a) caps how much a crafted IHDR can make the bounded
+# decompress below allocate, (b) keeps the pure-Python per-pixel unfilter
+# loop off multi-megapixel images where it would take minutes per row —
+# oversized images fall back to the non-PNG path instead of stalling an
+# executor core.
+_PNG_MAX_PIXELS = 1 << 22
+
 
 def png_decode(payload: bytes | None) -> tuple[int, int, int, bytearray] | None:
     """Decode an 8-bit, non-interlaced, non-palette PNG to raw pixels.
@@ -247,12 +255,21 @@ def png_decode(payload: bytes | None) -> tuple[int, int, int, bytearray] | None:
         pos += 12 + ln
     if not (width and height and channels and idat):
         return None
-    try:
-        raw = zlib.decompress(idat)
-    except zlib.error:
+    if width * height > _PNG_MAX_PIXELS:
         return None
     stride = width * channels
-    if len(raw) < height * (stride + 1):
+    expected = height * (stride + 1)
+    # Bounded decompress: output can never exceed what the DECLARED
+    # dimensions call for (+1 byte to detect overrun), so a crafted deflate
+    # bomb (~1000:1) cannot balloon to gigabytes inside an executor — an
+    # unbounded zlib.decompress here would OOM the worker before any length
+    # check ran.  A valid PNG inflates to exactly `expected` bytes; anything
+    # shorter (truncated) or longer (bomb) is malformed → None.
+    try:
+        raw = zlib.decompressobj().decompress(idat, expected + 1)
+    except zlib.error:
+        return None
+    if len(raw) != expected:
         return None
     out = bytearray(height * stride)
     prev_start = -stride  # row above; first row's "above" reads as 0

@@ -297,10 +297,16 @@ def auto_bits(corpus_rows: int, target_bucket: int = 256) -> int:
     expected bucket occupancy near ``target_bucket`` (so probe candidate
     sets stay bounded as the corpus grows — with fixed bits, candidates
     grow linearly with N).  Recall is then tuned by n_tables.  The tiny
-    test corpora use the 4-bit floor; a 10⁹-vector corpus gets ~22 bits."""
-    import math
+    test corpora use the 4-bit floor; a 10⁹-vector corpus gets ~22 bits.
 
-    return max(4, math.ceil(math.log2(max(1, corpus_rows) / target_bucket)))
+    Pure integer arithmetic (== ceil(log2(N/target)) mathematically): a
+    float log2 is not guaranteed correctly rounded across libm builds, so a
+    corpus size a few ulps from a power of two could flip the ceil on one
+    engine but not the other and desynchronize the index from its oracle.
+    ``(ceil(N/t) - 1).bit_length()`` is exact everywhere (the DuckDB oracle
+    uses the matching POWER(2,..) integer ladder)."""
+    c = -(-max(1, corpus_rows) // target_bucket)  # ceil-div, exact
+    return max(4, (c - 1).bit_length())
 
 
 def _srp_plane(table: int, bit: int, dim: int) -> list[float]:
@@ -562,15 +568,34 @@ def load_or_build_ivf_index(
     apath = os.path.join(path, "assignments")
     cpath = os.path.join(path, "centroids")
     # Check both component tables, not just the parent dir: the index is
-    # complete iff both exist.  A parent dir missing either one is known-
-    # stale (our builds only ever rename a complete staging in), so clearing
-    # it here is safe — _promote itself never deletes the destination.
+    # complete iff both exist.  A parent dir missing either one is partial —
+    # but between this check and any delete, a concurrent _promote may have
+    # renamed a COMPLETE index into place (our own invariant: the
+    # destination is never deleted).  So quarantine-then-verify: rename the
+    # suspect dir aside first (atomic — _promote can no longer land inside
+    # it), re-check completeness on the renamed copy, and restore it if it
+    # turned out complete.  Only a verified-partial quarantined copy is
+    # reaped.
     if not (os.path.exists(apath) and os.path.exists(cpath)):
         if os.path.exists(path):
             import shutil
 
-            shutil.rmtree(path, ignore_errors=True)
+            tomb = _staging_path(path) + ".tomb"
+            try:
+                os.rename(path, tomb)
+            except OSError:
+                pass  # a concurrent builder moved/promoted it; re-check below
+            else:
+                if os.path.exists(os.path.join(tomb, "assignments")) and os.path.exists(
+                    os.path.join(tomb, "centroids")
+                ):
+                    # It was complete after all (promoted in the race window):
+                    # put it back and serve from it.
+                    _promote(tomb, path)
+                else:
+                    shutil.rmtree(tomb, ignore_errors=True)
         _sweep_stale_staging()
+    if not (os.path.exists(apath) and os.path.exists(cpath)):
         emb = load_table(spark, sf_dir, "embeddings")
         centroids = emb.orderBy(id_col).limit(num_centroids)
         # persist: the range partitioner's sampling job would otherwise run

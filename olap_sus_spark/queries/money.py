@@ -32,11 +32,10 @@ _COST_ROLLUP_ORACLE = """
 SELECT
     r.r_name AS regiao,
     n.n_name AS nacao,
-    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(15,2))
-         AS DOUBLE) AS valor_total,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS valor_total,
     COUNT(*) AS quantidade_itens,
-    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(15,2))
-         AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ticket_medio
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS ticket_medio
 FROM lineitem l
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -68,7 +67,12 @@ def money_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     valor = F.col("l_extendedprice").cast(_MONEY)
     cnt = F.count(F.lit(1))
-    total = F.sum(valor).cast(_MONEY)
+    # The SUM stays at Spark's widened DECIMAL(25,2): narrowing it back to
+    # DECIMAL(15,2) would make any group total past ~10^13 throw under ANSI
+    # mode at warehouse scale (sf >~ 1100).  Only the final OUTPUT view is a
+    # double; the per-row DECIMAL(15,2) cast pins the reference's column
+    # semantics (scripts/init.sql:252-262 valor NUMERIC(15,2)).
+    total = F.sum(valor)
     return (
         li.select("l_suppkey", "l_extendedprice")
         .join(supp, "l_suppkey")

@@ -192,16 +192,23 @@ def ann_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Auto-sized SRP serving variant: n_bits is derived from the corpus row
-# count (auto_bits = max(4, ceil(log2(N / 256)))) so expected bucket
+# count (auto_bits == ceil(log2(N / 256)) mathematically) so expected bucket
 # occupancy — and therefore probe candidate-set size — stays bounded as the
 # corpus grows.  The oracle computes the SAME bit count relationally (nb
 # CTE) and builds that many planes, so the two sides stay in lock-step at
 # any scale; 22 is a generous upper bound (a 10^9-vector corpus needs 22).
+# BOTH sides use pure integer arithmetic — smallest h with 2^h >= ceil(N/256)
+# — never float log2: transcendental log2 is not correctly rounded on every
+# libm, so a corpus size ulps from a power of two could flip the ceil on one
+# engine only and desynchronize index from oracle (operators/similarity.py
+# auto_bits is the Python twin: (ceil(N/256) - 1).bit_length()).
 _LSH_AUTO_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 nb AS (
-    SELECT GREATEST(4, CAST(CEIL(LOG2(COUNT(*) / 256.0)) AS INTEGER)) AS b
-    FROM embeddings
+    SELECT GREATEST(4, MIN(h.h)) AS b
+    FROM range(0, 23) h(h)
+    WHERE (CAST(1 AS BIGINT) << h.h)
+          >= ((SELECT COUNT(*) FROM embeddings) + 255) // 256
 ),
 planes AS (
     SELECT t.t, h.h,

@@ -198,6 +198,44 @@ def test_png_decode_all_filter_types():
     assert mm.png_decode(None) is None
 
 
+def test_png_decode_bounded_against_hostile_payloads():
+    """Untrusted-payload guards: a deflate bomb whose IDAT inflates far past
+    the declared dimensions must be rejected WITHOUT materializing the bomb
+    (bounded decompressobj), and absurd declared dimensions must refuse
+    before allocating."""
+    import zlib
+
+    from olap_sus_spark.operators import multimodal as mm
+
+    def chunk(typ, data):
+        return len(data).to_bytes(4, "big") + typ + data + zlib.crc32(typ + data).to_bytes(4, "big")
+
+    def png(width, height, idat_raw):
+        ihdr = width.to_bytes(4, "big") + height.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(idat_raw)) + chunk(b"IEND", b"")
+        )
+
+    # Declares 2x2 RGB (expected 2*(6+1)=14 raw bytes) but the IDAT
+    # inflates to 64 MB of zeros (~64000:1 ratio).  The bounded path reads
+    # at most expected+1 bytes and rejects on the overrun.
+    bomb = png(2, 2, b"\x00" * (64 << 20))
+    assert mm.png_decode(bomb) is None
+
+    # Valid structure but declared dimensions past the pixel ceiling:
+    # refuses before decompressing (pure-Python unfilter would take minutes).
+    assert mm.png_decode(png(1 << 16, 1 << 16, b"")) is None
+
+    # Truncated raw stream (shorter than declared) also rejects.
+    assert mm.png_decode(png(4, 4, b"\x00" * 10)) is None
+
+    # A well-formed payload at the same code path still decodes.
+    ok = png(2, 1, b"\x00" + bytes([1, 2, 3, 4, 5, 6]))
+    got = mm.png_decode(ok)
+    assert got is not None and bytes(got[3]) == bytes([1, 2, 3, 4, 5, 6])
+
+
 def test_resize_real_png_known_pixels(spark):
     """resize_images on a REAL PNG: decode → nearest-neighbor → re-encode,
     asserting exact pixel values (quadrant colors survive a 4x4 → 2x2
