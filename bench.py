@@ -116,13 +116,16 @@ def main() -> None:
         build_fn()
         index_build[name] = round(time.perf_counter() - t0, 4)
 
-    # Two measured executions per query, report the faster (steady state):
-    # the first run pays one-time whole-stage-codegen compilation, which on
-    # a long-lived cluster amortizes to zero.
+    # N measured executions per query (default 2), report the fastest
+    # (steady state): the first run pays one-time whole-stage-codegen
+    # compilation, which on a long-lived cluster amortizes to zero.
+    # SPARK_GRAFT_BENCH_RUNS=3 is the controlled-rerun mode for disposing of
+    # machine-noise regressions (min-of-3 + per-query spread in PLANS.md).
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)

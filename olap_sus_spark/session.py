@@ -45,7 +45,14 @@ def get_spark(app_name: str = "olap_sus_spark", master: str | None = None) -> Sp
         # Parquet TIMESTAMP(NANOS) (events.ts) is unsupported by Spark's
         # vectorized reader; read as long and convert in the catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs driver + all N executor threads in ONE JVM: size the
+        # heap per-thread, not like a lone driver.  8g across 32 threads
+        # (250 MB/thread) measurably GC-throttled long benchmark sessions —
+        # a full 38-query × 3-run bench pass regressed unchanged queries
+        # ~15% (PLANS.md round-4 bench disposal); 24g (~0.75 g/thread, the
+        # low end of Spark's per-core guidance) restored them.  Real
+        # clusters size executor memory per core the same way.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
