@@ -94,6 +94,8 @@ def main() -> None:
     # Hyperparameters come from the registered queries themselves so the
     # pre-built index key always matches what the probe queries will load —
     # a drift would silently move the full build onto the measured path.
+    from olap_sus_spark.operators import dedup as _dd
+    from olap_sus_spark.queries.text_pipeline import augmented_docs as _augmented_docs
     from olap_sus_spark.queries.vector import _DIM, _LSH_H, _LSH_T, _NC
 
     index_build: dict[str, float] = {}
@@ -109,6 +111,17 @@ def main() -> None:
             "ivf",
             lambda: _sim.ivf_index_path(sf_dir, _NC),
             lambda: _sim.load_or_build_ivf_index(spark, sf_dir, num_centroids=_NC),
+        ),
+        (
+            # Near-dup cluster map (star edges + connected components over the
+            # same augmented corpus dedup_keep_best serves): the most
+            # expensive build in the suite, amortized exactly like the ANN
+            # indexes so keep_best's headline is its true serving cost.
+            "near_dup_clusters",
+            lambda: _dd.cluster_index_path(sf_dir, 0.5),
+            lambda: _dd.load_or_build_cluster_index(
+                spark, sf_dir, _augmented_docs(spark, sf_dir), threshold=0.5
+            ),
         ),
     ]:
         shutil.rmtree(path_fn(), ignore_errors=True)

@@ -346,6 +346,71 @@ def star_edges(
     ).filter(F.col("jaccard") >= threshold)
 
 
+# Bump when the clustering ALGORITHM changes (gram hashing, star-edge
+# construction, CC labeling): the corpus stamp catches data changes but a
+# persisted cluster map built by older code would otherwise be silently
+# reused.
+_CLUSTER_ALGO_VERSION = "v1"
+
+
+def cluster_index_path(sf_dir: str, threshold: float, n: int = 3) -> str:
+    import os
+
+    from olap_sus_spark.operators.index_store import corpus_stamp, index_path
+
+    return index_path(
+        "ndclust",
+        f"{_CLUSTER_ALGO_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{corpus_stamp(sf_dir, 'documents')}|{threshold}|{n}",
+    )
+
+
+def load_or_build_cluster_index(
+    spark,
+    sf_dir: str,
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Return the (doc_id, cluster_id) near-dup cluster map for the corpus
+    at ``sf_dir``, building + persisting it on first use — the same
+    maintained-index contract as the ANN tables (similarity.py): corpus
+    stamp + algo version in the key, staged build, atomic promotion.
+
+    Connected components is the single most expensive computation in the
+    dedup family; serving queries (keep-best corpus selection, membership
+    lookups) must NOT re-cluster the corpus per call — they probe this
+    table (join + window), exactly like ANN probes over the bucket table.
+    ``docs`` is the caller-defined corpus view (must be deterministic from
+    the files at ``sf_dir``, which the stamp covers).
+
+    The map is written range-partitioned + sorted on cluster_id: Parquet
+    footer stats then prune a membership probe of a few clusters to a few
+    files.
+    """
+    import os
+
+    from olap_sus_spark.operators.index_store import (
+        index_root,
+        promote,
+        staging_path,
+        sweep_stale_staging,
+    )
+    from olap_sus_spark.sources.sinks import write_sorted
+
+    path = cluster_index_path(sf_dir, threshold, n)
+    if not os.path.exists(path):
+        sweep_stale_staging()
+        edges = star_edges(docs, threshold, n, id_col=id_col)
+        clusters = dedup_clusters(edges, docs.select(id_col), id_col=id_col)
+        os.makedirs(index_root(), exist_ok=True)
+        staging = staging_path(path)
+        write_sorted(clusters, staging, sort_cols=["cluster_id"], files=4)
+        promote(staging, path)
+    return spark.read.parquet(path)
+
+
 def dedup_clusters(
     pairs: DataFrame,
     nodes: DataFrame,

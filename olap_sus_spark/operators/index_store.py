@@ -1,0 +1,121 @@
+"""Maintained-index persistence machinery, shared by every index family
+(ANN: SRP bucket / IVF assignment tables in operators/similarity.py;
+near-dup: the cluster map in operators/dedup.py).
+
+Real deployments build an index ONCE per corpus version and amortize it
+over every query; only the probe sits on the serving path.  The contract
+here:
+
+- **Corpus-stamped keys** (:func:`corpus_stamp`): the index directory name
+  hashes the corpus file identity (per part-file name/size/mtime) plus an
+  algorithm version, so a changed corpus or a changed build algorithm
+  silently invalidates instead of silently reusing.
+- **Staged build + atomic promotion** (:func:`staging_path`,
+  :func:`promote`): builds land in a per-process staging dir renamed into
+  place in one atomic step — a crash mid-build can never leave a directory
+  that existence-checks mistake for a complete index.
+- **Never delete a live destination** (:func:`promote`): an existing
+  destination can only exist via a completed rename, so the race loser
+  discards its own (equivalent) staging copy rather than opening a
+  reader-sees-no-index window.
+- **Age-gated staging sweep** (:func:`sweep_stale_staging`): abandoned
+  staging dirs from crashed builds are reaped only past an age threshold —
+  a live build's staging is minutes old at most.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def index_root() -> str:
+    import tempfile
+
+    return os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_ann_index"),
+    )
+
+
+def corpus_stamp(sf_dir: str, table: str = "embeddings") -> str:
+    """Identity stamp of the corpus dataset.  For a directory dataset the
+    stamp hashes the sorted (name, size, mtime_ns) of the part files inside
+    it — a directory's own st_size/st_mtime don't reliably change when a
+    part file is rewritten in place, so stat'ing the directory could
+    silently reuse a stale index."""
+    import hashlib
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(src):
+            parts = sorted(
+                (name, st.st_size, st.st_mtime_ns)
+                for name, st in (
+                    (e.name, e.stat()) for e in os.scandir(src) if e.is_file()
+                )
+            )
+            return hashlib.md5(repr(parts).encode()).hexdigest()[:16]
+        st = os.stat(src)
+        return f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        return "na"
+
+
+def index_path(kind: str, key: str) -> str:
+    """Deterministic index directory for (kind, logical key)."""
+    import hashlib
+
+    return os.path.join(
+        index_root(), f"{kind}_{hashlib.md5(key.encode()).hexdigest()[:16]}"
+    )
+
+
+def staging_path(path: str) -> str:
+    """Per-process unique staging dir: concurrent builders (bench + tests)
+    must never write into each other's staging."""
+    import uuid
+
+    return f"{path}.__build__{os.getpid()}_{uuid.uuid4().hex[:8]}"
+
+
+def sweep_stale_staging(max_age_sec: float = 3600.0) -> None:
+    """Reap staging dirs abandoned by crashed builds.  A live build's
+    staging is at most minutes old, so anything past ``max_age_sec`` is a
+    leak; the rename-race loser already cleans its own copy up."""
+    import shutil
+    import time
+
+    root = index_root()
+    try:
+        entries = list(os.scandir(root))
+    except OSError:
+        return
+    cutoff = time.time() - max_age_sec
+    for e in entries:
+        if ".__build__" in e.name and e.is_dir():
+            try:
+                if e.stat().st_mtime < cutoff:
+                    shutil.rmtree(e.path, ignore_errors=True)
+            except OSError:
+                pass
+
+
+def promote(staging: str, path: str) -> None:
+    """Commit a staged index build by rename (same crash-safety contract as
+    sources/sinks._swap_in).  The destination is NEVER deleted: it can only
+    exist via a completed atomic rename, so an existing destination means a
+    concurrent builder won the race over the same corpus — deleting it would
+    open a window where a reader finds no index at all.  The loser just
+    discards its (equivalent) staging copy."""
+    import shutil
+
+    if os.path.exists(path):  # lost the race — keep the live index untouched
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+    try:
+        os.rename(staging, path)
+    except OSError:
+        if os.path.exists(path):  # another builder promoted between check & rename
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            raise

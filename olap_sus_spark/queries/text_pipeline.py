@@ -591,14 +591,21 @@ FROM r WHERE rn = 1
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per near-dup cluster, keep the highest-quality document (most
     tokens, deterministic doc_id tie-break) — the kept-corpus output a
-    pre-training pipeline materializes.  Built on the mega-cluster-safe
-    star edges, so edge count and output stay linear at any duplicate
-    density; the winner selection is one window over cluster_id."""
+    pre-training pipeline materializes.
+
+    Serving shape: the cluster map is a MAINTAINED index table
+    (operators/dedup.py:load_or_build_cluster_index — corpus-stamped key,
+    staged build, atomic promotion, same contract as the ANN indexes), so
+    this query is one equi-join + one window over cluster_id.  Re-running
+    star-edge + connected-components per call — the single most expensive
+    computation in the suite — would re-cluster the whole corpus on every
+    serving query at 100 TB; the index amortizes it across corpus versions
+    (bench reports the build separately as index_build.near_dup_clusters,
+    like the ANN builds)."""
     from pyspark.sql.window import Window
 
     docs = augmented_docs(spark, sf_dir)
-    edges = dd.star_edges(docs, threshold=0.5)
-    clusters = dd.dedup_clusters(edges, docs.select("doc_id"))
+    clusters = dd.load_or_build_cluster_index(spark, sf_dir, docs, threshold=0.5)
     quality = docs.select("doc_id", tx.token_count(F.col("text")).alias("q_tokens"))
     w = Window.partitionBy("cluster_id")
     ranked = (
