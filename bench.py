@@ -41,6 +41,7 @@ HEADLINE = [
     "ann_ivf_probe_topk",  # serving path over a maintained IVF index
     "ann_lsh_probe_topk",  # serving path over a maintained SRP bucket index
     "ann_lsh_auto_topk",  # same, with corpus-sized signature width (auto_bits)
+    "kmeans_fixed_point",  # engine-portable Lloyd's (fixed-point means)
     "text_quality_features",
     "decontaminate_train",  # benchmark-leakage gram-hash join
     # event-time / streaming

@@ -232,6 +232,99 @@ def kmeans_centroids(
     return cents.select("centroid_id", F.col("centv").alias(vec_col))
 
 
+KMEANS_FP_SCALE = 1 << 20
+"""Fixed-point scale for :func:`kmeans_fp` mean accumulation (≈6 decimal
+digits — far below embedding noise, far above any drift that could flip a
+nearest-centroid assignment)."""
+
+
+def kmeans_fp(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = KMEANS_FP_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means with ENGINE-PORTABLE determinism — the oracle-able
+    twin of :func:`kmeans_centroids` (same seeds, same assignment rule,
+    same per-(centroid, dim) bounded-memory partial aggregation).
+
+    The one non-portable step in plain k-means is the mean: summing doubles
+    is order-sensitive, and Spark's shuffle order differs from any other
+    engine's.  Here each element is quantized ONCE per round's input to a
+    64-bit fixed-point integer (floor(x·scale + 0.5), the quantize_int8
+    rounding rule), so the per-(centroid, dim) SUM is exact integer
+    arithmetic — order-independent — and the new centroid coordinate is a
+    single correctly-rounded double division sum/(n·scale).  Assignment
+    cosines stay sequential-fold doubles (deterministic per row, like every
+    ANN operator here).  The pagerank rank_fp trick (graph.py), applied to
+    vectors.
+
+    Returns one row per (centroid_id, pos): the final round's per-dimension
+    mean plus the centroid's member count — scalar columns only, so the
+    result is driver-canonicalizable.  Centroids that lose all members in
+    some round drop out in both engines identically.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    vecs = (
+        emb.select(
+            F.col(id_col),
+            v.alias("v"),
+            F.transform(
+                v, lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("bigint")
+            ).alias("vfp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cents = (
+        _as_double(emb.orderBy(id_col).limit(k), vec_col, "centv")
+        .select(F.col(id_col).alias("centroid_id"), "centv")
+        .localCheckpoint(eager=True)
+    )
+    dim_means = None
+    for it in range(iters):
+        assigned = vecs.crossJoin(F.broadcast(cents)).select(
+            id_col, "vfp", "centroid_id", cosine(F.col("v"), F.col("centv")).alias("sim")
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+        best = (
+            assigned.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("centroid_id", "vfp")
+        )
+        dim_means = (
+            best.select("centroid_id", F.posexplode("vfp").alias("pos", "x"))
+            .groupBy("centroid_id", F.col("pos").cast("int").alias("pos"))
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "centroid_id",
+                "pos",
+                (F.col("s").cast("double") / (F.col("n") * F.lit(scale)).cast("double")).alias("m"),
+                "n",
+            )
+        )
+        if it < iters - 1:  # final round's centroids are the output itself
+            cents = (
+                dim_means.groupBy("centroid_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                        ),
+                        lambda st: st["m"],
+                    ).alias("centv")
+                )
+                .localCheckpoint(eager=True)
+            )
+    return dim_means.select(
+        "centroid_id",
+        "pos",
+        F.col("m").alias("mean_val"),
+        F.col("n").alias("n_members"),
+    )
+
+
 def kmeans_inertia(emb: DataFrame, centroids: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> float:
     """Mean best-cosine across vectors (higher = tighter clustering)."""

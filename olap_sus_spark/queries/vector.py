@@ -273,6 +273,59 @@ def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_probe(assigned, cents, queries, nprobe=_NPROBE, k=_K)
 
 
+# Fixed-point k-means (operators/similarity.py:kmeans_fp): deterministic
+# smallest-id seeds, 2 unrolled Lloyd's rounds, per-(centroid, dim)
+# fixed-point integer sums (order-independent — the ONE step where plain
+# double k-means loses engine portability), one correctly-rounded double
+# division per mean.  The oracle unrolls the same two rounds as CTEs — the
+# pagerank unrolled-fixpoint pattern applied to vectors.  Output is scalar
+# rows (centroid_id, pos, mean_val, n_members), fully value-hashable.
+_KM_K, _KM_ITERS, _KM_SCALE = 8, 2, 1 << 20
+
+
+def _kmeans_oracle() -> str:
+    assign = (
+        "SELECT vec_id, vfp, centroid_id FROM ("
+        "    SELECT x.vec_id, x.vfp, c.centroid_id,"
+        "        CAST(ROW_NUMBER() OVER (PARTITION BY x.vec_id"
+        f"            ORDER BY {_cos('x.v', 'c.centv')} DESC, c.centroid_id) AS INT) AS rk"
+        "    FROM v x CROSS JOIN {cent} c) WHERE rk = 1"
+    )
+    # one Lloyd's round: assignment vs {cent} -> fixed-point dim stats
+    stats = (
+        "SELECT centroid_id, CAST(r.pos AS INT) AS pos,"
+        "       CAST(SUM(vfp[r.pos + 1]) AS DOUBLE)"
+        f"           / CAST(COUNT(*) * {_KM_SCALE} AS DOUBLE) AS m,"
+        "       CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM {a} CROSS JOIN range(0, " + str(_DIM) + ") r(pos)"
+        " GROUP BY centroid_id, r.pos"
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x * {_KM_SCALE} + 0.5) AS BIGINT)) AS vfp
+    FROM embeddings
+),
+c0 AS (SELECT vec_id AS centroid_id, v AS centv FROM v WHERE vec_id < {_KM_K}),
+a1 AS ({assign.format(cent='c0')}),
+m1 AS ({stats.format(a='a1')}),
+c1 AS (
+    SELECT centroid_id, list(m ORDER BY pos) AS centv
+    FROM m1 GROUP BY centroid_id
+),
+a2 AS ({assign.format(cent='c1')}),
+m2 AS ({stats.format(a='a2')})
+SELECT centroid_id, pos, m AS mean_val, n AS n_members FROM m2
+"""
+
+
+@register("kmeans_fixed_point", oracle=_kmeans_oracle())
+def kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.kmeans_fp(emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE)
+
+
 # Symmetric int8 quantization — the 4x storage/bandwidth reduction pass for
 # embedding corpora.  Verified via per-vector scalars (scale, checksum of
 # the quantized ints, max reconstruction error) — the array itself is the
