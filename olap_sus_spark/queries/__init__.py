@@ -11,6 +11,7 @@ from olap_sus_spark.queries import (  # noqa: F401
     data_quality,
     events_windows,
     grouping_sets,
+    incremental,
     json_functions,
     market,
     money,
@@ -33,6 +34,7 @@ __all__ = [
     "data_quality",
     "events_windows",
     "grouping_sets",
+    "incremental",
     "json_functions",
     "market",
     "money",

@@ -1,0 +1,134 @@
+"""Maintained incremental aggregate over the driver tables — the
+TPC-H-gateable twin of the warehouse's ``etl.refresh_aggregate`` /
+``read_aggregate`` pair (reference recomputes every summary from the full
+fact history after each ingest; the engine maintains per-partition partials
+and refreshes only the partitions an ingest touched).
+
+The pattern at 100 TB: a daily ingest re-aggregates ONE day's facts and
+dynamic-partition-overwrites that day's slice of the partial table
+(idempotent, same contract as the fact sink); serving queries fold the
+partials — O(aggregate cardinality), never O(fact history).  Additive
+measures use exact types end-to-end (DECIMAL sums + BIGINT counts), so
+partial-then-total is bit-identical to a direct recompute no matter how the
+rows were grouped — which is precisely what lets the serving query share a
+full-recompute DuckDB oracle.
+
+Layout: partials keep DAY grain rows, partitioned by month (84 month
+directories instead of ~2500 day directories — same pruning story for the
+month-rollup serving path, far fewer tiny files; a real lake with daily
+ingest volume would partition by day).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.registry import register
+
+_AGG_ALGO_VERSION = "v1"
+_MONEY = "decimal(15,2)"
+
+
+def daily_revenue_path(sf_dir: str) -> str:
+    from olap_sus_spark.operators.index_store import corpus_stamp, index_path
+
+    return index_path(
+        "dailyrev",
+        f"{_AGG_ALGO_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|{corpus_stamp(sf_dir, 'lineitem')}",
+    )
+
+
+def _partials(spark: SparkSession, sf_dir: str, months: list[str] | None = None) -> DataFrame:
+    """Day-grain revenue partials from lineitem: (dia, valor, n) + month
+    partition key.  ``months`` (yyyy-MM) restricts the scan — the predicate
+    pushes to the parquet scan, and on a date-partitioned lake prunes to the
+    ingested partitions (refresh cost O(day), not O(history))."""
+    li = load_table(spark, sf_dir, "lineitem")
+    if months is not None:
+        li = li.filter(F.date_format("l_shipdate", "yyyy-MM").isin(months))
+    return (
+        li.select(
+            F.date_format("l_shipdate", "yyyy-MM").alias("mes_dt"),
+            F.to_date("l_shipdate").alias("dia"),
+            F.col("l_extendedprice").cast(_MONEY).alias("valor"),
+        )
+        .groupBy("mes_dt", "dia")
+        .agg(F.sum("valor").alias("valor"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def load_or_build_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained partial table (same persistence contract as the ANN /
+    cluster indexes: corpus-stamped key, staged build, atomic promotion)."""
+    from olap_sus_spark.operators.index_store import (
+        index_root,
+        promote,
+        staging_path,
+        sweep_stale_staging,
+    )
+
+    path = daily_revenue_path(sf_dir)
+    if not os.path.exists(path):
+        sweep_stale_staging()
+        os.makedirs(index_root(), exist_ok=True)
+        staging = staging_path(path)
+        _partials(spark, sf_dir).write.partitionBy("mes_dt").mode("overwrite").parquet(
+            staging
+        )
+        promote(staging, path)
+    return spark.read.parquet(path)
+
+
+def refresh_daily_revenue(spark: SparkSession, sf_dir: str, days: list[str]) -> None:
+    """Incremental maintenance: re-aggregate ONLY the partitions containing
+    the ingested days and dynamic-partition-overwrite them in place —
+    idempotent (re-refreshing an unchanged day rewrites identical bytes).
+    Cost is one pruned scan + one partition write, never the fact history.
+    """
+    months = sorted({d[:7] for d in days})
+    path = daily_revenue_path(sf_dir)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        _partials(spark, sf_dir, months).write.partitionBy("mes_dt").mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+_INCR_ORACLE = """
+SELECT
+    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ano,
+    CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS mes,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS valor_total,
+    CAST(COUNT(*) AS BIGINT) AS n_itens
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+@register("incremental_revenue_by_month", oracle=_INCR_ORACLE)
+def incremental_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month revenue roll-up served from the MAINTAINED day-grain partials —
+    O(2500 partial rows), never a lineitem scan — while the oracle
+    recomputes from the raw facts: the hash match proves the maintained
+    table is exactly equivalent to a full recompute.  Exact-additive
+    measures (DECIMAL sum, BIGINT count) make partial-then-total
+    bit-identical regardless of grouping order; only the final output view
+    casts to double."""
+    partials = load_or_build_daily_revenue(spark, sf_dir)
+    return (
+        partials.groupBy(
+            F.year("dia").alias("ano"), F.month("dia").alias("mes")
+        )
+        .agg(
+            F.sum("valor").cast("double").alias("valor_total"),
+            F.sum("n").alias("n_itens"),
+        )
+    )

@@ -67,3 +67,42 @@ def test_obitos_aggregate_round_trip(spark, env):
     fact = spark.read.parquet(os.path.join(wh, "fact_obitos"))
     want = fact.agg(F.sum("quantidade_obitos")).collect()[0][0]
     assert total == want
+
+
+# ---------------------------------------------------------------------------
+# Driver-table twin (queries/incremental.py): maintained day-grain revenue
+# partials over lineitem, served as the oracle'd incremental_revenue_by_month
+# registered query.
+
+
+def test_daily_revenue_refresh_is_idempotent_and_complete(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.queries import incremental as inc
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    served = inc.incremental_revenue_by_month(spark, SF_DIR)
+    full = sorted(tuple(r) for r in served.collect())
+    assert full
+
+    # pick one real day and re-refresh it: the partial table must be
+    # bit-identical afterwards (idempotent maintenance), and serving must
+    # still equal the full recompute
+    partials = inc.load_or_build_daily_revenue(spark, SF_DIR)
+    day = str(partials.select("dia").orderBy("dia").first()[0])
+    inc.refresh_daily_revenue(spark, SF_DIR, [day])
+    again = sorted(
+        tuple(r) for r in inc.incremental_revenue_by_month(spark, SF_DIR).collect()
+    )
+    assert again == full
+
+    # refresh must have rewritten ONLY the one month partition it targeted
+    import os
+
+    root = inc.daily_revenue_path(SF_DIR)
+    assert sorted(d for d in os.listdir(root) if d.startswith("mes_dt="))
+    # month dirs other than the refreshed one keep their original files
+    # (dynamic overwrite touches only matching partitions) — spot-check via
+    # the served equality above plus partition count stability
+    n_months = len([d for d in os.listdir(root) if d.startswith("mes_dt=")])
+    inc.refresh_daily_revenue(spark, SF_DIR, [day])
+    assert len([d for d in os.listdir(root) if d.startswith("mes_dt=")]) == n_months
