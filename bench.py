@@ -68,6 +68,8 @@ HEADLINE = [
     "incremental_revenue_by_month",
     # stateful streaming (applyInPandasWithState end-to-end)
     "streaming_sessionize",
+    "streaming_sessionize_bucketed",  # adopted bucketed-dispatch scale shape
+    "streaming_funnel_bucketed",
 ]
 
 

@@ -87,6 +87,20 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_sessionize_bucketed", oracle=_SESSIONIZE_EVENTS_ORACLE)
+def streaming_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sessionization, bucketed dispatch: state groups are hash
+    buckets of users with vectorized per-bucket processing — ≤ buckets
+    Python invocations per micro-batch instead of one per user (the
+    measured applyInPandasWithState cost ceiling; ×100 probe in PLANS.md).
+    Identical output, identical oracle."""
+    from olap_sus_spark.streaming.streams import sessionize_stream_bucketed
+
+    return run_available_now(
+        sessionize_stream_bucketed(_events_stream(spark, sf_dir)), "append"
+    )
+
+
 _FUNNEL_STAGES_ORACLE = """
 WITH v AS (SELECT user_id, MIN(ts) AS t_view
            FROM events WHERE event_type = 'view' GROUP BY user_id),
@@ -118,6 +132,18 @@ def streaming_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return run_available_now(
         funnel_stream(_events_stream(spark, sf_dir)), "update"
+    )
+
+
+@register("streaming_funnel_bucketed", oracle=_FUNNEL_STAGES_ORACLE)
+def streaming_funnel_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same funnel stage machine, bucketed dispatch + fully vectorized
+    per-batch passes (no per-event Python) — see
+    streams.funnel_stream_bucketed.  Identical output, identical oracle."""
+    from olap_sus_spark.streaming.streams import funnel_stream_bucketed
+
+    return run_available_now(
+        funnel_stream_bucketed(_events_stream(spark, sf_dir)), "update"
     )
 
 

@@ -243,6 +243,84 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def sessionize_stream_bucketed(
+    events: DataFrame, gap: str = "30 minutes", buckets: int = 512
+) -> DataFrame:
+    """Bucketed-dispatch variant of :func:`sessionize_stream`: state groups
+    are hash buckets of users, not individual users.
+
+    The per-user variant's cost ceiling is Python dispatch: one pandas
+    function invocation per user per micro-batch (the ×100 probe measured
+    150k invocations/batch dominating trigger latency).  Here the stream
+    groups by ``pmod(hash(user_id), buckets)``, each invocation handles the
+    bucket's whole user slice VECTORIZED (groupby-shift/cumsum — no
+    per-user Python), and state packs the bucket's users as parallel
+    arrays.  Dispatch count per batch drops from |users| to ≤ buckets;
+    output is identical to the per-user operator row-for-row (same
+    registered oracle).
+
+    Trade-offs: each bucket's full state round-trips Arrow per batch even
+    if one user in the bucket changed (arrays rewrite wholesale), and a
+    bucket is the unit of parallelism — size ``buckets`` ≳ 4× total cores
+    at the target scale so no executor idles.  ``buckets`` only shards
+    state; results don't depend on it.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+
+    def update(key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState):
+        if state.exists:
+            uids, lasts, sesss = state.get
+            st_last = dict(zip(uids, lasts))
+            st_sess = dict(zip(uids, sesss))
+        else:
+            st_last, st_sess = {}, {}
+        batch = pd.concat(list(pdfs)).sort_values(["user_id", "ts", "event_id"])
+        uid = batch["user_id"]
+        ts_us = batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        # within-batch previous event per user (vectorized); first rows pull
+        # the carried-over last event time from state (NaN if user is new)
+        prev = ts_us.groupby(uid.to_numpy()).shift(1)
+        carry = uid.map(st_last)  # Series.map(dict): C-level lookup
+        prev = prev.where(prev.notna(), carry)
+        quebra = (prev.isna() | (ts_us - prev > gap_us)).astype("int64")
+        base = uid.map(st_sess).fillna(0).astype("int64")
+        sessao = base + quebra.groupby(uid.to_numpy()).cumsum()
+        # fold each user's final (ts, session) back into the bucket state
+        tail = ~uid.duplicated(keep="last")
+        st_last.update(zip(uid[tail], ts_us[tail]))
+        st_sess.update(zip(uid[tail], sessao[tail]))
+        users = list(st_last)
+        state.update(
+            (
+                [int(u) for u in users],
+                [int(st_last[u]) for u in users],
+                [int(st_sess[u]) for u in users],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": batch["event_id"],
+                "sessao": sessao.astype("int32"),
+            }
+        )
+
+    return (
+        events.withColumn("_bucket", F.pmod(F.hash("user_id"), F.lit(buckets)))
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, event_id long, sessao int",
+            stateStructType="uids array<long>, last_us array<long>, sessao array<int>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def funnel_stream(events: DataFrame) -> DataFrame:
     """Streaming twin of the batch ordered funnel (behavior.py:
     funnel_stage_counts): a per-user stage machine over
@@ -288,4 +366,91 @@ def funnel_stream(events: DataFrame) -> DataFrame:
         stateStructType="fv long, fc long, etapa int",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def funnel_stream_bucketed(events: DataFrame, buckets: int = 512) -> DataFrame:
+    """Bucketed-dispatch variant of :func:`funnel_stream` (same rationale as
+    :func:`sessionize_stream_bucketed`: ≤ ``buckets`` Python invocations per
+    micro-batch instead of one per user, state packed as parallel arrays).
+
+    The per-event Python loop is ALSO gone: given per-user ts-ordered
+    arrival (the shared prerequisite), the stage machine reduces to three
+    vectorized per-user passes per batch — first view = carried fv else the
+    batch's min view ts; first qualifying click = carried fc else min click
+    ts ≥ fv; stage 3 iff any purchase ts ≥ fc — because "first X after Y"
+    under monotone arrival is a masked groupby-min, not a scan.  Emits the
+    furthest stage per user seen in the batch (update semantics identical
+    to the per-user operator).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState):
+        if state.exists:
+            uids, fvs, fcs, stages = state.get
+            st_fv = dict(zip(uids, fvs))
+            st_fc = dict(zip(uids, fcs))
+            st_stage = dict(zip(uids, stages))
+        else:
+            st_fv, st_fc, st_stage = {}, {}, {}
+        batch = pd.concat(list(pdfs))
+        uid = batch["user_id"]
+        ts_us = batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        kind = batch["event_type"]
+
+        # pass 1 — first view per user: carried fv wins (it is <= any batch
+        # ts under ordered arrival), else the batch's earliest view
+        vmin = ts_us[kind == "view"].groupby(uid[kind == "view"].to_numpy()).min()
+        fv = {
+            **{u: t for u, t in vmin.items()},
+            **{u: t for u, t in st_fv.items() if t >= 0},
+        }
+        # pass 2 — first click at/after the first view
+        cmask = (kind == "click") & uid.map(fv).notna() & (ts_us >= uid.map(fv))
+        cmin = ts_us[cmask].groupby(uid[cmask].to_numpy()).min()
+        fc = {
+            **{u: t for u, t in cmin.items()},
+            **{u: t for u, t in st_fc.items() if t >= 0},
+        }
+        # pass 3 — any purchase at/after the first qualifying click
+        pmask = (kind == "purchase") & uid.map(fc).notna() & (ts_us >= uid.map(fc))
+        bought = set(uid[pmask])
+
+        out_users = list(dict.fromkeys(uid))  # batch users, first-seen order
+        etapas = []
+        for u in out_users:
+            stage = 3 if (u in bought or st_stage.get(u, 0) == 3) else (
+                2 if u in fc else (1 if u in fv else 0)
+            )
+            stage = max(stage, st_stage.get(u, 0))
+            st_fv[u] = int(fv.get(u, -1))
+            st_fc[u] = int(fc.get(u, -1))
+            st_stage[u] = stage
+            etapas.append(stage)
+        users = list(st_fv)
+        state.update(
+            (
+                [int(u) for u in users],
+                [int(st_fv[u]) for u in users],
+                [int(st_fc[u]) for u in users],
+                [int(st_stage[u]) for u in users],
+            )
+        )
+        yield pd.DataFrame({"user_id": out_users, "etapa": etapas}).astype(
+            {"user_id": "int64", "etapa": "int32"}
+        )
+
+    return (
+        events.withColumn("_bucket", F.pmod(F.hash("user_id"), F.lit(buckets)))
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, etapa int",
+            stateStructType=(
+                "uids array<long>, fv array<long>, fc array<long>, etapa array<int>"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

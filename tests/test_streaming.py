@@ -140,14 +140,24 @@ def test_stateful_running_totals(spark, stream_dir):
         assert r.soma_valor == pytest.approx(s, rel=1e-9)
 
 
-def test_streaming_sessionize_matches_batch(spark, tmp_path_factory):
-    """sessionize_stream across ordered micro-batches == the batch
-    gaps-and-islands sessionization (session ordinals and sizes)."""
+@pytest.mark.parametrize("variant", ["per_user", "bucketed"])
+def test_streaming_sessionize_matches_batch(spark, tmp_path_factory, variant):
+    """sessionize_stream (per-user AND bucketed dispatch) across ordered
+    micro-batches == the batch gaps-and-islands sessionization (session
+    ordinals and sizes) — the bucketed run exercises multi-user array
+    state carried across triggers."""
     import time as _time
 
     from olap_sus_spark.queries.behavior import sessionize_events
-    from olap_sus_spark.streaming.streams import sessionize_stream
+    from olap_sus_spark.streaming.streams import (
+        sessionize_stream,
+        sessionize_stream_bucketed,
+    )
     from tests.conftest import SF_DIR
+
+    op = sessionize_stream if variant == "per_user" else (
+        lambda s: sessionize_stream_bucketed(s, buckets=16)  # few users/bucket AND multi-user buckets
+    )
 
     # Stage time-RANGED files written sequentially so the file source
     # (ordered by mtime) replays events in per-user ts order.
@@ -163,7 +173,7 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path_factory):
 
     stream = read_event_stream(spark, d, max_files_per_trigger=1)
     got = (
-        run_available_now(sessionize_stream(stream), "append")
+        run_available_now(op(stream), "append")
         .groupBy("user_id", "sessao")
         .agg(F.count(F.lit(1)).alias("n_eventos"))
     )
@@ -174,14 +184,23 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path_factory):
     assert got.count() > 0
 
 
-def test_streaming_funnel_matches_batch(spark, tmp_path_factory):
-    """funnel_stream's final per-user stages aggregate to the same stage
-    counts as the batch funnel (view/click/purchase semantics)."""
+@pytest.mark.parametrize("variant", ["per_user", "bucketed"])
+def test_streaming_funnel_matches_batch(spark, tmp_path_factory, variant):
+    """funnel_stream's final per-user stages (per-user AND bucketed
+    dispatch) aggregate to the same stage counts as the batch funnel
+    (view/click/purchase semantics)."""
     import time as _time
 
     from olap_sus_spark.queries.behavior import funnel_stage_counts
-    from olap_sus_spark.streaming.streams import funnel_stream
+    from olap_sus_spark.streaming.streams import (
+        funnel_stream,
+        funnel_stream_bucketed,
+    )
     from tests.conftest import SF_DIR
+
+    op = funnel_stream if variant == "per_user" else (
+        lambda s: funnel_stream_bucketed(s, buckets=16)
+    )
 
     d = str(tmp_path_factory.mktemp("events_funnel"))
     ev = load_table(spark, SF_DIR, "events")
@@ -194,7 +213,7 @@ def test_streaming_funnel_matches_batch(spark, tmp_path_factory):
         _time.sleep(1.1)
 
     stream = read_event_stream(spark, d, max_files_per_trigger=1)
-    updates = run_available_now(funnel_stream(stream), "update")
+    updates = run_available_now(op(stream), "update")
     # final stage per user = max stage emitted (stages only move forward)
     final = updates.groupBy("user_id").agg(F.max("etapa").alias("etapa"))
     got = {
