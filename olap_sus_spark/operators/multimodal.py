@@ -304,6 +304,127 @@ def png_decode(payload: bytes | None) -> tuple[int, int, int, bytearray] | None:
     return (width, height, channels, out)
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray | None:
+    """GIF-variant LZW: variable code width (min+1 → 12 bits), LSB-first bit
+    packing, CLEAR/EOI control codes, KwKwK case.  Output is bounded by
+    ``max_pixels`` (the declared frame area) — a crafted stream cannot
+    balloon past the dimensions it claims, mirroring the PNG bomb guard."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    init = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(init)
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out if prev is not None else None  # missing EOI: tolerate
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(init)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+            else:
+                return None
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) >= (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        if len(out) > max_pixels:
+            return None  # stream inflates past the declared frame area
+        prev = entry
+
+
+def gif_decode(payload: bytes | None) -> tuple[int, int, int, bytearray] | None:
+    """Decode the FIRST frame of a non-interlaced GIF87a/89a to RGB pixels
+    via stdlib-only LZW (:func:`_gif_lzw_decode`).  Returns
+    (width, height, 3, row-major RGB bytes) or None for anything else
+    (interlaced/malformed/no palette → None; callers fall back).  Same
+    untrusted-payload posture as :func:`png_decode`: pixel ceiling before
+    decode, LZW output bounded by the declared frame area."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 14:
+        return None
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 7))
+        gct = b[pos : pos + n]
+        pos += n
+    try:
+        while pos < len(b):
+            block = b[pos]
+            if block == 0x21:  # extension: skip label + sub-blocks
+                pos += 2
+                while b[pos]:
+                    pos += b[pos] + 1
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
+                ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
+                ipacked = b[pos + 9]
+                pos += 10
+                if ipacked & 0x40:  # interlaced: not supported
+                    return None
+                ct = gct
+                if ipacked & 0x80:
+                    n = 3 * (2 << (ipacked & 7))
+                    ct = b[pos : pos + n]
+                    pos += n
+                if not ct or not iw or not ih or iw * ih > _PNG_MAX_PIXELS:
+                    return None
+                mcs = b[pos]
+                pos += 1
+                data = bytearray()
+                while b[pos]:
+                    n = b[pos]
+                    data += b[pos + 1 : pos + 1 + n]
+                    pos += n + 1
+                pos += 1
+                idx = _gif_lzw_decode(bytes(data), mcs, iw * ih)
+                if idx is None or len(idx) < iw * ih:
+                    return None
+                pix = bytearray(iw * ih * 3)
+                for i in range(iw * ih):
+                    c = 3 * idx[i]
+                    if c + 3 > len(ct):
+                        return None
+                    pix[3 * i : 3 * i + 3] = ct[c : c + 3]
+                return (iw, ih, 3, pix)
+            elif block == 0x3B:  # trailer
+                return None
+            else:
+                return None
+    except IndexError:
+        return None
+    return None
+
+
 def png_encode(pixels: bytes, width: int, height: int, channels: int) -> bytes:
     """Encode raw row-major 8-bit pixels as a minimal valid PNG
     (filter 0 rows, one zlib IDAT).  Inverse of :func:`png_decode`."""
@@ -367,13 +488,17 @@ RESIZED_SCHEMA = StructType(
 def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Resize image payloads to (width, height) via Arrow-batched mapInPandas.
 
-    PNG payloads take the REAL pixel path: :func:`png_decode` (zlib +
-    full filter-set unfiltering) → :func:`nearest_resize` →
-    :func:`png_encode` — no codec library involved, verified against known
-    pixel values in tests/test_band_and_multimodal.py.  Non-PNG formats
-    (JPEG/GIF — entropy coding needs a codec library this container lacks)
-    fall back to a deterministic digest-derived fake inside the same batch
-    loop, so swapping in Pillow touches one branch.
+    PNG and (non-interlaced) GIF payloads take the REAL pixel path:
+    :func:`png_decode` (zlib + full filter-set unfiltering) /
+    :func:`gif_decode` (stdlib LZW + palette mapping) →
+    :func:`nearest_resize` → :func:`png_encode` — no codec library
+    involved, verified against known pixel values in
+    tests/test_band_and_multimodal.py.  Decoded frames re-encode as PNG
+    regardless of input container (pipelines normalize formats at the
+    resize step).  JPEG/video — DCT entropy coding genuinely needs a codec
+    library this container lacks — fall back to a deterministic
+    digest-derived fake inside the same batch loop, so swapping in Pillow
+    touches one branch.
     """
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -386,7 +511,7 @@ def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> Dat
                 if payload is None:
                     rows.append((asset_id, None, None, None))
                     continue
-                decoded = png_decode(payload)
+                decoded = png_decode(payload) or gif_decode(payload)
                 if decoded is not None:
                     sw, sh, ch, pix = decoded
                     resized = nearest_resize(pix, sw, sh, ch, width, height)

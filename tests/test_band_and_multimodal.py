@@ -260,3 +260,152 @@ def test_resize_real_png_known_pixels(spark):
     w, h, ch, pix = mm.png_decode(bytes(r.payload))
     assert (w, h, ch) == (2, 2, 3)
     assert bytes(pix) == bytes(TL) + bytes(TR) + bytes(BL) + bytes(BR)
+
+
+def _hand_gif(width, height, palette, indices, min_code_size=2):
+    """Independent GIF writer for fixtures ("uncompressed"-style LZW: every
+    pixel emitted as a literal code, CLEAR inserted before the code width
+    would ever need to grow — decodes through any conformant LZW decoder
+    but shares no code with the operator's decoder)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width_bits = min_code_size + 1
+
+    bits = []  # (value, nbits), LSB-first
+    bits.append((clear, width_bits))
+    # after CLEAR the table holds clear+2 codes; each literal adds one
+    # entry, and once the table reaches 2^width the width grows — emit a
+    # CLEAR just before that to pin the width
+    room = (1 << width_bits) - (clear + 2) - 1
+    n_since = 0
+    for i in indices:
+        if n_since >= max(1, room):
+            bits.append((clear, width_bits))
+            n_since = 0
+        bits.append((i, width_bits))
+        n_since += 1
+    bits.append((eoi, width_bits))
+    acc = nacc = 0
+    data = bytearray()
+    for v, n in bits:
+        acc |= v << nacc
+        nacc += n
+        while nacc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        data.append(acc & 0xFF)
+
+    pal_pow = max(1, (len(palette) - 1).bit_length())
+    pal = bytearray()
+    for rgb in palette:
+        pal += bytes(rgb)
+    pal += b"\x00" * (3 * (1 << pal_pow) - len(pal))
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0x80 | (pal_pow - 1), 0, 0])  # GCT flag + size
+    out += pal
+    out += b"\x2c" + b"\x00\x00\x00\x00"
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += b"\x00"  # no LCT, not interlaced
+    out += bytes([min_code_size])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_decode_known_pixels():
+    from olap_sus_spark.operators import multimodal as mm
+
+    R, G, B, Y = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)
+    payload = _hand_gif(2, 2, [R, G, B, Y], [0, 1, 2, 3])
+    got = mm.gif_decode(payload)
+    assert got is not None
+    w, h, ch, pix = got
+    assert (w, h, ch) == (2, 2, 3)
+    assert bytes(pix) == bytes(R) + bytes(G) + bytes(B) + bytes(Y)
+    # header probe agrees
+    assert mm.parse_image_dimensions(payload) == ("image/gif", 2, 2)
+    # a longer run exercises the mid-stream CLEAR resets of the writer
+    idx = [(i * 7) % 4 for i in range(61 * 13)]
+    w2 = _hand_gif(61, 13, [R, G, B, Y], idx)
+    got2 = mm.gif_decode(w2)
+    assert got2 is not None and (got2[0], got2[1]) == (61, 13)
+    flat = bytes(got2[3])
+    pal = [R, G, B, Y]
+    assert all(
+        flat[3 * i : 3 * i + 3] == bytes(pal[idx[i]]) for i in range(len(idx))
+    )
+
+
+def test_gif_lzw_dictionary_codes_and_kwkwk():
+    """Hand-packed streams that use DICTIONARY codes (not just literals):
+    the classic back-reference and the KwKwK corner case."""
+    from olap_sus_spark.operators import multimodal as mm
+
+    def pack(codes, width_bits=3):
+        acc = nacc = 0
+        out = bytearray()
+        for v in codes:
+            acc |= v << nacc
+            nacc += width_bits
+            while nacc >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+        if nacc:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # CLEAR,0,1,6,EOI -> 0,1 then dict code 6 = [0,1] -> pixels 0,1,0,1
+    out = mm._gif_lzw_decode(pack([4, 0, 1, 6, 5]), 2, 100)
+    assert bytes(out) == bytes([0, 1, 0, 1])
+    # CLEAR,0,6,EOI -> KwKwK: 6 not yet defined -> [0,0]; total 0,0,0
+    out = mm._gif_lzw_decode(pack([4, 0, 6, 5]), 2, 100)
+    assert bytes(out) == bytes([0, 0, 0])
+    # bound: stream longer than the declared area refuses
+    assert mm._gif_lzw_decode(pack([4, 0, 1, 6, 5]), 2, 3) is None
+    # garbage code far past the table refuses
+    assert mm._gif_lzw_decode(pack([4, 7, 5]), 2, 100) is None
+
+
+def test_gif_decode_rejects_hostile():
+    from olap_sus_spark.operators import multimodal as mm
+
+    ok = _hand_gif(2, 2, [(1, 2, 3)] * 4, [0, 0, 0, 0])
+    assert mm.gif_decode(ok) is not None
+    assert mm.gif_decode(None) is None
+    assert mm.gif_decode(b"NOTAGIF") is None
+    assert mm.gif_decode(ok[:20]) is None  # truncated mid-structure
+    # interlace flag set -> unsupported -> None
+    bad = bytearray(ok)
+    desc = bad.index(b"\x2c")
+    bad[desc + 9] |= 0x40
+    assert mm.gif_decode(bytes(bad)) is None
+    # declared dimensions past the pixel ceiling refuse before LZW work
+    huge = bytearray(ok)
+    huge[6:8] = (60000).to_bytes(2, "little")
+    huge[8:10] = (60000).to_bytes(2, "little")
+    huge[desc + 5 : desc + 7] = (60000).to_bytes(2, "little")
+    huge[desc + 7 : desc + 9] = (60000).to_bytes(2, "little")
+    assert mm.gif_decode(bytes(huge)) is None
+
+
+def test_resize_real_gif_known_pixels(spark):
+    """resize_images on a REAL GIF goes through gif_decode -> nearest
+    resize -> png_encode (output container normalized to PNG)."""
+    from olap_sus_spark.operators import multimodal as mm
+
+    TL, TR, BL, BR = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)
+    idx = [0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3]
+    payload = _hand_gif(4, 4, [TL, TR, BL, BR], idx)
+    assets = spark.createDataFrame(
+        [(1, bytearray(payload), "image/gif")], mm.ASSET_SCHEMA
+    )
+    r = {x.asset_id: x for x in mm.resize_images(assets, 2, 2).collect()}[1]
+    assert (r.width, r.height) == (2, 2)
+    w, h, ch, pix = mm.png_decode(bytes(r.payload))
+    assert (w, h, ch) == (2, 2, 3)
+    assert bytes(pix) == bytes(TL) + bytes(TR) + bytes(BL) + bytes(BR)
