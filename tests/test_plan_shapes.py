@@ -244,3 +244,40 @@ def test_pagerank_degree_join_not_pinned_broadcast(spark):
         assert n_nodes(plan, "BroadcastNestedLoopJoin") == 1, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_maintained_index_serving_plan_shapes(spark, tmp_path, monkeypatch):
+    """Round-4 serving contracts: queries backed by maintained index tables
+    must PROBE them, never rebuild the expensive computation inline."""
+    import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+
+    # keep-best: join + window over the persisted cluster map.  The old
+    # shape re-ran star edges + connected components per call, which shows
+    # up as checkpointed ExistingRDD scans and extra joins — the serving
+    # plan must have NONE of the CC fixpoint machinery.
+    kb = plan_of(QUERIES["dedup_keep_best"](spark, SF_DIR))
+    assert n_nodes(kb, "Scan ExistingRDD") == 0
+    assert "CartesianProduct" not in kb
+    assert n_nodes(kb, "SortMergeJoin") + n_nodes(kb, "BroadcastHashJoin") + n_nodes(
+        kb, "ShuffledHashJoin"
+    ) == 1  # exactly the cluster-map ⋈ quality join
+    # cluster index + the augmented-corpus quality side (a 3-branch union
+    # over documents) — crucially NOT the shingle/edge pipeline's scans
+    assert n_nodes(kb, "Scan parquet") == 4
+
+    # incremental aggregate: serving folds the partials — the fact table
+    # must not appear anywhere in the plan
+    inc = plan_of(QUERIES["incremental_revenue_by_month"](spark, SF_DIR))
+    assert "lineitem" not in inc
+    assert n_nodes(inc, "Scan parquet") == 1  # the partial table only
+
+    # fixed-point kmeans: centroids broadcast (the documented query×centroid
+    # cross), vectors never shuffled except the per-(centroid,dim) partials
+    km = plan_of(QUERIES["kmeans_fixed_point"](spark, SF_DIR))
+    assert "CartesianProduct" not in km
+    assert n_nodes(km, "BroadcastNestedLoopJoin") <= 1
+    assert "SortMergeJoin" not in km
