@@ -623,6 +623,40 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Membership lookup — the OTHER serving shape over the maintained cluster
+# map: given a probe set of documents, return every member of their
+# clusters ("what else duplicates this doc?").  On the index table this is
+# filter + self-equi-join on cluster_id; the map is written range-
+# partitioned + sorted on cluster_id, so at 100 TB the member-side lookup
+# prunes to the files whose footer ranges cover the probed cluster ids.
+_CLUSTER_MEMBERS_ORACLE = f"""
+WITH RECURSIVE {_AUG_SQL},
+{_cc_star_ctes('aug')},
+cc AS (SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc)
+SELECT p.doc_id AS probe_doc, p.cluster_id, m.doc_id AS member_doc
+FROM cc p JOIN cc m ON m.cluster_id = p.cluster_id
+WHERE p.doc_id % 97 = 0
+"""
+
+
+@register("dedup_cluster_members", oracle=_CLUSTER_MEMBERS_ORACLE)
+def dedup_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup membership probe over the maintained cluster index: for a
+    probe slice of documents (doc_id % 97 == 0 — a stand-in for 'the docs a
+    user asked about'), every member of each probe's cluster.  Pure index
+    probe: no shingling, no edge verification, no CC — two reads of the
+    persisted map joined on cluster_id."""
+    docs = augmented_docs(spark, sf_dir)
+    idx = dd.load_or_build_cluster_index(spark, sf_dir, docs, threshold=0.5)
+    probes = idx.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_doc"), "cluster_id"
+    )
+    members = idx.select(F.col("doc_id").alias("member_doc"), "cluster_id")
+    return probes.join(members, "cluster_id").select(
+        "probe_doc", "cluster_id", "member_doc"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Overlapping token-window chunking — the document → training-sample
 # transform every LLM data pipeline runs after cleaning/dedup (fixed

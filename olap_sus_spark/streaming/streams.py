@@ -141,6 +141,57 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_bucketed(events: DataFrame, buckets: int = 512) -> DataFrame:
+    """Bucketed-dispatch variant of :func:`running_user_totals` — completes
+    the adopted pattern across all three stateful operators (see
+    :func:`sessionize_stream_bucketed` for the rationale and trade-offs).
+    Per-batch work is one pandas groupby-agg per bucket; state packs the
+    bucket's users as parallel arrays."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState):
+        if state.exists:
+            uids, ns, totals = state.get
+            st_n = dict(zip(uids, ns))
+            st_t = dict(zip(uids, totals))
+        else:
+            st_n, st_t = {}, {}
+        batch = pd.concat(list(pdfs))
+        agg = batch.groupby("user_id")["value"].agg(["count", "sum"])
+        out_users, out_n, out_t = [], [], []
+        for u, row in agg.iterrows():
+            n = st_n.get(u, 0) + int(row["count"])
+            t = st_t.get(u, 0.0) + float(row["sum"])
+            st_n[u], st_t[u] = n, t
+            out_users.append(u)
+            out_n.append(n)
+            out_t.append(t)
+        users = list(st_n)
+        state.update(
+            (
+                [int(u) for u in users],
+                [int(st_n[u]) for u in users],
+                [float(st_t[u]) for u in users],
+            )
+        )
+        yield pd.DataFrame(
+            {"user_id": out_users, "n_eventos": out_n, "soma_valor": out_t}
+        ).astype({"user_id": "int64", "n_eventos": "int64"})
+
+    return (
+        events.withColumn("_bucket", F.pmod(F.hash("user_id"), F.lit(buckets)))
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_eventos long, soma_valor double",
+            stateStructType="uids array<long>, ns array<long>, totals array<double>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def interval_join_attribution(
     purchases: DataFrame,
     clicks: DataFrame,

@@ -113,11 +113,18 @@ def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
     assert got.count() > 0
 
 
-def test_stateful_running_totals(spark, stream_dir):
-    """applyInPandasWithState across several micro-batches: the last emitted
-    cumulative row per user must equal the batch aggregate."""
+@pytest.mark.parametrize("variant", ["per_user", "bucketed"])
+def test_stateful_running_totals(spark, stream_dir, variant):
+    """applyInPandasWithState across several micro-batches (per-user AND
+    bucketed dispatch): the last emitted cumulative row per user must equal
+    the batch aggregate."""
+    from olap_sus_spark.streaming.streams import running_user_totals_bucketed
+
+    op = running_user_totals if variant == "per_user" else (
+        lambda s: running_user_totals_bucketed(s, buckets=16)
+    )
     stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
-    updates = run_available_now(running_user_totals(stream), "update")
+    updates = run_available_now(op(stream), "update")
     # take the row with the highest cumulative count per user (soma itself
     # isn't monotonic if values can be negative)
     final = (
