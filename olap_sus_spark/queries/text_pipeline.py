@@ -658,6 +658,51 @@ def dedup_cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic corpus shuffle + shard assignment — the final step before a
+# training run writes its input shards: a seeded global permutation of the
+# corpus, split into N shards with a stable position inside each shard.
+# Scale shape: hash-ORDER shuffle, never a global sort — shard = hash mod N
+# is a narrow projection, and the only shuffle is the per-shard position
+# window (each shard ~|corpus|/N rows, embarrassingly parallel across
+# shards).  Changing the seed reshuffles everything deterministically;
+# md5-derived hashes make the permutation identical on any engine.
+# ---------------------------------------------------------------------------
+_SHUF_SEED, _SHUF_SHARDS = 42, 8
+
+_SHARD_ORACLE = f"""
+WITH h AS (
+    SELECT doc_id,
+           {_md5_int_sql(f"concat('shuf{_SHUF_SEED}_', doc_id)")} AS hv
+    FROM documents
+)
+SELECT doc_id,
+       CAST(hv % {_SHUF_SHARDS} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % {_SHUF_SHARDS}
+                               ORDER BY hv, doc_id) AS INT) AS pos
+FROM h
+"""
+
+
+@register("corpus_shard_assignment", oracle=_SHARD_ORACLE)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hv = tx.md5_int(
+        F.concat(F.lit(f"shuf{_SHUF_SEED}_"), F.col("doc_id").cast("string"))
+    )
+    from pyspark.sql.window import Window
+
+    staged = docs.select(
+        "doc_id",
+        hv.alias("_hv"),
+        F.pmod(hv, F.lit(_SHUF_SHARDS)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_hv"), F.col("doc_id"))
+    return staged.select(
+        "doc_id", "shard", F.row_number().over(w).cast("int").alias("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Overlapping token-window chunking — the document → training-sample
 # transform every LLM data pipeline runs after cleaning/dedup (fixed
 # context-window pieces with overlap so no span is split across a boundary
