@@ -275,6 +275,48 @@ def embedding_dup_pairs(
     ).filter(F.col("cosine") >= threshold)
 
 
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_tables: int = 12,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at the 100 TB shape: candidate pairs
+    come from SRP-LSH bucket collisions (operators/similarity.srp_buckets —
+    the same signature family the ANN index maintains), verified by exact
+    cosine.  This is the scale path :func:`embedding_dup_pairs` documents:
+    label-blocking needs a label and degenerates to all-pairs within hot
+    labels; LSH blocks are corpus-size-adaptive (auto_bits) and the only
+    shuffle is the (table, bucket) collision join.  Recall follows the SRP
+    collision bound: two vectors at cosine c collide in one table with
+    probability (1 − acos(c)/π)^bits, amplified across tables.
+    """
+    from olap_sus_spark.operators.similarity import cosine, srp_buckets
+
+    b = srp_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "t", "bucket"
+    )
+    bb = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "t", "bucket"
+    )
+    pairs = (
+        a.join(bb, ["t", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        cosine(
+            F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
 def contaminated_docs(
     train: DataFrame,
     evalset: DataFrame,
