@@ -280,7 +280,7 @@ def embedding_dup_pairs_lsh(
     dim: int,
     threshold: float = 0.95,
     n_tables: int = 12,
-    n_bits: int = 4,
+    n_bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -289,32 +289,53 @@ def embedding_dup_pairs_lsh(
     the same signature family the ANN index maintains), verified by exact
     cosine.  This is the scale path :func:`embedding_dup_pairs` documents:
     label-blocking needs a label and degenerates to all-pairs within hot
-    labels; LSH blocks are corpus-size-adaptive (auto_bits) and the only
-    shuffle is the (table, bucket) collision join.  Recall follows the SRP
-    collision bound: two vectors at cosine c collide in one table with
-    probability (1 − acos(c)/π)^bits, amplified across tables.
-    """
-    from olap_sus_spark.operators.similarity import cosine, srp_buckets
+    labels; LSH blocks are corpus-size-adaptive and the only shuffle is the
+    (table, bucket) collision join.  Recall follows the SRP collision
+    bound: two vectors at cosine c collide in one table with probability
+    (1 − acos(c)/π)^bits, amplified across tables.
 
-    b = srp_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
-    a = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "t", "bucket"
-    )
-    bb = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "t", "bucket"
+    ``n_bits=None`` (the default) sizes signatures with
+    ``auto_bits(N, target_bucket=8)`` — NON-NEGOTIABLE at scale, and with a
+    much SMALLER occupancy target than the ANN probes use: pair generation
+    pays Σ occupancy² noise candidates, so random-collision occupancy must
+    be a small constant (true near-dup groups still collide — per-pair
+    collision probability (1−θ/π)^bits depends on the signature, not the
+    bucket count — and their pairs are the answer, inherently quadratic in
+    group size like jaccard_pairs; use dedup_near_clusters for the
+    linear-output shape).  The ×100 probe history (PLANS.md round-4):
+    4 fixed bits → >70 GB spill, OOM; ANN's 256-occupancy target → 235M
+    noise candidates, still spilling; occupancy 8 → bounded.  Recall at the
+    near-dup regime stays high (cosine 0.95, 15 bits, 12 tables → ~93%);
+    low thresholds like 0.3 are NOT the SRP regime — bucket recall decays
+    exponentially in bits there, identically mirrored by the oracle.
+    """
+    from olap_sus_spark.operators.similarity import auto_bits, cosine, srp_buckets
+
+    if n_bits is None:
+        n_bits = auto_bits(emb.count(), target_bucket=8)
+    # IDS ONLY through the collision join: the candidate stage is the
+    # quadratic-in-occupancy part, so it must shuffle 24-byte (id, t,
+    # bucket) rows, never KB-scale vectors — carrying vectors here spilled
+    # >70 GB at the ×100 probe even with auto-sized buckets (duplicate-
+    # dense corpora collide by design).  Vectors move only for the DEDUPED
+    # pairs, in two equi-joins on id.
+    ids = srp_buckets(emb, dim, n_tables, n_bits, id_col, vec_col).select(
+        id_col, "t", "bucket"
     )
     pairs = (
-        a.join(bb, ["t", "bucket"])
+        ids.select(F.col(id_col).alias("id_a"), "t", "bucket")
+        .join(ids.select(F.col(id_col).alias("id_b"), "t", "bucket"), ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        cosine(
-            F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")
-        ).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    return (
+        pairs.join(v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va")), "id_a")
+        .join(v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb")), "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def contaminated_docs(

@@ -180,11 +180,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding near-dup at the 100 TB shape: SRP-LSH bucket collisions as the
 # blocking key (corpus-adaptive, no label needed) + exact-cosine verify.
 # The oracle rebuilds the identical buckets (same md5-parity planes) and
-# joins collisions the same way.
+# joins collisions the same way.  Signature width comes from auto_bits on
+# BOTH sides (the nb integer-ladder CTE, as in _LSH_AUTO_ORACLE): the
+# collision join is quadratic in bucket occupancy, so a fixed bit count is
+# a scale bug, not a tuning choice — the ×100 probe proved it (>70 GB
+# spill, PLANS.md round-4).
 _EMB_LSH_THRESHOLD = 0.3
 
 _EMB_DUP_LSH_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nb AS (
+    SELECT GREATEST(4, MIN(h.h)) AS b
+    FROM range(0, 40) h(h)
+    WHERE (CAST(1 AS BIGINT) << h.h)
+          >= ((SELECT COUNT(*) FROM embeddings) + 7) // 8
+),
 planes AS (
     SELECT t.t, h.h,
            list_transform(range(0, {_DIM}), j ->
@@ -192,7 +202,8 @@ planes AS (
                         concat(t.t, '_', h.h, '_', j)), 1, 15)) AS BIGINT) % 2 = 0
                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
            ) AS plane
-    FROM range({_LSH_T}) t(t) CROSS JOIN range({_LSH_H}) h(h)
+    FROM range({_LSH_T}) t(t) CROSS JOIN range(27) h(h), nb
+    WHERE h.h < nb.b
 ),
 bits AS (
     SELECT x.vec_id, p.t, p.h,
@@ -201,7 +212,7 @@ bits AS (
     FROM v x CROSS JOIN planes p
 ),
 buckets AS (
-    SELECT vec_id, t, CAST(SUM(bit * (1 << h)) AS INT) AS bucket
+    SELECT vec_id, t, CAST(SUM(bit * (CAST(1 AS BIGINT) << h)) AS BIGINT) AS bucket
     FROM bits GROUP BY vec_id, t
 ),
 cand AS (
@@ -228,8 +239,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_dup_pairs_lsh(
-        emb, dim=_DIM, threshold=_EMB_LSH_THRESHOLD,
-        n_tables=_LSH_T, n_bits=_LSH_H,
+        emb, dim=_DIM, threshold=_EMB_LSH_THRESHOLD, n_tables=_LSH_T,
     )
 
 
