@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_near_clusters",  # linear-output near-dup shape (the 100 TB path)
     "dedup_near_clusters_star",  # star-reduced edges: linear under mega-clusters
     "dedup_keep_best",  # kept-corpus output: best-quality doc per cluster
+    "dedup_cluster_members",  # membership probe over the maintained cluster map
+    "dedup_embedding_lsh",  # LSH-blocked embedding near-dup (ids-only collision join)
     "tfidf_top_terms",
     "ann_cosine_topk",
     "ann_ivf_probe_topk",  # serving path over a maintained IVF index

@@ -309,7 +309,7 @@ def embedding_dup_pairs_lsh(
     low thresholds like 0.3 are NOT the SRP regime — bucket recall decays
     exponentially in bits there, identically mirrored by the oracle.
     """
-    from olap_sus_spark.operators.similarity import auto_bits, cosine, srp_buckets
+    from olap_sus_spark.operators.similarity import auto_bits, srp_buckets
 
     if n_bits is None:
         n_bits = auto_bits(emb.count(), target_bucket=8)
@@ -319,8 +319,15 @@ def embedding_dup_pairs_lsh(
     # >70 GB at the ×100 probe even with auto-sized buckets (duplicate-
     # dense corpora collide by design).  Vectors move only for the DEDUPED
     # pairs, in two equi-joins on id.
-    ids = srp_buckets(emb, dim, n_tables, n_bits, id_col, vec_col).select(
-        id_col, "t", "bucket"
+    # Materialize the (id, t, bucket) triples ONCE: the collision self-join
+    # would otherwise run the signature pass (12×bits fold-dot products per
+    # vector — by far the dominant cost) on BOTH sides.  24-byte rows × L
+    # tables stay tiny; at warehouse scale this is the maintained SRP index
+    # table (load_or_build_srp_index) instead of a per-job checkpoint.
+    ids = (
+        srp_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
+        .select(id_col, "t", "bucket")
+        .localCheckpoint(eager=True)
     )
     pairs = (
         ids.select(F.col(id_col).alias("id_a"), "t", "bucket")
@@ -329,11 +336,33 @@ def embedding_dup_pairs_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    from olap_sus_spark.operators.similarity import dot, norm
+
+    # Per-vector norms price once per VECTOR, not once per pair — computing
+    # cosine(va, vb) inline would fold both norms again for every candidate
+    # (3 array folds/pair instead of 1).  sqrt(fold(x²)) is deterministic,
+    # so the precomputed product is bit-identical to the oracle's inlined
+    # norms.
+    v = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_n", norm(F.col("_v")))
     return (
-        pairs.join(v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va")), "id_a")
-        .join(v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb")), "id_b")
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        pairs.join(
+            v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("va"),
+                     F.col("_n").alias("na")),
+            "id_a",
+        )
+        .join(
+            v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("vb"),
+                     F.col("_n").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 

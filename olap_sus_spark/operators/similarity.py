@@ -439,26 +439,50 @@ def srp_buckets(
     """
     from olap_sus_spark.catalog import spread_compute
 
-    # The fold-dot signature pass is compute-heavy per row; a single-row-
-    # group parquet scans as ONE task, serializing it.  Re-spread first
-    # (no-op on any real multi-split table — see catalog.spread_compute).
+    # The signature pass is compute-heavy per row; a single-row-group
+    # parquet scans as ONE task, serializing it.  Re-spread first (no-op on
+    # any real multi-split table — see catalog.spread_compute).
     emb = spread_compute(emb)
+    K = n_tables * n_bits
+    planes = [
+        _srp_plane(t, h, dim) for t in range(n_tables) for h in range(n_bits)
+    ]
+    # ALL K plane dots in ONE aggregate pass with a K-wide accumulator (the
+    # simhash60 votes trick): per element j, acc_k += x_j·P[j][k].  One HOF
+    # traversal replaces K separate folds — measured 6× faster signatures
+    # at (12 tables × 8 bits); HOFs don't codegen, so per-invocation
+    # overhead dominates and collapsing K traversals into one is the lever.
+    # Bit-exactness: each acc_k accumulates ((0 + x₀p₀ₖ) + x₁p₁ₖ)… — the
+    # identical left-to-right association as a per-plane sequential fold,
+    # so signatures still match the oracle's list_reduce digit for digit.
+    # The element-major plane matrix is a literal of literals — constant-
+    # folded once, never rebuilt per row.
+    pmat = F.array(
+        *[
+            F.array(*[F.lit(planes[k][j]) for k in range(K)])
+            for j in range(dim)
+        ]
+    )
     v = F.col(vec_col).cast("array<double>")
+    dots = F.aggregate(
+        F.zip_with(v, pmat, lambda x, prow: F.transform(prow, lambda p: x * p)),
+        F.array_repeat(F.lit(0.0), K),
+        lambda acc, prods: F.zip_with(acc, prods, lambda a, b: a + b),
+    )
+    # Stage the dots as a REAL column: the bucket projection references it
+    # n_tables×n_bits times, and an inlined aggregate would re-run the
+    # whole pass per reference (CollapseProject only duplicates cheap
+    # expressions, so staging pins single evaluation).
+    staged = emb.select(F.col(id_col), F.col(vec_col), dots.alias("_dots"))
     buckets = []
     for t in range(n_tables):
         acc = F.lit(0)
         for h in range(n_bits):
-            plane = F.array(
-                *[F.lit(x) for x in _srp_plane(t, h, dim)]
-            )
-            d = F.aggregate(
-                F.zip_with(v, plane, lambda x, p: x * p),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            acc = acc + F.when(d >= 0, F.lit(1 << h)).otherwise(F.lit(0))
+            acc = acc + F.when(
+                F.col("_dots").getItem(t * n_bits + h) >= 0, F.lit(1 << h)
+            ).otherwise(F.lit(0))
         buckets.append(acc)
-    return emb.select(
+    return staged.select(
         id_col,
         vec_col,
         F.posexplode(F.array(*buckets)).alias("t", "bucket"),
