@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_keep_best",  # kept-corpus output: best-quality doc per cluster
     "dedup_cluster_members",  # membership probe over the maintained cluster map
     "dedup_embedding_lsh",  # LSH-blocked embedding near-dup (ids-only collision join)
+    "dedup_embedding_lsh_indexed",  # same, served from the maintained dedup-width SRP index
     "tfidf_top_terms",
     "ann_cosine_topk",
     "ann_ivf_probe_topk",  # serving path over a maintained IVF index
@@ -105,6 +106,12 @@ def main() -> None:
     from olap_sus_spark.queries.text_pipeline import augmented_docs as _augmented_docs
     from olap_sus_spark.queries.vector import _DIM, _LSH_H, _LSH_T, _NC
 
+    # dedup-width SRP signatures (occupancy-8 target; the pair-generation
+    # index, distinct from the ANN probe index's 4-bit key)
+    _dedup_bits = _sim.auto_bits(
+        load_table(spark, sf_dir, "embeddings").count(), target_bucket=8
+    )
+
     index_build: dict[str, float] = {}
     for name, path_fn, build_fn in [
         (
@@ -112,6 +119,13 @@ def main() -> None:
             lambda: _sim.srp_index_path(sf_dir, _DIM, _LSH_T, _LSH_H),
             lambda: _sim.load_or_build_srp_index(
                 spark, sf_dir, dim=_DIM, n_tables=_LSH_T, n_bits=_LSH_H
+            ),
+        ),
+        (
+            "srp_lsh_dedup",
+            lambda: _sim.srp_index_path(sf_dir, _DIM, _LSH_T, _dedup_bits),
+            lambda: _sim.load_or_build_srp_index(
+                spark, sf_dir, dim=_DIM, n_tables=_LSH_T, n_bits=_dedup_bits
             ),
         ),
         (
