@@ -409,3 +409,60 @@ def test_resize_real_gif_known_pixels(spark):
     w, h, ch, pix = mm.png_decode(bytes(r.payload))
     assert (w, h, ch) == (2, 2, 3)
     assert bytes(pix) == bytes(TL) + bytes(TR) + bytes(BL) + bytes(BR)
+
+
+# ---------------------------------------------------------------------------
+# Property-based codec round-trips (hypothesis): the stdlib PNG/GIF pixel
+# paths must survive arbitrary pixel content, not just the hand fixtures.
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+def test_png_roundtrip_random_pixels(w, h, ch, data):
+    from olap_sus_spark.operators import multimodal as mm
+
+    pix = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch))
+    )
+    got = mm.png_decode(mm.png_encode(pix, w, h, ch))
+    assert got is not None
+    assert (got[0], got[1], got[2]) == (w, h, ch)
+    assert bytes(got[3]) == pix
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 6),
+    npal=st.sampled_from([2, 4, 8]),
+    data=st.data(),
+)
+def test_gif_roundtrip_random_indices(w, h, npal, data):
+    """Random palettes + random index streams through the independent
+    uncompressed-style writer must decode to exactly the palette colors."""
+    from olap_sus_spark.operators import multimodal as mm
+
+    palette = [
+        tuple(data.draw(st.lists(st.integers(0, 255), min_size=3, max_size=3)))
+        for _ in range(npal)
+    ]
+    idx = data.draw(
+        st.lists(st.integers(0, npal - 1), min_size=w * h, max_size=w * h)
+    )
+    mcs = max(2, (npal - 1).bit_length())
+    payload = _hand_gif(w, h, palette, idx, min_code_size=mcs)
+    got = mm.gif_decode(payload)
+    assert got is not None
+    gw, gh, gch, pix = got
+    assert (gw, gh, gch) == (w, h, 3)
+    for i, c in enumerate(idx):
+        assert tuple(pix[3 * i : 3 * i + 3]) == palette[c]
