@@ -75,6 +75,70 @@ def cosine_topk(
     )
 
 
+# Above this size the k×dim literal matrix (and the driver collect) stops
+# being sensible — the crossJoin + window fallback handles big codebooks.
+_MATRIX_MAX_K = 64
+
+
+def _nearest_centroid_matrix(
+    vecs: DataFrame,
+    cent_rows: list,
+    keep_cols: list[str],
+    v_col: str = "v",
+):
+    """All-k cosine scoring in ONE aggregate pass (the srp_buckets matrix
+    fold on runtime centroids): centroid vectors are collected driver-side
+    (k is bounded — the codebook is the small side by construction) and
+    folded into a constant element-major matrix, the per-vector norm prices
+    once, and argmax-with-smallest-id-tie-break is array_position of the
+    max (first occurrence — centroids enter the matrix sorted by id).
+
+    Bit-exactness vs the crossJoin + per-centroid fold formulation (and the
+    DuckDB oracles): each dot accumulates in the identical left-to-right
+    element order; centroid norms are computed driver-side with the same
+    sequential float64 fold + one sqrt; the division tree d/(vn·cn) is
+    unchanged.  Returns ``keep_cols`` + (centroid_id, sim).
+    """
+    import math
+
+    rows = sorted(cent_rows, key=lambda r: r[0])
+    ids = [int(r[0]) for r in rows]
+    cvecs = [[float(x) for x in r[1]] for r in rows]
+    k, dim = len(ids), len(cvecs[0])
+
+    def _norm(xs: list[float]) -> float:
+        s = 0.0
+        for x in xs:
+            s += x * x
+        return math.sqrt(s)
+
+    cnorms = [_norm(v) for v in cvecs]
+    pmat = F.array(
+        *[F.array(*[F.lit(cvecs[c][j]) for c in range(k)]) for j in range(dim)]
+    )
+    dots = F.aggregate(
+        F.zip_with(F.col(v_col), pmat, lambda x, prow: F.transform(prow, lambda p: x * p)),
+        F.array_repeat(F.lit(0.0), k),
+        lambda acc, prods: F.zip_with(acc, prods, lambda a, b: a + b),
+    )
+    # Stage dots + the vector norm as real columns: sims references _vn per
+    # element, and an inlined norm fold would re-run per element (the HOF
+    # re-evaluation gotcha); attribute references are cheap.
+    staged = vecs.select(*keep_cols, dots.alias("_dots"), norm(F.col(v_col)).alias("_vn"))
+    sims = F.zip_with(
+        F.col("_dots"),
+        F.array(*[F.lit(cn) for cn in cnorms]),
+        lambda d, cn: d / (F.col("_vn") * cn),
+    )
+    staged = staged.select(*keep_cols, sims.alias("_sims"))
+    best = F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))).cast("int")
+    return staged.select(
+        *keep_cols,
+        F.element_at(F.array(*[F.lit(i) for i in ids]), best).alias("centroid_id"),
+        F.array_max(F.col("_sims")).alias("sim"),
+    )
+
+
 def assign_centroids(
     emb: DataFrame,
     centroids: DataFrame,
@@ -82,11 +146,18 @@ def assign_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF list assignment: nearest centroid per vector (max cosine, ties →
-    smallest centroid id).  Centroids broadcast; single narrow pass."""
+    smallest centroid id).  Small codebooks (k ≤ 64) take the single-pass
+    matrix fold (:func:`_nearest_centroid_matrix`); larger ones fall back
+    to broadcast crossJoin + window — same results either way."""
     cents = _as_double(centroids, vec_col, "centv").select(
         F.col(id_col).alias("centroid_id"), "centv"
     )
+    cent_rows = cents.collect()
     vecs = _as_double(emb, vec_col, "v").select(F.col(id_col), "v", F.col(vec_col))
+    if 0 < len(cent_rows) <= _MATRIX_MAX_K:
+        return _nearest_centroid_matrix(vecs, cent_rows, [id_col, vec_col]).select(
+            id_col, vec_col, "centroid_id"
+        )
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         id_col,
         vec_col,
@@ -203,15 +274,10 @@ def kmeans_centroids(
     )
     vecs = _as_double(emb, vec_col, "v").select(id_col, "v").localCheckpoint(eager=True)
     for _ in range(iters):
-        assigned = (
-            vecs.crossJoin(F.broadcast(cents))
-            .select(
-                id_col, "v", "centroid_id",
-                cosine(F.col("v"), F.col("centv")).alias("sim"),
-            )
+        # single-pass matrix-fold assignment (k bounded; cents checkpointed)
+        best = _nearest_centroid_matrix(
+            vecs, cents.select("centroid_id", "centv").collect(), ["v"]
         )
-        w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
-        best = assigned.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
         # element-wise mean with bounded buffers: one (sum, count) pair per
         # (centroid, dimension) — never a whole cluster's vectors in memory
         dim_means = (
@@ -284,15 +350,11 @@ def kmeans_fp(
     )
     dim_means = None
     for it in range(iters):
-        assigned = vecs.crossJoin(F.broadcast(cents)).select(
-            id_col, "vfp", "centroid_id", cosine(F.col("v"), F.col("centv")).alias("sim")
-        )
-        w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
-        best = (
-            assigned.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("centroid_id", "vfp")
-        )
+        # single-pass matrix-fold assignment (k is bounded; cents is
+        # checkpointed, so the collect reads k materialized rows)
+        best = _nearest_centroid_matrix(
+            vecs, cents.select("centroid_id", "centv").collect(), ["vfp"]
+        ).select("centroid_id", "vfp")
         dim_means = (
             best.select("centroid_id", F.posexplode("vfp").alias("pos", "x"))
             .groupBy("centroid_id", F.col("pos").cast("int").alias("pos"))
