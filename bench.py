@@ -21,6 +21,9 @@ from olap_sus_spark.session import get_spark  # noqa: E402
 # data-pipeline operators (extended as coverage grows).
 HEADLINE = [
     "pricing_summary",
+    "tpch_q3_shipping_priority",  # classic 3-way decision-support join
+    "tpch_q5_local_supplier_volume",  # the 6-way join-order classic
+    "tpch_q10_returned_items",
     "money_cost_rollup",  # DECIMAL(15,2) factInternacoes money-measure twin
     "rollup_family_schooling",
     "rollup_state_ageband",

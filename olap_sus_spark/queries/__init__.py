@@ -24,6 +24,7 @@ from olap_sus_spark.queries import (  # noqa: F401
     streaming_queries,
     text_pipeline,
     timeseries,
+    tpch,
     vector,
 )
 
@@ -47,5 +48,6 @@ __all__ = [
     "streaming_queries",
     "text_pipeline",
     "timeseries",
+    "tpch",
     "vector",
 ]

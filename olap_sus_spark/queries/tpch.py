@@ -1,0 +1,213 @@
+"""Classic multi-join TPC-H decision-support shapes (Q3/Q5/Q10 analogues)
+over the driver tables — the canonical join-ordering / AQE workout the
+per-operator batteries don't exercise: 3-to-6-way star-and-chain joins with
+selective filters on BOTH fact and dimension sides.
+
+The reference's own OLAP set (SURVEY.md §2.11) is covered by queries/olap.py;
+this module adds the standard decision-support shapes every warehouse user
+expects to run, with the engine's exact-money discipline: revenue =
+extendedprice·(1−discount) is computed in DECIMAL (products of decimals are
+exact, decimal SUM is order-independent) and only the OUTPUT view casts to
+double — double SUMs would be shuffle-order-sensitive and break cross-engine
+bit-parity (queries/_util.py rules).
+
+Plan expectations (asserted in tests/test_plan_shapes.py): dimension sides
+broadcast, fact-fact joins shuffle on keys, filters push to the parquet
+scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.registry import register
+
+_MONEY = "decimal(15,2)"
+_DISC = "decimal(15,2)"
+
+# revenue term: DECIMAL product — exact, engine-portable, order-independent
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(15,2))"
+    " * (CAST(1 AS DECIMAL(15,2)) - CAST(l_discount AS DECIMAL(15,2)))"
+)
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice").cast(_MONEY) * (
+        F.lit(1).cast(_DISC) - F.col("l_discount").cast(_DISC)
+    )
+
+
+_Q3_DATE = "1998-06-15"
+
+_Q3_ORACLE = f"""
+SELECT l.l_orderkey AS pedido,
+       o.o_orderdate AS data_pedido,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS receita
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_DATE}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY receita DESC, pedido
+LIMIT 10
+"""
+
+
+@register("tpch_q3_shipping_priority", oracle=_Q3_ORACLE)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: unshipped-revenue top-10 for one market segment.  The
+    customer filter prunes the broadcast side; both date predicates push to
+    the fact scans; one grain shuffle; deterministic (revenue, orderkey)
+    tie-break on the top-10."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp"))
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"), _rev().alias("_rev")
+        )
+    )
+    return (
+        li.join(orders.join(F.broadcast(cust), "o_custkey"), "o_orderkey")
+        .groupBy(
+            F.col("o_orderkey").alias("pedido"),
+            F.col("o_orderdate").alias("data_pedido"),
+        )
+        .agg(F.sum("_rev").cast("double").alias("receita"))
+        .orderBy(F.col("receita").desc(), F.col("pedido"))
+        .limit(10)
+    )
+
+
+_Q5_Y0, _Q5_Y1 = "1996-01-01", "1997-01-01"
+
+_Q5_ORACLE = f"""
+SELECT n.n_name AS nacao,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS receita
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '{_Q5_Y0}'
+  AND o.o_orderdate < TIMESTAMP '{_Q5_Y1}'
+GROUP BY n.n_name
+"""
+
+
+@register("tpch_q5_local_supplier_volume", oracle=_Q5_ORACLE)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 6-way join, revenue by nation where supplier and customer
+    share the nation (the join-graph cycle that makes Q5 the classic join-
+    order test).  Region/nation/supplier/customer all broadcast; the only
+    big shuffle is lineitem ⋈ orders on orderkey."""
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("r_regionkey").alias("n_regionkey"))
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name", "n_regionkey"
+    )
+    nations = nation.join(F.broadcast(region), "n_regionkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("s_nationkey"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_Q5_Y0).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_Q5_Y1).cast("timestamp"))
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _rev().alias("_rev")
+    )
+    return (
+        li.join(orders, "l_orderkey")
+        .join(F.broadcast(supp.join(F.broadcast(nations), "s_nationkey")), "l_suppkey")
+        .join(
+            F.broadcast(cust), ["o_custkey", "s_nationkey"]
+        )  # customer in the SAME nation as the supplier (the Q5 cycle)
+        .groupBy(F.col("n_name").alias("nacao"))
+        .agg(F.sum("_rev").cast("double").alias("receita"))
+    )
+
+
+_Q10_Y0, _Q10_Y1 = "1997-01-01", "1997-07-01"
+
+_Q10_ORACLE = f"""
+SELECT c.c_custkey AS cliente,
+       c.c_name AS nome,
+       n.n_name AS nacao,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS receita_perdida
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{_Q10_Y0}'
+  AND o.o_orderdate < TIMESTAMP '{_Q10_Y1}'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY receita_perdida DESC, cliente
+LIMIT 20
+"""
+
+
+@register("tpch_q10_returned_items", oracle=_Q10_ORACLE)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 customers by returned-item revenue in a quarter-ish
+    window — returnflag filter on the fact scan, date filter on orders,
+    customer/nation broadcast, deterministic tie-break."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_Q10_Y0).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_Q10_Y1).cast("timestamp"))
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", _rev().alias("_rev"))
+    )
+    return (
+        li.join(orders, "l_orderkey")
+        .join(F.broadcast(cust.join(F.broadcast(nation), "c_nationkey")), "o_custkey")
+        .groupBy(
+            F.col("o_custkey").alias("cliente"),
+            F.col("c_name").alias("nome"),
+            F.col("n_name").alias("nacao"),
+        )
+        .agg(F.sum("_rev").cast("double").alias("receita_perdida"))
+        .orderBy(F.col("receita_perdida").desc(), F.col("cliente"))
+        .limit(20)
+    )

@@ -281,3 +281,23 @@ def test_maintained_index_serving_plan_shapes(spark, tmp_path, monkeypatch):
     assert "CartesianProduct" not in km
     assert n_nodes(km, "BroadcastNestedLoopJoin") <= 1
     assert "SortMergeJoin" not in km
+
+
+def test_tpch_multijoin_plan_shapes(spark):
+    """Q3/Q5/Q10 analogues: every filter pushed to its scan, every join a
+    hash join (dims broadcast), nothing cartesian, and no hint pinning the
+    fact-fact join (AQE must stay free to pick SMJ at real scale)."""
+    import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    for name, pushed_frag in [
+        ("tpch_q3_shipping_priority", "EqualTo(c_mktsegment,BUILDING)"),
+        ("tpch_q5_local_supplier_volume", "EqualTo(r_name,ASIA)"),
+        ("tpch_q10_returned_items", "EqualTo(l_returnflag,R)"),
+    ]:
+        p = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert n_nodes(p, "BroadcastHashJoin") >= 2, name
+        assert pushed_frag in p, name
