@@ -45,12 +45,25 @@ def daily_revenue_path(sf_dir: str) -> str:
 
 def _partials(spark: SparkSession, sf_dir: str, months: list[str] | None = None) -> DataFrame:
     """Day-grain revenue partials from lineitem: (dia, valor, n) + month
-    partition key.  ``months`` (yyyy-MM) restricts the scan — the predicate
-    pushes to the parquet scan, and on a date-partitioned lake prunes to the
-    ingested partitions (refresh cost O(day), not O(history))."""
+    partition key.  ``months`` (yyyy-MM) restricts the scan as RANGE
+    predicates on the raw timestamp column — `date_format(..) IN (..)`
+    would wrap the column in an expression and never reach the parquet
+    scan; plain `>= start AND < next-month` comparisons push down to
+    row-group stats (and prune partitions outright on a date-partitioned
+    lake), keeping refresh cost O(day), not O(history)."""
     li = load_table(spark, sf_dir, "lineitem")
     if months is not None:
-        li = li.filter(F.date_format("l_shipdate", "yyyy-MM").isin(months))
+        import datetime
+
+        cond = F.lit(False)
+        for m in sorted(set(months)):
+            start = datetime.date(int(m[:4]), int(m[5:7]), 1)
+            nxt = (start + datetime.timedelta(days=32)).replace(day=1)
+            cond = cond | (
+                (F.col("l_shipdate") >= F.lit(str(start)).cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(str(nxt)).cast("timestamp"))
+            )
+        li = li.filter(cond)
     return (
         li.select(
             F.date_format("l_shipdate", "yyyy-MM").alias("mes_dt"),
@@ -92,6 +105,12 @@ def refresh_daily_revenue(spark: SparkSession, sf_dir: str, days: list[str]) -> 
     """
     months = sorted({d[:7] for d in days})
     path = daily_revenue_path(sf_dir)
+    if not os.path.exists(path):
+        # Refreshing a never-built table must NOT create a months-only
+        # partial that load_or_build would later mistake for the complete
+        # table — fall through to the full staged build instead.
+        load_or_build_daily_revenue(spark, sf_dir)
+        return
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -106,3 +106,42 @@ def test_daily_revenue_refresh_is_idempotent_and_complete(spark, tmp_path, monke
     n_months = len([d for d in os.listdir(root) if d.startswith("mes_dt=")])
     inc.refresh_daily_revenue(spark, SF_DIR, [day])
     assert len([d for d in os.listdir(root) if d.startswith("mes_dt=")]) == n_months
+
+
+def test_refresh_before_build_falls_back_to_full_build(spark, tmp_path, monkeypatch):
+    """Refreshing a never-built partial table must produce the COMPLETE
+    table (a months-only write would be silently mistaken for the full
+    table by every later serve)."""
+    from olap_sus_spark.queries import incremental as inc
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx2"))
+    inc.refresh_daily_revenue(spark, SF_DIR, ["1995-03-15"])  # no table yet
+    served = sorted(
+        tuple(r) for r in inc.incremental_revenue_by_month(spark, SF_DIR).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx3"))
+    full = sorted(
+        tuple(r) for r in inc.incremental_revenue_by_month(spark, SF_DIR).collect()
+    )
+    assert served == full
+
+
+def test_refresh_scan_filter_pushes_down(spark, tmp_path, monkeypatch):
+    """The month-restricted rebuild scan must reach the parquet reader as
+    plain range predicates on l_shipdate (row-group pruning; partition
+    pruning on a date-partitioned lake) — an expression-wrapped filter
+    (date_format IN ...) would scan the full history every refresh."""
+    import io
+    from contextlib import redirect_stdout
+
+    from olap_sus_spark.queries import incremental as inc
+    from tests.conftest import SF_DIR
+
+    df = inc._partials(spark, SF_DIR, months=["1995-03"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln and "GreaterThanOrEqual" in ln for ln in pushed), pushed
