@@ -283,6 +283,7 @@ def embedding_dup_pairs_lsh(
     n_bits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at the 100 TB shape: candidate pairs
     come from SRP-LSH bucket collisions (operators/similarity.srp_buckets —
@@ -311,24 +312,29 @@ def embedding_dup_pairs_lsh(
     """
     from olap_sus_spark.operators.similarity import auto_bits, srp_buckets
 
-    if n_bits is None:
-        n_bits = auto_bits(emb.count(), target_bucket=8)
     # IDS ONLY through the collision join: the candidate stage is the
     # quadratic-in-occupancy part, so it must shuffle 24-byte (id, t,
     # bucket) rows, never KB-scale vectors — carrying vectors here spilled
     # >70 GB at the ×100 probe even with auto-sized buckets (duplicate-
     # dense corpora collide by design).  Vectors move only for the DEDUPED
     # pairs, in two equi-joins on id.
-    # Materialize the (id, t, bucket) triples ONCE: the collision self-join
-    # would otherwise run the signature pass (12×bits fold-dot products per
-    # vector — by far the dominant cost) on BOTH sides.  24-byte rows × L
-    # tables stay tiny; at warehouse scale this is the maintained SRP index
-    # table (load_or_build_srp_index) instead of a per-job checkpoint.
-    ids = (
-        srp_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
-        .select(id_col, "t", "bucket")
-        .localCheckpoint(eager=True)
-    )
+    if buckets is not None:
+        # maintained-index serving path: a persisted (id, .., t, bucket)
+        # table (load_or_build_srp_index) replaces the inline signature pass
+        ids = buckets.select(id_col, "t", "bucket")
+    else:
+        if n_bits is None:
+            n_bits = auto_bits(emb.count(), target_bucket=8)
+        # Materialize the (id, t, bucket) triples ONCE: the collision
+        # self-join would otherwise run the signature pass (12×bits
+        # fold-dot products per vector — by far the dominant cost) on BOTH
+        # sides.  24-byte rows × L tables stay tiny; at warehouse scale the
+        # maintained SRP index table replaces this per-job checkpoint.
+        ids = (
+            srp_buckets(emb, dim, n_tables, n_bits, id_col, vec_col)
+            .select(id_col, "t", "bucket")
+            .localCheckpoint(eager=True)
+        )
     pairs = (
         ids.select(F.col(id_col).alias("id_a"), "t", "bucket")
         .join(ids.select(F.col(id_col).alias("id_b"), "t", "bucket"), ["t", "bucket"])

@@ -369,6 +369,8 @@ def gif_decode(payload: bytes | None) -> tuple[int, int, int, bytearray] | None:
     b = bytes(payload)
     if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 14:
         return None
+    screen_w = int.from_bytes(b[6:8], "little")
+    screen_h = int.from_bytes(b[8:10], "little")
     packed = b[10]
     pos = 13
     gct = None
@@ -385,11 +387,20 @@ def gif_decode(payload: bytes | None) -> tuple[int, int, int, bytearray] | None:
                     pos += b[pos] + 1
                 pos += 1
             elif block == 0x2C:  # image descriptor
+                left = int.from_bytes(b[pos + 1 : pos + 3], "little")
+                top = int.from_bytes(b[pos + 3 : pos + 5], "little")
                 iw = int.from_bytes(b[pos + 5 : pos + 7], "little")
                 ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
                 ipacked = b[pos + 9]
                 pos += 10
                 if ipacked & 0x40:  # interlaced: not supported
+                    return None
+                if (left, top) != (0, 0) or (iw, ih) != (screen_w, screen_h):
+                    # A frame positioned inside a larger logical screen
+                    # needs compositing to match what a real decoder (and
+                    # parse_image_dimensions' screen size) would report —
+                    # refuse like the interlace case so the caller's
+                    # fallback stays consistent with a future codec swap.
                     return None
                 ct = gct
                 if ipacked & 0x80:

@@ -132,9 +132,13 @@ def _nearest_centroid_matrix(
     )
     staged = staged.select(*keep_cols, sims.alias("_sims"))
     best = F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))).cast("int")
+    # centroid_id stays BIGINT like the crossJoin fallback's (and like the
+    # source id column): the two paths must not produce different physical
+    # schemas for the persisted assignments table.
+    id_arr = F.array(*[F.lit(i).cast("long") for i in ids])
     return staged.select(
         *keep_cols,
-        F.element_at(F.array(*[F.lit(i) for i in ids]), best).alias("centroid_id"),
+        F.element_at(id_arr, best).alias("centroid_id"),
         F.array_max(F.col("_sims")).alias("sim"),
     )
 
@@ -152,7 +156,10 @@ def assign_centroids(
     cents = _as_double(centroids, vec_col, "centv").select(
         F.col(id_col).alias("centroid_id"), "centv"
     )
-    cent_rows = cents.collect()
+    # limit(k+1) decides the path WITHOUT pulling a big codebook to the
+    # driver: it returns every row iff the codebook fits the matrix path,
+    # and at most 65 rows (discarded) when it doesn't.
+    cent_rows = cents.limit(_MATRIX_MAX_K + 1).collect()
     vecs = _as_double(emb, vec_col, "v").select(F.col(id_col), "v", F.col(vec_col))
     if 0 < len(cent_rows) <= _MATRIX_MAX_K:
         return _nearest_centroid_matrix(vecs, cent_rows, [id_col, vec_col]).select(
@@ -636,9 +643,11 @@ from olap_sus_spark.operators.index_store import (
 )
 
 # Bump when the signature/assignment ALGORITHM changes (plane construction,
-# hash family, bucket packing): the corpus stamp catches data changes but a
-# persisted index built by older code would otherwise be silently reused.
-_INDEX_ALGO_VERSION = "v1"
+# hash family, bucket packing) OR the persisted physical schema changes:
+# the corpus stamp catches data changes but a persisted index built by
+# older code would otherwise be silently reused.
+# v2: matrix-fold assignment (centroid_id pinned BIGINT on both paths).
+_INDEX_ALGO_VERSION = "v2"
 
 
 def srp_index_path(sf_dir: str, dim: int, n_tables: int, n_bits: int) -> str:

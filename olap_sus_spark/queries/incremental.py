@@ -34,13 +34,41 @@ _MONEY = "decimal(15,2)"
 
 
 def daily_revenue_path(sf_dir: str) -> str:
-    from olap_sus_spark.operators.index_store import corpus_stamp, index_path
+    """The maintained table's path is keyed by corpus LOCATION only — NOT
+    by the corpus stamp, unlike the immutable ANN/cluster indexes.  A
+    stamp-keyed path can never be refreshed incrementally: any ingest that
+    changes the facts changes the stamp, the new path doesn't exist, and
+    'refresh' degenerates to a full rebuild every time.  Staleness is
+    tracked instead by a stamp MARKER inside the table (written at build
+    and updated by refresh): serve-time mismatch means the caller ingested
+    without refreshing, and the safe fallback is a full rebuild."""
+    from olap_sus_spark.operators.index_store import index_path
 
     return index_path(
-        "dailyrev",
-        f"{_AGG_ALGO_VERSION}|{os.path.abspath(sf_dir)}"
-        f"|{corpus_stamp(sf_dir, 'lineitem')}",
+        "dailyrev", f"{_AGG_ALGO_VERSION}|{os.path.abspath(sf_dir)}"
     )
+
+
+_STAMP_MARKER = "_corpus_stamp.txt"
+
+
+def _current_stamp(sf_dir: str) -> str:
+    from olap_sus_spark.operators.index_store import corpus_stamp
+
+    return corpus_stamp(sf_dir, "lineitem")
+
+
+def _read_marker(path: str) -> str | None:
+    try:
+        with open(os.path.join(path, _STAMP_MARKER)) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
+def _write_marker(path: str, stamp: str) -> None:
+    with open(os.path.join(path, _STAMP_MARKER), "w") as f:
+        f.write(stamp)
 
 
 def _partials(spark: SparkSession, sf_dir: str, months: list[str] | None = None) -> DataFrame:
@@ -76,8 +104,13 @@ def _partials(spark: SparkSession, sf_dir: str, months: list[str] | None = None)
 
 
 def load_or_build_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maintained partial table (same persistence contract as the ANN /
-    cluster indexes: corpus-stamped key, staged build, atomic promotion)."""
+    """Maintained partial table: staged build + atomic promotion (index
+    contract), staleness via the stamp marker.  A marker matching the
+    current facts serves directly; a mismatch (the caller ingested without
+    calling :func:`refresh_daily_revenue`) triggers the safe full rebuild —
+    the maintained table must never silently serve stale partials."""
+    import shutil
+
     from olap_sus_spark.operators.index_store import (
         index_root,
         promote,
@@ -86,14 +119,25 @@ def load_or_build_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = daily_revenue_path(sf_dir)
-    if not os.path.exists(path):
+    stamp = _current_stamp(sf_dir)
+    if not os.path.exists(path) or _read_marker(path) != stamp:
         sweep_stale_staging()
         os.makedirs(index_root(), exist_ok=True)
         staging = staging_path(path)
         _partials(spark, sf_dir).write.partitionBy("mes_dt").mode("overwrite").parquet(
             staging
         )
-        promote(staging, path)
+        _write_marker(staging, stamp)
+        if os.path.exists(path):
+            # stale table: retire-then-promote (the rename pair keeps a
+            # complete table visible at every instant; `promote` alone
+            # refuses existing destinations by design)
+            tomb = staging_path(path) + ".stale"
+            os.rename(path, tomb)
+            promote(staging, path)
+            shutil.rmtree(tomb, ignore_errors=True)
+        else:
+            promote(staging, path)
     return spark.read.parquet(path)
 
 
@@ -119,6 +163,11 @@ def refresh_daily_revenue(spark: SparkSession, sf_dir: str, days: list[str]) -> 
         ).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # The caller declares the ingest reconciled: stamp the table with the
+    # CURRENT facts identity so serves trust the refreshed partials (this
+    # is what makes the O(day) path reachable on actually-changed facts —
+    # a stamp-keyed path would full-rebuild on every ingest).
+    _write_marker(path, _current_stamp(sf_dir))
 
 
 _INCR_ORACLE = """

@@ -11,9 +11,10 @@ exact, decimal SUM is order-independent) and only the OUTPUT view casts to
 double — double SUMs would be shuffle-order-sensitive and break cross-engine
 bit-parity (queries/_util.py rules).
 
-Plan expectations (asserted in tests/test_plan_shapes.py): dimension sides
-broadcast, fact-fact joins shuffle on keys, filters push to the parquet
-scans.
+Plan expectations (asserted in tests/test_plan_shapes.py): true dimension
+sides broadcast, anything that scales with the facts (customer, supplier,
+orders) is unhinted so AQE stays free to pick SMJ at warehouse scale,
+filters push to the parquet scans.
 """
 
 from __future__ import annotations
@@ -60,10 +61,11 @@ LIMIT 10
 
 @register("tpch_q3_shipping_priority", oracle=_Q3_ORACLE)
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3 shape: unshipped-revenue top-10 for one market segment.  The
-    customer filter prunes the broadcast side; both date predicates push to
-    the fact scans; one grain shuffle; deterministic (revenue, orderkey)
-    tie-break on the top-10."""
+    """Q3 shape: unshipped-revenue top-10 for one market segment.  Both
+    date predicates and the segment filter push to the scans; join
+    strategies are left to AQE (customer scales with the warehouse, so
+    nothing fact-sized carries a broadcast hint); one grain shuffle;
+    deterministic (revenue, orderkey) tie-break on the top-10."""
     cust = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -82,7 +84,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(orders.join(F.broadcast(cust), "o_custkey"), "o_orderkey")
+        # customer scales with the facts — no broadcast hint; AQE picks the
+        # strategy (broadcast while the filtered side fits, SMJ beyond)
+        li.join(orders.join(cust, "o_custkey"), "o_orderkey")
         .groupBy(
             F.col("o_orderkey").alias("pedido"),
             F.col("o_orderdate").alias("data_pedido"),
@@ -115,8 +119,9 @@ GROUP BY n.n_name
 def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 shape: 6-way join, revenue by nation where supplier and customer
     share the nation (the join-graph cycle that makes Q5 the classic join-
-    order test).  Region/nation/supplier/customer all broadcast; the only
-    big shuffle is lineitem ⋈ orders on orderkey."""
+    order test).  Only the region-filtered 25-row nation list carries a
+    broadcast hint; supplier/customer scale with the warehouse and are left
+    to AQE.  The one unavoidable big shuffle is lineitem ⋈ orders."""
     region = (
         load_table(spark, sf_dir, "region")
         .filter(F.col("r_name") == "ASIA")
@@ -146,10 +151,12 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return (
         li.join(orders, "l_orderkey")
-        .join(F.broadcast(supp.join(F.broadcast(nations), "s_nationkey")), "l_suppkey")
+        .join(supp.join(F.broadcast(nations), "s_nationkey"), "l_suppkey")
         .join(
-            F.broadcast(cust), ["o_custkey", "s_nationkey"]
-        )  # customer in the SAME nation as the supplier (the Q5 cycle)
+            cust, ["o_custkey", "s_nationkey"]
+        )  # customer in the SAME nation as the supplier (the Q5 cycle).
+        # supplier/customer scale with the warehouse — no broadcast hints;
+        # only the region-filtered nation list is pinned (25 rows)
         .groupBy(F.col("n_name").alias("nacao"))
         .agg(F.sum("_rev").cast("double").alias("receita"))
     )
@@ -179,7 +186,7 @@ LIMIT 20
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10 shape: top-20 customers by returned-item revenue in a quarter-ish
     window — returnflag filter on the fact scan, date filter on orders,
-    customer/nation broadcast, deterministic tie-break."""
+    nation broadcast (customer left to AQE), deterministic tie-break."""
     nation = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("c_nationkey"), "n_name"
     )
@@ -201,7 +208,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, "l_orderkey")
-        .join(F.broadcast(cust.join(F.broadcast(nation), "c_nationkey")), "o_custkey")
+        .join(cust.join(F.broadcast(nation), "c_nationkey"), "o_custkey")
         .groupBy(
             F.col("o_custkey").alias("cliente"),
             F.col("c_name").alias("nome"),

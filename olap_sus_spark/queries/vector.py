@@ -251,43 +251,16 @@ def dedup_embedding_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant inline cost, amortizes off the serving path; per call only
     the collision join + cosine verify run.  Identical output and oracle
     to dedup_embedding_lsh by construction."""
-    from olap_sus_spark.operators.similarity import (
-        auto_bits,
-        dot,
-        load_or_build_srp_index,
-        norm,
-    )
+    from olap_sus_spark.operators.dedup import embedding_dup_pairs_lsh
+    from olap_sus_spark.operators.similarity import auto_bits, load_or_build_srp_index
 
     emb = load_table(spark, sf_dir, "embeddings")
     bits = auto_bits(emb.count(), target_bucket=8)
     b = load_or_build_srp_index(
         spark, sf_dir, dim=_DIM, n_tables=_LSH_T, n_bits=bits
     )
-    ids = b.select("vec_id", "t", "bucket")
-    pairs = (
-        ids.select(F.col("vec_id").alias("id_a"), "t", "bucket")
-        .join(ids.select(F.col("vec_id").alias("id_b"), "t", "bucket"), ["t", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    v = emb.select(
-        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("_v")
-    ).withColumn("_n", norm(F.col("_v")))
-    return (
-        pairs.join(
-            v.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("va"),
-                     F.col("_n").alias("na")), "id_a",
-        )
-        .join(
-            v.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("vb"),
-                     F.col("_n").alias("nb")), "id_b",
-        )
-        .select(
-            "id_a", "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= _EMB_LSH_THRESHOLD)
+    return embedding_dup_pairs_lsh(
+        emb, dim=_DIM, threshold=_EMB_LSH_THRESHOLD, n_tables=_LSH_T, buckets=b
     )
 
 

@@ -28,6 +28,25 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _default_driver_mem() -> str:
+    """local[N] runs driver + all N executor threads in ONE JVM: size the
+    heap per-thread (~0.75 g/thread, the low end of Spark's per-core
+    guidance — 8g across 32 threads measurably GC-throttled long sessions,
+    see PLANS.md round-4 bench disposal), but never past ~60% of physical
+    RAM: an -Xmx above physical memory trades a contained Spark OOM for
+    swap death / the OS OOM-killer on small hosts."""
+    want_g = max(8, (default_parallelism() * 3 + 3) // 4)
+    try:
+        with open("/proc/meminfo") as f:
+            total_kb = int(
+                next(line for line in f if line.startswith("MemTotal")).split()[1]
+            )
+        cap_g = max(4, int(total_kb / 1024 / 1024 * 0.6))
+    except (OSError, StopIteration, ValueError, IndexError):
+        cap_g = 8  # unknown host: conservative
+    return f"{min(want_g, cap_g)}g"
+
+
 def get_spark(app_name: str = "olap_sus_spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's standard config."""
     cpus = default_parallelism()
@@ -45,14 +64,10 @@ def get_spark(app_name: str = "olap_sus_spark", master: str | None = None) -> Sp
         # Parquet TIMESTAMP(NANOS) (events.ts) is unsupported by Spark's
         # vectorized reader; read as long and convert in the catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # local[N] runs driver + all N executor threads in ONE JVM: size the
-        # heap per-thread, not like a lone driver.  8g across 32 threads
-        # (250 MB/thread) measurably GC-throttled long benchmark sessions —
-        # a full 38-query × 3-run bench pass regressed unchanged queries
-        # ~15% (PLANS.md round-4 bench disposal); 24g (~0.75 g/thread, the
-        # low end of Spark's per-core guidance) restored them.  Real
-        # clusters size executor memory per core the same way.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")

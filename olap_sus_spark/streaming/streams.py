@@ -158,10 +158,14 @@ def running_user_totals_bucketed(events: DataFrame, buckets: int = 512) -> DataF
         else:
             st_n, st_t = {}, {}
         batch = pd.concat(list(pdfs))
-        agg = batch.groupby("user_id")["value"].agg(["count", "sum"])
+        # size (ALL rows), not count (non-null only): the per-user twin
+        # counts len(pdf), so a NULL value row must still increment
+        # n_eventos identically here; pandas' NaN-skipping sum matches the
+        # twin's pdf["value"].sum().
+        agg = batch.groupby("user_id")["value"].agg(["size", "sum"])
         out_users, out_n, out_t = [], [], []
         for u, row in agg.iterrows():
-            n = st_n.get(u, 0) + int(row["count"])
+            n = st_n.get(u, 0) + int(row["size"])
             t = st_t.get(u, 0.0) + float(row["sum"])
             st_n[u], st_t[u] = n, t
             out_users.append(u)

@@ -145,3 +145,74 @@ def test_refresh_scan_filter_pushes_down(spark, tmp_path, monkeypatch):
     plan = buf.getvalue()
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("l_shipdate" in ln and "GreaterThanOrEqual" in ln for ln in pushed), pushed
+
+
+def test_refresh_on_changed_facts_is_incremental_and_correct(spark, tmp_path, monkeypatch):
+    """The real maintenance loop: facts CHANGE, the caller refreshes only
+    the ingested day, and the served aggregate equals a recompute over the
+    new facts — while an ingest WITHOUT refresh triggers the safe full
+    rebuild instead of serving stale partials."""
+    import os
+    import shutil
+
+    def _replace(dst, src):
+        shutil.rmtree(dst) if os.path.isdir(dst) else os.remove(dst)
+        shutil.move(src, dst)
+
+    from pyspark.sql import functions as F
+
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.queries import incremental as inc
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in ("lineitem",):
+        src = os.path.join(SF_DIR, f"{t}.parquet")
+        (shutil.copytree if os.path.isdir(src) else shutil.copy)(
+            src, os.path.join(sf, f"{t}.parquet")
+        )
+
+    base = sorted(
+        tuple(r) for r in inc.incremental_revenue_by_month(spark, sf).collect()
+    )
+    assert base
+
+    # "ingest": duplicate one existing day's rows (append-style change)
+    li = load_table(spark, sf, "lineitem")
+    day = str(li.select(F.to_date("l_shipdate").alias("d")).orderBy("d").first()[0])
+    extra = li.filter(F.to_date("l_shipdate") == day)
+    new_li = li.unionByName(extra)
+    tmp_out = str(tmp_path / "li_new.parquet")
+    new_li.write.mode("overwrite").parquet(tmp_out)
+    _replace(os.path.join(sf, "lineitem.parquet"), tmp_out)
+
+    # refresh ONLY the changed day -> served == recompute over new facts
+    inc.refresh_daily_revenue(spark, sf, [day])
+    served = sorted(
+        tuple(r) for r in inc.incremental_revenue_by_month(spark, sf).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    recomputed = sorted(
+        tuple(r) for r in inc.incremental_revenue_by_month(spark, sf).collect()
+    )
+    assert served == recomputed
+    assert served != base  # the change is visible
+
+    # stale-marker path: mutate facts again WITHOUT refresh -> serve must
+    # detect the mismatch and full-rebuild, never serve the old partials
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    li2 = load_table(spark, sf, "lineitem")
+    extra2 = li2.filter(F.to_date("l_shipdate") == day)
+    tmp_out2 = str(tmp_path / "li_new2.parquet")
+    li2.unionByName(extra2).write.mode("overwrite").parquet(tmp_out2)
+    _replace(os.path.join(sf, "lineitem.parquet"), tmp_out2)
+    served2 = sorted(
+        tuple(r) for r in inc.incremental_revenue_by_month(spark, sf).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh2"))
+    recomputed2 = sorted(
+        tuple(r) for r in inc.incremental_revenue_by_month(spark, sf).collect()
+    )
+    assert served2 == recomputed2
