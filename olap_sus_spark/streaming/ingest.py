@@ -49,7 +49,9 @@ def read_landing_stream(spark: SparkSession, landing_dir: str, dataset: str) -> 
     )
 
 
-def _process_batch(dataset: str, warehouse_dir: str):
+def _process_batch(dataset: str, warehouse_dir: str, refresh_aggregates: bool = True):
+    fact_table = "fact_nascimentos" if dataset == "sinasc" else "fact_obitos"
+
     def inner(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -67,6 +69,14 @@ def _process_batch(dataset: str, warehouse_dir: str):
                 fact, bridge = facts_ops.build_fact_obitos(transform_sim(day), dims)
                 sinks.append_bridge(bridge, warehouse_dir, etl.BRIDGE_TABLE)
                 sinks.write_fact_partition(fact, warehouse_dir, "fact_obitos", dt)
+        if refresh_aggregates:
+            # Close the ingest→refresh→serve loop inside the stream: every
+            # maintained aggregate over this fact re-aggregates ONLY the
+            # micro-batch's dt partitions (dynamic partition overwrite —
+            # idempotent with the fact sink, so a replayed batch converges).
+            for name, (ft, _, _, _) in etl.AGGREGATES.items():
+                if ft == fact_table:
+                    etl.refresh_aggregate(spark, warehouse_dir, name, dates=sorted(days))
 
     return inner
 

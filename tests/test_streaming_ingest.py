@@ -82,3 +82,22 @@ def test_batch_multiday_reingest_scoped_overwrite(spark, env):
     assert _counts_by_dt(spark, wh, "fact_nascimentos") == {DT: 5, DT2: 5}
     etl.run_ingest(spark, "sinasc", DT, landing, wh)  # re-run day 1 only
     assert _counts_by_dt(spark, wh, "fact_nascimentos") == {DT: 5, DT2: 5}
+
+
+def test_stream_ingest_maintains_aggregates(spark, env):
+    """The streaming loop closes ingest→refresh→serve: after the drain,
+    every maintained aggregate over the ingested fact serves exactly what a
+    full rebuild over the complete fact history would."""
+    landing, wh, ckpt = env
+    stream_ingest(spark, "sinasc", landing, wh, ckpt + "/sinasc_agg")
+    served = sorted(
+        tuple(r)
+        for r in etl.read_aggregate(spark, wh, "agg_nascimentos_uf_ano").collect()
+    )
+    assert served
+    etl.refresh_aggregate(spark, wh, "agg_nascimentos_uf_ano", dates=None)  # full rebuild
+    full = sorted(
+        tuple(r)
+        for r in etl.read_aggregate(spark, wh, "agg_nascimentos_uf_ano").collect()
+    )
+    assert served == full
