@@ -129,15 +129,38 @@ def load_or_build_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _write_marker(staging, stamp)
         if os.path.exists(path):
-            # stale table: retire-then-promote (the rename pair keeps a
-            # complete table visible at every instant; `promote` alone
-            # refuses existing destinations by design)
+            # Stale table: retire-then-promote.  The retire rename must NOT
+            # assume it wins — a concurrent rebuilder over the same stale
+            # marker may have retired (or already re-promoted) the path, in
+            # which case our rename raises and we fall through to `promote`,
+            # which lands this staging if the path is still absent or
+            # discards it if the winner's copy is already live (the same
+            # race-loser contract as the IVF quarantine in similarity.py).
+            # Readers CAN observe a brief no-table window between retire and
+            # promote; the serve below retries through it.
             tomb = staging_path(path) + ".stale"
-            os.rename(path, tomb)
+            try:
+                os.rename(path, tomb)
+            except OSError:
+                tomb = None  # concurrent retire won; nothing of ours to reap
             promote(staging, path)
-            shutil.rmtree(tomb, ignore_errors=True)
+            if tomb is not None:
+                shutil.rmtree(tomb, ignore_errors=True)
         else:
             promote(staging, path)
+    # Serve with a bounded retry: a concurrent rebuilder's retire→promote
+    # window can make the path vanish between our freshness check and the
+    # read.  The window is microseconds (two renames); by the retry the
+    # winner has promoted and the read succeeds.
+    import time
+
+    for _ in range(100):
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            if os.path.exists(path):
+                raise
+            time.sleep(0.05)
     return spark.read.parquet(path)
 
 

@@ -184,7 +184,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BOTH sides (the nb integer-ladder CTE, as in _LSH_AUTO_ORACLE): the
 # collision join is quadratic in bucket occupancy, so a fixed bit count is
 # a scale bug, not a tuning choice — the ×100 probe proved it (>70 GB
-# spill, PLANS.md round-4).
+# spill, PLANS.md round-4).  The planes CTE generates the full 39-bit range
+# the nb ladder can select (occupancy-8 with 39 bits covers ~4×10^12 rows),
+# so the two sides stay in lock-step at any reachable corpus size — a
+# planes range narrower than nb's would silently drop high bits on the
+# oracle side only.
 _EMB_LSH_THRESHOLD = 0.3
 
 _EMB_DUP_LSH_ORACLE = f"""
@@ -202,7 +206,7 @@ planes AS (
                         concat(t.t, '_', h.h, '_', j)), 1, 15)) AS BIGINT) % 2 = 0
                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
            ) AS plane
-    FROM range({_LSH_T}) t(t) CROSS JOIN range(27) h(h), nb
+    FROM range({_LSH_T}) t(t) CROSS JOIN range(39) h(h), nb
     WHERE h.h < nb.b
 ),
 bits AS (
