@@ -159,15 +159,28 @@ def refresh_aggregate(
     day, not the decade: partition pruning makes refresh cost O(day), and
     the additive partials keep query-time work O(aggregate cardinality).
     """
+    from olap_sus_spark.sources.sinks import _exists
+
     fact_table, build, _, _ = AGGREGATES[name]
+    if dates is not None and not _exists(spark, posixpath.join(warehouse_dir, name)):
+        # A dated refresh against a never-built aggregate would create a
+        # partial table covering only these dt partitions, which
+        # read_aggregate would then serve as if complete — first build must
+        # cover the whole fact history (same guard as
+        # refresh_daily_revenue's never-built fallback).
+        dates = None
     fact = spark.read.parquet(posixpath.join(warehouse_dir, fact_table))
     if dates is not None:
         fact = fact.filter(F.col("dt").isin(dates))  # partition-pruned scan
     partial = build(fact, load_dims(spark, warehouse_dir))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    partial.write.mode("overwrite").partitionBy("dt").parquet(
-        posixpath.join(warehouse_dir, name)
-    )
+    try:
+        partial.write.mode("overwrite").partitionBy("dt").parquet(
+            posixpath.join(warehouse_dir, name)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return partial
 
 

@@ -445,22 +445,38 @@ def star_edges(
 
 
 # Bump when the clustering ALGORITHM changes (gram hashing, star-edge
-# construction, CC labeling): the corpus stamp catches data changes but a
-# persisted cluster map built by older code would otherwise be silently
-# reused.
-_CLUSTER_ALGO_VERSION = "v1"
+# construction, CC labeling) or the persisted layout changes: the manifest
+# catches data changes but a persisted cluster map built by older code
+# would otherwise be silently reused.
+# v2: location-keyed path + manifest staleness + persisted hub table →
+#     incremental append refresh (refresh_cluster_index).
+_CLUSTER_ALGO_VERSION = "v2"
+
+_SRC = "src"
 
 
 def cluster_index_path(sf_dir: str, threshold: float, n: int = 3) -> str:
     import os
 
-    from olap_sus_spark.operators.index_store import corpus_stamp, index_path
+    from olap_sus_spark.operators.index_store import index_path
 
     return index_path(
         "ndclust",
-        f"{_CLUSTER_ALGO_VERSION}|{os.path.abspath(sf_dir)}"
-        f"|{corpus_stamp(sf_dir, 'documents')}|{threshold}|{n}",
+        f"{_CLUSTER_ALGO_VERSION}|{os.path.abspath(sf_dir)}|{threshold}|{n}",
     )
+
+
+def _grams_blocks(docs: DataFrame, n: int, id_col: str, text_col: str = "text") -> DataFrame:
+    """(id, grams_h, block [, src]) — the shared staging frame of the star
+    topology: block = the doc's min gram hash (its ONE block)."""
+    from pyspark.sql import functions as F
+
+    extra = [F.col(_SRC)] if _SRC in docs.columns else []
+    return docs.select(
+        F.col(id_col),
+        gram_hash_array(F.col(text_col), n).alias("grams_h"),
+        *extra,
+    ).withColumn("block", F.array_min(F.col("grams_h")).cast("string"))
 
 
 def load_or_build_cluster_index(
@@ -472,41 +488,228 @@ def load_or_build_cluster_index(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Return the (doc_id, cluster_id) near-dup cluster map for the corpus
-    at ``sf_dir``, building + persisting it on first use — the same
-    maintained-index contract as the ANN tables (similarity.py): corpus
-    stamp + algo version in the key, staged build, atomic promotion.
+    at ``sf_dir``, building + persisting it on first use — the maintained-
+    index contract shared with the ANN tables (similarity.py): location-
+    keyed path, per-part-file manifest for staleness (mismatch → safe full
+    rebuild), staged build, atomic promotion.
 
     Connected components is the single most expensive computation in the
     dedup family; serving queries (keep-best corpus selection, membership
     lookups) must NOT re-cluster the corpus per call — they probe this
     table (join + window), exactly like ANN probes over the bucket table.
     ``docs`` is the caller-defined corpus view (must be deterministic from
-    the files at ``sf_dir``, which the stamp covers).
+    the files at ``sf_dir``, which the manifest covers).
 
-    The map is written range-partitioned + sorted on cluster_id: Parquet
-    footer stats then prune a membership probe of a few clusters to a few
-    files.
-    """
+    Layout: ``path/clusters`` (doc_id, cluster_id; src-partitioned, sorted
+    on cluster_id so footer stats prune membership probes) plus
+    ``path/hubs`` (block, hub_id, grams_h) — the per-block star centers
+    with their gram sets, which is exactly the state an APPEND refresh
+    needs: a new doc either verifies against its block's existing hub
+    (joining that cluster) or founds a new block (becoming its hub).  See
+    :func:`refresh_cluster_index`."""
     import os
 
+    from pyspark.sql import functions as F
+
     from olap_sus_spark.operators.index_store import (
+        corpus_files,
         index_root,
-        promote,
+        read_manifest,
         staging_path,
         sweep_stale_staging,
+        write_manifest,
     )
-    from olap_sus_spark.sources.sinks import write_sorted
+    from olap_sus_spark.operators.similarity import _retire_and_promote, _serve_retry
+    from olap_sus_spark.sources.sinks import write_sorted_partitioned
 
     path = cluster_index_path(sf_dir, threshold, n)
-    if not os.path.exists(path):
+    current = corpus_files(sf_dir, "documents")
+    man = read_manifest(path)
+    if man is None or man.get("files") != current:
         sweep_stale_staging()
-        edges = star_edges(docs, threshold, n, id_col=id_col)
-        clusters = dedup_clusters(edges, docs.select(id_col), id_col=id_col)
+        g = _grams_blocks(docs, n, id_col)
+        if _SRC not in g.columns:
+            # a docs view without source-file provenance still maintains
+            # incrementally: base rows live under one partition, refreshed
+            # appends land under their own src partitions
+            g = g.withColumn(_SRC, F.lit("__base__"))
+        # The gram arrays feed the hub table, the edge verification AND the
+        # CC node set — materialize the (expensive) shingling pass once.
+        g = g.persist()
+        hubs = g.groupBy("block").agg(F.min(id_col).alias("hub_id"))
+        hub_rows = g.join(hubs, "block").filter(F.col(id_col) == F.col("hub_id")).select(
+            "block", "hub_id", "grams_h", _SRC
+        )
+        members = (
+            g.join(hubs, "block")
+            .filter(F.col(id_col) != F.col("hub_id"))
+            .select("hub_id", F.col(id_col).alias("id_b"), F.col("grams_h").alias("grams_b"))
+        )
+        hub_grams = g.select(F.col(id_col).alias("hub_id"), F.col("grams_h").alias("grams_a"))
+        edges = (
+            members.join(hub_grams, "hub_id")
+            .select(
+                F.col("hub_id").alias("id_a"), "id_b",
+                jaccard_of("grams_a", "grams_b").alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+        clusters = dedup_clusters(edges, g.select(id_col), id_col=id_col).join(
+            g.select(id_col, _SRC), id_col
+        )
         os.makedirs(index_root(), exist_ok=True)
         staging = staging_path(path)
-        write_sorted(clusters, staging, sort_cols=["cluster_id"], files=4)
-        promote(staging, path)
-    return spark.read.parquet(path)
+        os.makedirs(staging, exist_ok=True)
+        write_sorted_partitioned(
+            clusters, os.path.join(staging, "clusters"), _SRC, ["cluster_id"], files=4
+        )
+        write_sorted_partitioned(
+            hub_rows, os.path.join(staging, "hubs"), _SRC, ["block"], files=4
+        )
+        max_id = g.agg(F.max(id_col)).first()[0]
+        g.unpersist()
+        write_manifest(
+            staging,
+            {
+                "files": current,
+                "max_doc_id": None if max_id is None else int(max_id),
+                "threshold": threshold,
+                "n": n,
+            },
+        )
+        _retire_and_promote(staging, path)
+    return _serve_retry(spark, os.path.join(path, "clusters")).select(
+        id_col, "cluster_id"
+    )
+
+
+def refresh_cluster_index(
+    spark,
+    sf_dir: str,
+    docs_of,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental cluster-map maintenance for an APPEND-ONLY corpus with
+    monotonically increasing doc ids — O(ingested docs) instead of a full
+    re-shingle + re-cluster pass.
+
+    Why appends are exactly incremental here: star edges only ever connect
+    a block's hub (its smallest doc id) to its members, so components are
+    stars and every doc's cluster_id is its block hub's id (or its own when
+    unverified).  A new doc with id above every existing id can never
+    displace a hub; it either (a) lands in an existing block → verify
+    against the PERSISTED hub grams → cluster_id = hub_id if Jaccard ≥
+    threshold else its own id, or (b) founds a new block among this
+    batch's docs → the batch's smallest id becomes hub.  Both are the
+    labels a fresh full build would assign — proven by the
+    refresh==rebuild equality test.
+
+    ``docs_of(spark, paths)`` returns the corpus view over the given
+    parquet part files (``None`` = whole corpus) — the same view
+    ``load_or_build_cluster_index`` was built from, e.g.
+    ``text_pipeline.augmented_docs_of(sf_dir)``.  Non-append changes
+    (rewritten or removed part files) and id-order violations fall back to
+    the safe full rebuild."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from olap_sus_spark.operators.index_store import (
+        corpus_file_paths,
+        corpus_files,
+        diff_files,
+        read_manifest,
+        write_manifest,
+    )
+    from olap_sus_spark.operators.similarity import _serve_retry
+    from olap_sus_spark.sources.sinks import write_sorted_partitioned
+
+    path = cluster_index_path(sf_dir, threshold, n)
+    cpath = os.path.join(path, "clusters")
+    hpath = os.path.join(path, "hubs")
+
+    def _full() -> DataFrame:
+        return load_or_build_cluster_index(
+            spark, sf_dir, docs_of(spark, None), threshold, n, id_col
+        )
+
+    man = read_manifest(path)
+    current = corpus_files(sf_dir, "documents")
+    if man is None or not (os.path.exists(cpath) and os.path.exists(hpath)):
+        return _full()
+    added, changed, removed = diff_files(man["files"], current)
+    if changed or removed:
+        return _full()
+    if added:
+        new_docs = docs_of(spark, corpus_file_paths(sf_dir, "documents", added))
+        g = _grams_blocks(new_docs, n, id_col)
+        if _SRC not in g.columns:
+            raise ValueError(
+                "refresh_cluster_index needs per-row src provenance: docs_of "
+                "must tag rows with the source part file (see augmented_docs_of)"
+            )
+        g = g.persist()
+        min_new = g.agg(F.min(id_col)).first()[0]
+        if min_new is None:
+            g.unpersist()
+            _write_man = dict(man, files=current)
+            write_manifest(path, _write_man)
+            return _serve_retry(spark, cpath).select(id_col, "cluster_id")
+        if man["max_doc_id"] is not None and min_new <= man["max_doc_id"]:
+            # an id at or below the existing range could displace a hub and
+            # re-center its star — not expressible as an append; rebuild
+            g.unpersist()
+            return _full()
+        hubs_old = spark.read.parquet(hpath).select(
+            "block", "hub_id", F.col("grams_h").alias("hub_grams")
+        )
+        m = g.join(hubs_old, "block", "left")
+        matched = m.filter(F.col("hub_id").isNotNull()).select(
+            F.col(id_col),
+            F.when(
+                jaccard_of("grams_h", "hub_grams") >= threshold, F.col("hub_id")
+            ).otherwise(F.col(id_col)).alias("cluster_id"),
+            F.col(_SRC),
+        )
+        # blocks new to the corpus: the batch's smallest id founds the hub
+        fresh = m.filter(F.col("hub_id").isNull()).drop("hub_id", "hub_grams")
+        new_hubs = fresh.groupBy("block").agg(F.min(id_col).alias("hub_id"))
+        fresh = fresh.join(new_hubs, "block")
+        hub_grams = fresh.filter(F.col(id_col) == F.col("hub_id")).select(
+            F.col("block"), F.col("grams_h").alias("hub_grams")
+        )
+        fresh_labeled = (
+            fresh.join(hub_grams, "block")
+            .select(
+                F.col(id_col),
+                F.when(F.col(id_col) == F.col("hub_id"), F.col(id_col))
+                .when(
+                    jaccard_of("grams_h", "hub_grams") >= threshold, F.col("hub_id")
+                )
+                .otherwise(F.col(id_col))
+                .alias("cluster_id"),
+                F.col(_SRC),
+            )
+        )
+        new_hub_rows = fresh.filter(F.col(id_col) == F.col("hub_id")).select(
+            "block", "hub_id", "grams_h", _SRC
+        )
+        write_sorted_partitioned(
+            matched.unionByName(fresh_labeled), cpath, _SRC, ["cluster_id"],
+            files=4, dynamic=True,
+        )
+        write_sorted_partitioned(
+            new_hub_rows, hpath, _SRC, ["block"], files=4, dynamic=True
+        )
+        max_new = g.agg(F.max(id_col)).first()[0]
+        g.unpersist()
+        write_manifest(
+            path,
+            dict(man, files=current, max_doc_id=int(max_new)),
+        )
+    return _serve_retry(spark, cpath).select(id_col, "cluster_id")
 
 
 def dedup_clusters(

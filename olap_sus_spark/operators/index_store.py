@@ -37,28 +37,98 @@ def index_root() -> str:
     )
 
 
-def corpus_stamp(sf_dir: str, table: str = "embeddings") -> str:
-    """Identity stamp of the corpus dataset.  For a directory dataset the
-    stamp hashes the sorted (name, size, mtime_ns) of the part files inside
-    it — a directory's own st_size/st_mtime don't reliably change when a
-    part file is rewritten in place, so stat'ing the directory could
-    silently reuse a stale index."""
-    import hashlib
-
+def corpus_files(sf_dir: str, table: str = "embeddings") -> dict[str, list[int]]:
+    """Per-part-file identity of the corpus dataset:
+    {file name: [size, mtime_ns]}.  This is the unit of incremental index
+    maintenance — an append-only corpus grows by part files, and a refresh
+    re-signs only the files whose identity changed since the last manifest.
+    A single-file dataset is a one-entry manifest (any change to it IS a
+    full-corpus change, so refresh correctly degenerates to rebuild)."""
     src = os.path.join(sf_dir, f"{table}.parquet")
     try:
         if os.path.isdir(src):
-            parts = sorted(
-                (name, st.st_size, st.st_mtime_ns)
-                for name, st in (
-                    (e.name, e.stat()) for e in os.scandir(src) if e.is_file()
-                )
-            )
-            return hashlib.md5(repr(parts).encode()).hexdigest()[:16]
+            return {
+                e.name: [e.stat().st_size, e.stat().st_mtime_ns]
+                for e in os.scandir(src)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            }
         st = os.stat(src)
-        return f"{st.st_mtime_ns}_{st.st_size}"
+        return {os.path.basename(src): [st.st_size, st.st_mtime_ns]}
     except OSError:
+        return {}
+
+
+def corpus_file_paths(sf_dir: str, table: str, names: list[str]) -> list[str]:
+    """Absolute paths of specific corpus part files (for a pruned re-read)."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        return [os.path.join(src, n) for n in sorted(names)]
+    return [src]
+
+
+def corpus_rows(sf_dir: str, table: str = "embeddings") -> int:
+    """Exact corpus row count from Parquet footer metadata — O(#files)
+    driver-side footer reads, no Spark scan.  Serving paths that size
+    structures from N (auto_bits) must not pay a full-corpus count() action
+    per cold call; at 100 TB this would come from the table catalog."""
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        [e.path for e in os.scandir(src) if e.is_file() and e.name.endswith(".parquet")]
+        if os.path.isdir(src)
+        else [src]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def corpus_stamp(sf_dir: str, table: str = "embeddings") -> str:
+    """Identity stamp of the corpus dataset, hashed from the per-file
+    identities (:func:`corpus_files`) — a directory's own st_size/st_mtime
+    don't reliably change when a part file is rewritten in place, so
+    stat'ing the directory could silently reuse a stale index."""
+    import hashlib
+
+    files = corpus_files(sf_dir, table)
+    if not files:
         return "na"
+    return hashlib.md5(repr(sorted(files.items())).encode()).hexdigest()[:16]
+
+
+_MANIFEST = "_corpus_manifest.json"
+
+
+def read_manifest(path: str) -> dict | None:
+    """Read an index table's corpus manifest (None = absent/unreadable).
+    Shape: {"files": {name: [size, mtime_ns]}, ...extra keys per family}."""
+    import json
+
+    try:
+        with open(os.path.join(path, _MANIFEST)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def write_manifest(path: str, manifest: dict) -> None:
+    """Write the manifest atomically (rename) so a crash mid-write can
+    never leave a truncated manifest that parses as a different corpus."""
+    import json
+
+    tmp = os.path.join(path, _MANIFEST + f".tmp{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+
+
+def diff_files(
+    old: dict[str, list[int]], new: dict[str, list[int]]
+) -> tuple[list[str], list[str], list[str]]:
+    """(added, changed, removed) part-file names between two manifests."""
+    added = [n for n in new if n not in old]
+    changed = [n for n in new if n in old and list(old[n]) != list(new[n])]
+    removed = [n for n in old if n not in new]
+    return added, changed, removed
 
 
 def index_path(kind: str, key: str) -> str:

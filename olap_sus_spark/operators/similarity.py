@@ -148,11 +148,14 @@ def assign_centroids(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVF list assignment: nearest centroid per vector (max cosine, ties →
     smallest centroid id).  Small codebooks (k ≤ 64) take the single-pass
     matrix fold (:func:`_nearest_centroid_matrix`); larger ones fall back
-    to broadcast crossJoin + window — same results either way."""
+    to broadcast crossJoin + window — same results either way.
+    ``passthrough`` columns (e.g. the source-file partition key of an
+    incremental index refresh) ride along unchanged."""
     cents = _as_double(centroids, vec_col, "centv").select(
         F.col(id_col).alias("centroid_id"), "centv"
     )
@@ -160,14 +163,17 @@ def assign_centroids(
     # driver: it returns every row iff the codebook fits the matrix path,
     # and at most 65 rows (discarded) when it doesn't.
     cent_rows = cents.limit(_MATRIX_MAX_K + 1).collect()
-    vecs = _as_double(emb, vec_col, "v").select(F.col(id_col), "v", F.col(vec_col))
+    vecs = _as_double(emb, vec_col, "v").select(
+        F.col(id_col), "v", F.col(vec_col), *[F.col(c) for c in passthrough]
+    )
     if 0 < len(cent_rows) <= _MATRIX_MAX_K:
-        return _nearest_centroid_matrix(vecs, cent_rows, [id_col, vec_col]).select(
-            id_col, vec_col, "centroid_id"
-        )
+        return _nearest_centroid_matrix(
+            vecs, cent_rows, [id_col, vec_col, *passthrough]
+        ).select(id_col, vec_col, *passthrough, "centroid_id")
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         id_col,
         vec_col,
+        *passthrough,
         "centroid_id",
         cosine(F.col("v"), F.col("centv")).alias("sim"),
     )
@@ -175,7 +181,7 @@ def assign_centroids(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select(id_col, vec_col, "centroid_id")
+        .select(id_col, vec_col, *passthrough, "centroid_id")
     )
 
 
@@ -496,6 +502,7 @@ def srp_buckets(
     n_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sign-random-projection LSH bucket per (vector, table) — fully narrow.
 
@@ -542,7 +549,12 @@ def srp_buckets(
     # n_tables×n_bits times, and an inlined aggregate would re-run the
     # whole pass per reference (CollapseProject only duplicates cheap
     # expressions, so staging pins single evaluation).
-    staged = emb.select(F.col(id_col), F.col(vec_col), dots.alias("_dots"))
+    staged = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[F.col(c) for c in passthrough],
+        dots.alias("_dots"),
+    )
     buckets = []
     for t in range(n_tables):
         acc = F.lit(0)
@@ -554,6 +566,7 @@ def srp_buckets(
     return staged.select(
         id_col,
         vec_col,
+        *passthrough,
         F.posexplode(F.array(*buckets)).alias("t", "bucket"),
     )
 
@@ -622,39 +635,68 @@ def lsh_topk(
 
 
 # ---------------------------------------------------------------------------
-# Maintained index tables
+# Maintained index tables — incrementally refreshable
 #
 # Real vector-search deployments build the index ONCE per corpus version and
 # amortize it over every query; only the probe is on the serving path.  The
 # helpers below persist the SRP bucket table / IVF assignment+centroid tables
-# as Parquet via the warehouse sink machinery (sources/sinks.py), keyed by
-# the corpus file's identity (path + mtime + size) so a changed corpus
-# invalidates the index.  The bucket table is written range-partitioned and
-# sorted on (t, bucket): Parquet min/max footer stats then prune
-# non-colliding files for any selective probe.
+# as Parquet via the warehouse sink machinery (sources/sinks.py).
+#
+# Maintenance contract (the refresh_aggregate pattern from etl.py, applied
+# to indexes): the index path is keyed by corpus LOCATION + parameters —
+# never by a corpus content stamp, which would force a full rebuild on any
+# ingest — and staleness is tracked by a per-part-file MANIFEST inside the
+# table.  The index table is directory-partitioned by ``src`` (the corpus
+# part file each row came from), so:
+#
+# - ``refresh_*_index`` re-signs ONLY the part files added (or rewritten)
+#   since the manifest and dynamic-partition-overwrites exactly their
+#   ``src=`` partitions — an append-only 100 TB corpus pays one ingest-day
+#   of signature work per day, not a full re-signature pass;
+# - ``load_or_build_*`` serves when the manifest matches the corpus and
+#   falls back to the safe full staged rebuild when it doesn't (the caller
+#   ingested without refreshing — a maintained index must never silently
+#   serve stale rows);
+# - within each src partition, files stay range-sorted on the probe key
+#   ((t, bucket) / centroid_id) so footer min/max stats keep pruning.
+#
+# Deletions and in-place rewrites of old part files fall back to a full
+# rebuild (for SRP a rewrite is still partition-scoped — signatures are
+# per-vector); the IVF refresh additionally requires appended ids to stay
+# above the centroid range (otherwise the deterministic codebook itself
+# changes and every assignment must be redone).
 
 
 from olap_sus_spark.operators.index_store import (
-    corpus_stamp as _corpus_stamp,
+    corpus_file_paths as _corpus_file_paths,
+    corpus_files as _corpus_files,
+    corpus_rows as _corpus_rows,
+    diff_files as _diff_files,
     index_root as _index_root,
     promote as _promote,
+    read_manifest as _read_manifest,
     staging_path as _staging_path,
     sweep_stale_staging as _sweep_stale_staging,
+    write_manifest as _write_manifest,
 )
 
 # Bump when the signature/assignment ALGORITHM changes (plane construction,
 # hash family, bucket packing) OR the persisted physical schema changes:
-# the corpus stamp catches data changes but a persisted index built by
-# older code would otherwise be silently reused.
+# the manifest catches data changes but a persisted index built by older
+# code would otherwise be silently reused.
 # v2: matrix-fold assignment (centroid_id pinned BIGINT on both paths).
-_INDEX_ALGO_VERSION = "v2"
+# v3: location-keyed paths + src-partitioned layout + manifest staleness
+#     (incremental refresh); serving columns unchanged.
+_INDEX_ALGO_VERSION = "v3"
+
+_SRC = "src"  # partition column: corpus part-file basename
 
 
 def srp_index_path(sf_dir: str, dim: int, n_tables: int, n_bits: int) -> str:
     import hashlib
 
     key = hashlib.md5(
-        f"{_INDEX_ALGO_VERSION}|{os.path.abspath(sf_dir)}|{_corpus_stamp(sf_dir)}"
+        f"{_INDEX_ALGO_VERSION}|{os.path.abspath(sf_dir)}"
         f"|{dim}|{n_tables}|{n_bits}".encode()
     ).hexdigest()[:16]
     return os.path.join(_index_root(), f"srp_{key}")
@@ -664,10 +706,56 @@ def ivf_index_path(sf_dir: str, num_centroids: int) -> str:
     import hashlib
 
     key = hashlib.md5(
-        f"{_INDEX_ALGO_VERSION}|{os.path.abspath(sf_dir)}|{_corpus_stamp(sf_dir)}"
+        f"{_INDEX_ALGO_VERSION}|{os.path.abspath(sf_dir)}"
         f"|ivf|{num_centroids}".encode()
     ).hexdigest()[:16]
     return os.path.join(_index_root(), f"ivf_{key}")
+
+
+def _with_src(df: DataFrame) -> DataFrame:
+    """Tag each row with the basename of the parquet part file it came
+    from — evaluated at the scan (before any exchange), so it survives the
+    spread_compute repartition inside the signature pass."""
+    return df.withColumn(
+        _SRC, F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+
+
+def _serve_retry(spark, path: str) -> DataFrame:
+    """Read with a bounded retry: a concurrent rebuilder's retire→promote
+    window (two renames, microseconds) can make the path vanish between a
+    freshness check and the read."""
+    import time
+
+    for _ in range(100):
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            if os.path.exists(path):
+                raise
+            time.sleep(0.05)
+    return spark.read.parquet(path)
+
+
+def _retire_and_promote(staging: str, path: str) -> None:
+    """Replace a live (stale) index with a fully-built staging copy.  The
+    retire rename must not assume it wins — a concurrent rebuilder over the
+    same stale manifest may have retired/re-promoted already; the loser
+    falls through to `promote`, which discards its equivalent copy if a
+    winner's is live (queries/incremental.py contract)."""
+    import shutil
+
+    if os.path.exists(path):
+        tomb = _staging_path(path) + ".stale"
+        try:
+            os.rename(path, tomb)
+        except OSError:
+            tomb = None  # concurrent retire won; nothing of ours to reap
+        _promote(staging, path)
+        if tomb is not None:
+            shutil.rmtree(tomb, ignore_errors=True)
+    else:
+        _promote(staging, path)
 
 
 def load_or_build_srp_index(
@@ -681,36 +769,133 @@ def load_or_build_srp_index(
 ) -> DataFrame:
     """Return the (id, vec, t, bucket) SRP bucket table for the corpus at
     ``sf_dir``, building + persisting it on first use (index build), loading
-    the Parquet table afterwards (serving path).
+    the Parquet table afterwards (serving path).  A manifest mismatch (the
+    corpus changed and nobody called :func:`refresh_srp_index`) triggers the
+    safe full rebuild.
 
-    ``n_bits=None`` sizes the signature with :func:`auto_bits` (log N bits,
-    one count() at build time) so bucket occupancy — and therefore probe
-    candidate-set size — stays bounded as the corpus grows.  The registered
-    parity queries pass an explicit 4 to match their fixed oracles."""
+    ``n_bits=None`` sizes the signature with :func:`auto_bits` from the
+    Parquet footer row count (no corpus scan on the serving path) so bucket
+    occupancy — and therefore probe candidate-set size — stays bounded as
+    the corpus grows.  The registered parity queries pass an explicit 4 to
+    match their fixed oracles."""
     from olap_sus_spark.catalog import load_table
-    from olap_sus_spark.sources.sinks import write_sorted
+    from olap_sus_spark.sources.sinks import write_sorted_partitioned
 
-    emb = None
     if n_bits is None:
-        emb = load_table(spark, sf_dir, "embeddings")
-        n_bits = auto_bits(emb.count())
+        n_bits = auto_bits(_corpus_rows(sf_dir))
     path = srp_index_path(sf_dir, dim, n_tables, n_bits)
-    if not os.path.exists(path):
+    current = _corpus_files(sf_dir)
+    man = _read_manifest(path)
+    if man is None or man.get("files") != current:
         _sweep_stale_staging()
-        if emb is None:
-            emb = load_table(spark, sf_dir, "embeddings")
-        # Materialize the signature pass once: write_sorted's range
-        # partitioner runs a sampling job first, which would otherwise
-        # execute the (compute-heavy) signature expressions twice.
-        b = srp_buckets(emb, dim, n_tables, n_bits, id_col, vec_col).persist()
+        emb = _with_src(load_table(spark, sf_dir, "embeddings"))
+        # Materialize the signature pass once: the range partitioner's
+        # sampling job would otherwise execute the (compute-heavy)
+        # signature expressions twice.
+        b = srp_buckets(
+            emb, dim, n_tables, n_bits, id_col, vec_col, passthrough=(_SRC,)
+        ).persist()
         os.makedirs(_index_root(), exist_ok=True)
-        # Stage + atomic rename: a crash mid-build must never leave a
-        # directory that existence-checks mistake for a complete index.
+        # Stage + atomic promotion: a crash mid-build must never leave a
+        # directory that existence/manifest checks mistake for an index.
         staging = _staging_path(path)
-        write_sorted(b, staging, sort_cols=["t", "bucket"], files=4)
+        write_sorted_partitioned(b, staging, _SRC, ["t", "bucket"], files=4)
         b.unpersist()
-        _promote(staging, path)
-    return spark.read.parquet(path)
+        _write_manifest(staging, {"files": current, "n_bits": n_bits})
+        _retire_and_promote(staging, path)
+    return _serve_retry(spark, path).select(id_col, vec_col, "t", "bucket")
+
+
+def refresh_srp_index(
+    spark,
+    sf_dir: str,
+    dim: int,
+    n_tables: int = 12,
+    n_bits: int | None = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental index maintenance: re-sign ONLY the corpus part files
+    added or rewritten since the last manifest and dynamic-partition-
+    overwrite their ``src=`` partitions — cost is O(ingested files), never
+    O(corpus).  Signatures are per-vector, so the refreshed table is
+    bit-identical to a fresh full build by construction.  Removed part
+    files (or a never-built index) fall back to the full staged build.
+
+    ``n_bits=None`` keeps the EXISTING index's bit width (from its
+    manifest): signatures across partitions must come from one plane
+    family — resizing for corpus growth is a full re-signature by nature
+    and happens on the next full (re)build."""
+    from olap_sus_spark.sources.sinks import write_sorted_partitioned
+
+    man = None
+    if n_bits is None:
+        # peer at the auto-sized path first; fall back to auto sizing when
+        # the index was never built (full build below picks the same width)
+        auto = auto_bits(_corpus_rows(sf_dir))
+        man = _read_manifest(srp_index_path(sf_dir, dim, n_tables, auto))
+        n_bits = (man or {}).get("n_bits", auto)
+    path = srp_index_path(sf_dir, dim, n_tables, n_bits)
+    man = _read_manifest(path)
+    current = _corpus_files(sf_dir)
+    if man is None:
+        return load_or_build_srp_index(
+            spark, sf_dir, dim, n_tables, n_bits, id_col, vec_col
+        )
+    added, changed, removed = _diff_files(man["files"], current)
+    if removed:
+        return load_or_build_srp_index(
+            spark, sf_dir, dim, n_tables, n_bits, id_col, vec_col
+        )
+    if added or changed:
+        paths = _corpus_file_paths(sf_dir, "embeddings", added + changed)
+        emb = _with_src(spark.read.parquet(*paths))
+        b = srp_buckets(
+            emb, dim, n_tables, n_bits, id_col, vec_col, passthrough=(_SRC,)
+        )
+        write_sorted_partitioned(
+            b, path, _SRC, ["t", "bucket"], files=4, dynamic=True
+        )
+        _write_manifest(path, {"files": current, "n_bits": n_bits})
+    return _serve_retry(spark, path).select(id_col, vec_col, "t", "bucket")
+
+
+def _build_ivf(spark, sf_dir, num_centroids, id_col, vec_col, path, current):
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.sources.sinks import write_sorted_partitioned
+
+    _sweep_stale_staging()
+    emb = _with_src(load_table(spark, sf_dir, "embeddings"))
+    centroids = emb.drop(_SRC).orderBy(id_col).limit(num_centroids)
+    # persist: the range partitioner's sampling job would otherwise run the
+    # assignment scoring pass a second time.  Both tables build under one
+    # staging dir promoted atomically.
+    assigned = assign_centroids(
+        emb, centroids, id_col, vec_col, passthrough=(_SRC,)
+    ).persist()
+    os.makedirs(_index_root(), exist_ok=True)
+    staging = _staging_path(path)
+    os.makedirs(staging, exist_ok=True)
+    write_sorted_partitioned(
+        assigned, os.path.join(staging, "assignments"), _SRC,
+        ["centroid_id"], files=4,
+    )
+    assigned.unpersist()
+    cent_rows = centroids.coalesce(1)
+    cent_rows.write.mode("overwrite").parquet(os.path.join(staging, "centroids"))
+    stats = spark.read.parquet(os.path.join(staging, "centroids")).agg(
+        F.max(id_col), F.count(F.lit(1))
+    ).first()
+    _write_manifest(
+        staging,
+        {
+            "files": current,
+            "num_centroids": num_centroids,
+            "max_centroid_id": None if stats[0] is None else int(stats[0]),
+            "n_centroids_built": int(stats[1]),
+        },
+    )
+    _retire_and_promote(staging, path)
 
 
 def load_or_build_ivf_index(
@@ -721,58 +906,72 @@ def load_or_build_ivf_index(
     vec_col: str = "embedding",
 ):
     """Return (assignments, centroids) for the IVF index over the corpus at
-    ``sf_dir``, building + persisting both tables on first use.  Assignments
-    are written range-partitioned + sorted on centroid_id so a probe of a
-    few lists prunes most files via footer stats."""
-    from olap_sus_spark.catalog import load_table
-    from olap_sus_spark.sources.sinks import write_sorted
+    ``sf_dir``, building + persisting both tables on first use.  Staleness
+    via the corpus manifest (full rebuild on mismatch — the caller ingested
+    without :func:`refresh_ivf_index`); assignments are src-partitioned +
+    sorted on centroid_id so a probe of a few lists prunes most files via
+    footer stats."""
+    path = ivf_index_path(sf_dir, num_centroids)
+    apath = os.path.join(path, "assignments")
+    cpath = os.path.join(path, "centroids")
+    current = _corpus_files(sf_dir)
+    man = _read_manifest(path)
+    if (
+        man is None
+        or man.get("files") != current
+        or not (os.path.exists(apath) and os.path.exists(cpath))
+    ):
+        _build_ivf(spark, sf_dir, num_centroids, id_col, vec_col, path, current)
+    a = _serve_retry(spark, apath).select(id_col, vec_col, "centroid_id")
+    return a, spark.read.parquet(cpath)
+
+
+def refresh_ivf_index(
+    spark,
+    sf_dir: str,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Incremental IVF maintenance: assign ONLY newly-appended part files
+    against the EXISTING codebook and overwrite their ``src=`` partitions.
+
+    Exactness guard: the deterministic codebook is the ``num_centroids``
+    smallest-id vectors, so the refresh is identical to a full rebuild iff
+    (a) the codebook was complete at build time and (b) every appended id
+    is above the codebook's max id.  Appends that intrude into the codebook
+    range, rewrites/removals of old files, or a short codebook all fall
+    back to the full rebuild — the index must never diverge from what a
+    fresh build would produce."""
+    from olap_sus_spark.sources.sinks import write_sorted_partitioned
 
     path = ivf_index_path(sf_dir, num_centroids)
     apath = os.path.join(path, "assignments")
     cpath = os.path.join(path, "centroids")
-    # Check both component tables, not just the parent dir: the index is
-    # complete iff both exist.  A parent dir missing either one is partial —
-    # but between this check and any delete, a concurrent _promote may have
-    # renamed a COMPLETE index into place (our own invariant: the
-    # destination is never deleted).  So quarantine-then-verify: rename the
-    # suspect dir aside first (atomic — _promote can no longer land inside
-    # it), re-check completeness on the renamed copy, and restore it if it
-    # turned out complete.  Only a verified-partial quarantined copy is
-    # reaped.
-    if not (os.path.exists(apath) and os.path.exists(cpath)):
-        if os.path.exists(path):
-            import shutil
-
-            tomb = _staging_path(path) + ".tomb"
-            try:
-                os.rename(path, tomb)
-            except OSError:
-                pass  # a concurrent builder moved/promoted it; re-check below
-            else:
-                if os.path.exists(os.path.join(tomb, "assignments")) and os.path.exists(
-                    os.path.join(tomb, "centroids")
-                ):
-                    # It was complete after all (promoted in the race window):
-                    # put it back and serve from it.
-                    _promote(tomb, path)
-                else:
-                    shutil.rmtree(tomb, ignore_errors=True)
-        _sweep_stale_staging()
-    if not (os.path.exists(apath) and os.path.exists(cpath)):
-        emb = load_table(spark, sf_dir, "embeddings")
-        centroids = emb.orderBy(id_col).limit(num_centroids)
-        # persist: the range partitioner's sampling job would otherwise run
-        # the assignment scoring pass a second time.  Both tables build
-        # under a staging dir promoted atomically — a crash mid-build must
-        # never leave a directory that passes the existence check.
-        assigned = assign_centroids(emb, centroids, id_col, vec_col).persist()
-        staging = _staging_path(path)
-        os.makedirs(staging, exist_ok=True)
-        write_sorted(assigned, os.path.join(staging, "assignments"),
-                     sort_cols=["centroid_id"], files=4)
-        assigned.unpersist()
-        centroids.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(staging, "centroids")
+    man = _read_manifest(path)
+    current = _corpus_files(sf_dir)
+    if man is None or not (os.path.exists(apath) and os.path.exists(cpath)):
+        return load_or_build_ivf_index(spark, sf_dir, num_centroids, id_col, vec_col)
+    added, changed, removed = _diff_files(man["files"], current)
+    if changed or removed or man.get("n_centroids_built", 0) < num_centroids:
+        return load_or_build_ivf_index(spark, sf_dir, num_centroids, id_col, vec_col)
+    if added:
+        paths = _corpus_file_paths(sf_dir, "embeddings", added)
+        emb = _with_src(spark.read.parquet(*paths))
+        min_new = emb.agg(F.min(id_col)).first()[0]
+        if min_new is not None and min_new <= man["max_centroid_id"]:
+            # appended ids intrude into the deterministic codebook: the
+            # centroids themselves change — full rebuild.
+            return load_or_build_ivf_index(
+                spark, sf_dir, num_centroids, id_col, vec_col
+            )
+        centroids = spark.read.parquet(cpath)
+        assigned = assign_centroids(
+            emb, centroids, id_col, vec_col, passthrough=(_SRC,)
         )
-        _promote(staging, path)
-    return spark.read.parquet(apath), spark.read.parquet(cpath)
+        write_sorted_partitioned(
+            assigned, apath, _SRC, ["centroid_id"], files=4, dynamic=True
+        )
+        _write_manifest(path, {**man, "files": current})
+    a = _serve_retry(spark, apath).select(id_col, vec_col, "centroid_id")
+    return a, spark.read.parquet(cpath)

@@ -48,11 +48,10 @@ aug AS (
 """
 
 
-def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Every consumer immediately runs n-gram/signature hashing over the
-    # text; spread the (narrow single-row-group) scan across cores first —
-    # no-op on a wide input (catalog.spread_compute).
-    docs = spread_compute(load_table(spark, sf_dir, "documents"))
+def _augment(docs: DataFrame) -> DataFrame:
+    """Derive the exact/near duplicate rows (1 source row → up to 3 output
+    rows) — row-local, so any extra columns (e.g. the ``src`` provenance an
+    incremental cluster refresh needs) propagate unchanged."""
     exact = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
@@ -62,6 +61,35 @@ def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("text", F.concat(F.col("text"), F.lit(" zzduplicado")))
     )
     return docs.unionByName(exact).unionByName(near)
+
+
+def augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Every consumer immediately runs n-gram/signature hashing over the
+    # text; spread the (narrow single-row-group) scan across cores first —
+    # no-op on a wide input (catalog.spread_compute).
+    return _augment(spread_compute(load_table(spark, sf_dir, "documents")))
+
+
+def augmented_docs_of(sf_dir: str):
+    """``docs_of`` factory for ``operators.dedup.refresh_cluster_index``:
+    the same augmented corpus view, restricted to specific parquet part
+    files and tagged with per-row source-file provenance (the refresh's
+    dynamic-partition-overwrite unit).  NOTE: the derived duplicate ids
+    (+1_000_000 / +2_000_000) interleave with base ids across ingest
+    batches, so refreshes of THIS view fall back to the full rebuild via
+    the id-order guard — the plain documents view (monotonic ids) is the
+    incremental-refresh shape; this factory exists so callers can hand one
+    ``docs_of`` to the refresh API regardless."""
+
+    def docs_of(spark: SparkSession, paths: list[str] | None) -> DataFrame:
+        if paths is None:
+            return augmented_docs(spark, sf_dir)
+        docs = spark.read.parquet(*paths).withColumn(
+            "src", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        return _augment(spread_compute(docs))
+
+    return docs_of
 
 
 # ---------------------------------------------------------------------------

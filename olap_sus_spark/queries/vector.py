@@ -240,10 +240,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     column needed, block sizes corpus-adaptive — with exact-cosine
     verification of the collisions."""
     from olap_sus_spark.operators.dedup import embedding_dup_pairs_lsh
+    from olap_sus_spark.operators.index_store import corpus_rows
+    from olap_sus_spark.operators.similarity import auto_bits
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_dup_pairs_lsh(
         emb, dim=_DIM, threshold=_EMB_LSH_THRESHOLD, n_tables=_LSH_T,
+        # footer-metadata count, not a count() scan, for the auto sizing
+        n_bits=auto_bits(corpus_rows(sf_dir), target_bucket=8),
     )
 
 
@@ -256,10 +260,13 @@ def dedup_embedding_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the collision join + cosine verify run.  Identical output and oracle
     to dedup_embedding_lsh by construction."""
     from olap_sus_spark.operators.dedup import embedding_dup_pairs_lsh
+    from olap_sus_spark.operators.index_store import corpus_rows
     from olap_sus_spark.operators.similarity import auto_bits, load_or_build_srp_index
 
     emb = load_table(spark, sf_dir, "embeddings")
-    bits = auto_bits(emb.count(), target_bucket=8)
+    # size from parquet footer metadata — a serving path must not pay a
+    # full-corpus count() action per cold call
+    bits = auto_bits(corpus_rows(sf_dir), target_bucket=8)
     b = load_or_build_srp_index(
         spark, sf_dir, dim=_DIM, n_tables=_LSH_T, n_bits=bits
     )

@@ -140,6 +140,41 @@ def write_sorted(
     return path
 
 
+def write_sorted_partitioned(
+    df: DataFrame,
+    path: str,
+    part_col: str,
+    sort_cols: list[str],
+    files: int = 4,
+    dynamic: bool = False,
+) -> str:
+    """:func:`write_sorted` with a directory-partition column layered on
+    top — the layout of the incrementally-maintained index tables: the
+    ``part_col`` (source part-file name) is the refresh unit (dynamic
+    partition overwrite replaces exactly the refreshed source's rows), and
+    within each partition files stay range-sorted on ``sort_cols`` so
+    footer min/max stats keep pruning selective probes.  ``dynamic=True``
+    scopes an overwrite to the partitions present in ``df`` (saving and
+    restoring the session conf)."""
+    spark = df.sparkSession
+    out = (
+        df.repartitionByRange(files, part_col, *sort_cols)
+        .sortWithinPartitions(part_col, *sort_cols)
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+    )
+    if not dynamic:
+        out.parquet(path)
+        return path
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return path
+
+
 def _swap_in(spark: SparkSession, path: str, staging: str) -> None:
     """Commit a staged rewrite by directory renames, never by rewriting the
     live table: retire the current dir, promote staging, drop the retired

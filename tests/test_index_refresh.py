@@ -1,0 +1,293 @@
+"""Incremental maintenance for the maintained ANN/dedup indexes
+(operators/similarity.py refresh_srp_index / refresh_ivf_index,
+operators/dedup.py refresh_cluster_index): an append-only ingest must be
+absorbed by re-signing ONLY the appended part files, and the refreshed
+index must be EXACTLY the table a fresh full build over the grown corpus
+would produce.  Non-append changes (rewrites, removals, id-order
+violations) must fall back to the safe full rebuild — never diverge."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.operators import dedup as dd
+from olap_sus_spark.operators import index_store as ix
+from olap_sus_spark.operators import similarity as sim
+from tests.conftest import SF_DIR
+
+_DIM = 64  # embeddings dim in the driver testdata
+
+
+def _mk_corpus(spark, tmp_path, tables=("embeddings",)) -> str:
+    """Temp corpus where each table is a DIRECTORY dataset seeded with the
+    sf0.001 file as part-00 — the layout appends grow file-by-file."""
+    sf = str(tmp_path / "sf")
+    for t in tables:
+        os.makedirs(os.path.join(sf, f"{t}.parquet"))
+        shutil.copy(
+            os.path.join(SF_DIR, f"{t}.parquet"),
+            os.path.join(sf, f"{t}.parquet", "part-00.parquet"),
+        )
+    return sf
+
+
+def _append_embeddings(spark, sf: str, name: str, id_shift: int = 100000) -> None:
+    """Simulate one ingest day: derived vectors with ids above the corpus."""
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet", "part-00.parquet"))
+    extra = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .withColumn("vec_id", F.col("vec_id") + id_shift)
+        .withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: (x * F.lit(0.5)).cast("float")),
+        )
+    )
+    _move_single_part(extra, os.path.join(sf, "embeddings.parquet", name))
+
+
+def _append_documents(spark, sf: str, name: str, id_shift: int = 500000) -> None:
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet", "part-00.parquet"))
+    extra = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + id_shift)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 2 == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" novo lote"))
+            ),
+        )
+    )
+    _move_single_part(extra, os.path.join(sf, "documents.parquet", name))
+
+
+def _move_single_part(df, dest: str) -> None:
+    staging = dest + ".__stage__"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    shutil.move(os.path.join(staging, part), dest)
+    shutil.rmtree(staging)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _srp_rows(df):
+    return sorted(
+        (r.vec_id, tuple(r.embedding), r.t, r.bucket) for r in df.collect()
+    )
+
+
+def _ivf_rows(df):
+    return sorted(
+        (r.vec_id, tuple(r.embedding), r.centroid_id) for r in df.collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRP
+
+
+def test_srp_refresh_equals_fresh_build(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    sim.load_or_build_srp_index(spark, sf, dim=_DIM, n_tables=4, n_bits=4)
+
+    _append_embeddings(spark, sf, "part-01.parquet")
+    refreshed = sim.refresh_srp_index(spark, sf, dim=_DIM, n_tables=4, n_bits=4)
+    got = _srp_rows(refreshed)
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = sim.load_or_build_srp_index(spark, sf, dim=_DIM, n_tables=4, n_bits=4)
+    assert got == _srp_rows(fresh)
+    assert len(got) > 500 * 4  # the append is actually in the index
+
+
+def test_srp_refresh_rewrites_only_new_src_partition(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    sim.load_or_build_srp_index(spark, sf, dim=_DIM, n_tables=4, n_bits=4)
+    path = sim.srp_index_path(sf, _DIM, 4, 4)
+    base_part = os.path.join(path, "src=part-00.parquet")
+    before = sorted(os.listdir(base_part))
+    stamps = {f: os.path.getmtime(os.path.join(base_part, f)) for f in before}
+
+    _append_embeddings(spark, sf, "part-01.parquet")
+    sim.refresh_srp_index(spark, sf, dim=_DIM, n_tables=4, n_bits=4)
+    # O(ingest) contract: the base partition's files are untouched bytes
+    assert sorted(f for f in os.listdir(base_part) if f.endswith(".parquet")) == [
+        f for f in before if f.endswith(".parquet")
+    ]
+    for f, ts in stamps.items():
+        if f.endswith(".parquet"):
+            assert os.path.getmtime(os.path.join(base_part, f)) == ts
+    assert os.path.isdir(os.path.join(path, "src=part-01.parquet"))
+
+
+def test_srp_refresh_is_idempotent_and_noop_when_unchanged(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    sim.load_or_build_srp_index(spark, sf, dim=_DIM, n_tables=4, n_bits=4)
+    _append_embeddings(spark, sf, "part-01.parquet")
+    first = _srp_rows(sim.refresh_srp_index(spark, sf, dim=_DIM, n_tables=4, n_bits=4))
+    again = _srp_rows(sim.refresh_srp_index(spark, sf, dim=_DIM, n_tables=4, n_bits=4))
+    assert first == again
+
+
+def test_srp_rewritten_part_file_is_partition_scoped(spark, tmp_path, monkeypatch):
+    """An in-place rewrite of one part file re-signs that file only
+    (signatures are per-vector) and the result equals a fresh build."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    _append_embeddings(spark, sf, "part-01.parquet")
+    sim.load_or_build_srp_index(spark, sf, dim=_DIM, n_tables=4, n_bits=4)
+
+    # rewrite part-01 in place (different derivation)
+    _append_embeddings(spark, sf, "part-01.parquet", id_shift=200000)
+    got = _srp_rows(sim.refresh_srp_index(spark, sf, dim=_DIM, n_tables=4, n_bits=4))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = sim.load_or_build_srp_index(spark, sf, dim=_DIM, n_tables=4, n_bits=4)
+    assert got == _srp_rows(fresh)
+
+
+def test_srp_load_full_rebuilds_when_stale(spark, tmp_path, monkeypatch):
+    """Ingesting WITHOUT refresh must trigger the safe full rebuild on the
+    next load — a maintained index never silently serves stale rows."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    b1 = sim.load_or_build_srp_index(spark, sf, dim=_DIM, n_tables=4, n_bits=4)
+    n1 = b1.count()
+    _append_embeddings(spark, sf, "part-01.parquet")
+    b2 = sim.load_or_build_srp_index(spark, sf, dim=_DIM, n_tables=4, n_bits=4)
+    assert b2.count() > n1
+
+
+# ---------------------------------------------------------------------------
+# IVF
+
+
+def test_ivf_refresh_equals_fresh_build(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    sim.load_or_build_ivf_index(spark, sf, num_centroids=8)
+
+    _append_embeddings(spark, sf, "part-01.parquet")
+    a, c = sim.refresh_ivf_index(spark, sf, num_centroids=8)
+    got_a, got_c = _ivf_rows(a), _rows(c.select("vec_id"))
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fa, fc = sim.load_or_build_ivf_index(spark, sf, num_centroids=8)
+    assert got_a == _ivf_rows(fa)
+    assert got_c == _rows(fc.select("vec_id"))
+
+
+def test_ivf_refresh_low_id_append_falls_back_to_rebuild(spark, tmp_path, monkeypatch):
+    """Appended ids that intrude into the deterministic codebook change the
+    centroids themselves — refresh must detect it and full-rebuild."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    sim.load_or_build_ivf_index(spark, sf, num_centroids=8)
+    old_max_cent = ix.read_manifest(sim.ivf_index_path(sf, 8))["max_centroid_id"]
+
+    # append vectors BELOW the codebook range (negative ids)
+    _append_embeddings(spark, sf, "part-01.parquet", id_shift=-10000)
+    a, c = sim.refresh_ivf_index(spark, sf, num_centroids=8)
+    got_a = _ivf_rows(a)
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fa, fc = sim.load_or_build_ivf_index(spark, sf, num_centroids=8)
+    assert got_a == _ivf_rows(fa)
+    # the codebook genuinely changed, so a blind append would have diverged
+    assert ix.read_manifest(sim.ivf_index_path(sf, 8))["max_centroid_id"] != old_max_cent
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster map
+
+
+def _plain_docs_of(sf: str):
+    """The incremental-refresh corpus shape: raw documents, monotonic ids,
+    per-row src provenance."""
+
+    def docs_of(spark, paths):
+        if paths is None:
+            return load_table(spark, sf, "documents")
+        return spark.read.parquet(*paths).withColumn(
+            "src", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+
+    return docs_of
+
+
+def test_cluster_refresh_equals_fresh_build(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    docs_of = _plain_docs_of(sf)
+    dd.load_or_build_cluster_index(spark, sf, docs_of(spark, None), threshold=0.5)
+
+    _append_documents(spark, sf, "part-01.parquet")
+    got = _rows(dd.refresh_cluster_index(spark, sf, docs_of, threshold=0.5))
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = dd.load_or_build_cluster_index(spark, sf, docs_of(spark, None), threshold=0.5)
+    assert got == _rows(fresh)
+    # the appended docs actually clustered: exact copies of part-00 docs
+    # (doc_id%3==0, even shifted id) must join their source's cluster
+    joined = [r for r in got if r[0] >= 500000 and r[1] < 500000]
+    assert joined, "no appended doc joined an existing cluster"
+
+
+def test_cluster_refresh_touches_only_new_partitions(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    docs_of = _plain_docs_of(sf)
+    dd.load_or_build_cluster_index(spark, sf, docs_of(spark, None), threshold=0.5)
+    path = dd.cluster_index_path(sf, 0.5)
+    base = os.path.join(path, "clusters", "src=__base__")
+    stamps = {
+        f: os.path.getmtime(os.path.join(base, f))
+        for f in os.listdir(base)
+        if f.endswith(".parquet")
+    }
+    _append_documents(spark, sf, "part-01.parquet")
+    dd.refresh_cluster_index(spark, sf, docs_of, threshold=0.5)
+    for f, ts in stamps.items():
+        assert os.path.getmtime(os.path.join(base, f)) == ts
+    assert os.path.isdir(os.path.join(path, "clusters", "src=part-01.parquet"))
+
+
+def test_cluster_refresh_id_order_violation_falls_back(spark, tmp_path, monkeypatch):
+    """Appends that interleave below existing ids (the augmented view's
+    derived ids do exactly this) could displace hubs — the guard must full
+    rebuild, and the result must still equal a fresh build."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    docs_of = _plain_docs_of(sf)
+    dd.load_or_build_cluster_index(spark, sf, docs_of(spark, None), threshold=0.5)
+
+    _append_documents(spark, sf, "part-01.parquet", id_shift=-100000)
+    got = _rows(dd.refresh_cluster_index(spark, sf, docs_of, threshold=0.5))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = dd.load_or_build_cluster_index(spark, sf, docs_of(spark, None), threshold=0.5)
+    assert got == _rows(fresh)
+
+
+def test_cluster_refresh_augmented_view_stays_correct(spark, tmp_path, monkeypatch):
+    """The serving view (text_pipeline.augmented_docs) has interleaved
+    derived ids; refresh over it must stay CORRECT (fallback path)."""
+    from olap_sus_spark.queries.text_pipeline import augmented_docs_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    docs_of = augmented_docs_of(sf)
+    dd.load_or_build_cluster_index(spark, sf, docs_of(spark, None), threshold=0.5)
+    _append_documents(spark, sf, "part-01.parquet")
+    got = _rows(dd.refresh_cluster_index(spark, sf, docs_of, threshold=0.5))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = dd.load_or_build_cluster_index(spark, sf, docs_of(spark, None), threshold=0.5)
+    assert got == _rows(fresh)
