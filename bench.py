@@ -24,6 +24,8 @@ HEADLINE = [
     "tpch_q3_shipping_priority",  # classic 3-way decision-support join
     "tpch_q5_local_supplier_volume",  # the 6-way join-order classic
     "tpch_q10_returned_items",
+    "tpch_q4_order_priority",  # correlated EXISTS as a semi-join
+    "tpch_q21_waiting_shipments",  # EXISTS + NOT-EXISTS chain as one per-order aggregate
     "money_cost_rollup",  # DECIMAL(15,2) factInternacoes money-measure twin
     "rollup_family_schooling",
     "rollup_state_ageband",

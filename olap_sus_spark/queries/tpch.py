@@ -218,3 +218,145 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("receita_perdida").desc(), F.col("cliente"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated EXISTS / NOT EXISTS shapes (Q4 / Q21 analogues).
+#
+# The synthetic lineitem has no commit/receipt dates, so "late" is a pure-
+# lineitem shipdate-cutoff predicate — which preserves exactly what makes
+# these queries hard: subqueries correlated on the OUTER row's order key
+# (and, for Q21, anti-correlated on its supplier key).  The oracles run the
+# literal EXISTS / NOT EXISTS SQL; the Spark side deliberately does NOT —
+# a correlated non-equi EXISTS is where de-correlation most easily degrades
+# to a nested-loop/cartesian plan, so the engine uses the distributed
+# rewrites that shuffle on the correlation key only:
+#   EXISTS (same order)            → left-semi equi-join on l_orderkey
+#   EXISTS (other supplier)        → per-order COUNT(DISTINCT supplier) > 1
+#   NOT EXISTS (other late suppl.) → per-order late-supplier count == 1
+# (plan pin in tests/test_plan_shapes.py: no BroadcastNestedLoopJoin, no
+# CartesianProduct anywhere in either plan).
+
+_LATE = "1999-01-01"  # a line shipped past this is "late" (waiting)
+
+
+_Q4_Y0, _Q4_Y1 = "1997-01-01", "1997-04-01"
+
+_Q4_ORACLE = f"""
+SELECT o.o_orderpriority AS prioridade,
+       COUNT(*) AS n_pedidos
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{_Q4_Y0}'
+  AND o.o_orderdate < TIMESTAMP '{_Q4_Y1}'
+  AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > TIMESTAMP '{_LATE}'
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("tpch_q4_order_priority", oracle=_Q4_ORACLE)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: order counts by priority for orders with ≥1 late line.
+    The correlated EXISTS is a LEFT SEMI equi-join on the correlation key
+    (l_orderkey) — one shuffle, no de-correlation risk, and the late
+    predicate pushes to the lineitem scan so the semi-join's build side is
+    only the late lines."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_Q4_Y0).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_Q4_Y1).cast("timestamp"))
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    late = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(_LATE).cast("timestamp"))
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late, "l_orderkey", "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("prioridade"))
+        .agg(F.count(F.lit(1)).alias("n_pedidos"))
+    )
+
+
+_Q21_ORACLE = f"""
+SELECT n.n_name AS nacao,
+       s.s_name AS fornecedor,
+       COUNT(*) AS numwait
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > TIMESTAMP '{_LATE}'
+  AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > TIMESTAMP '{_LATE}'
+  )
+GROUP BY n.n_name, s.s_name
+ORDER BY numwait DESC, nacao, fornecedor
+LIMIT 100
+"""
+
+
+@register("tpch_q21_waiting_shipments", oracle=_Q21_ORACLE)
+def tpch_q21_waiting_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the SOLE late shipper on a completed
+    multi-supplier order — the multi-correlation EXISTS chain (one EXISTS,
+    one NOT EXISTS, both correlated on the outer order AND anti-correlated
+    on the outer supplier).
+
+    The scale-correct rewrite: both subqueries collapse into ONE per-order
+    aggregate over lineitem — n_supp = COUNT(DISTINCT suppkey) and
+    n_late_supp = COUNT(DISTINCT suppkey among late lines).  For a late
+    outer line l1: "another supplier exists" ⇔ n_supp > 1, and "no OTHER
+    supplier was late" ⇔ n_late_supp = 1 (l1's own supplier is late, so it
+    is THE late one).  Everything is equi-join/aggregate on l_orderkey —
+    one grain shuffle — where the naive de-correlation plans a per-row
+    nested-loop over lineitem twice.  Supplier scales with the warehouse
+    (left to AQE); only the 25-row nation dim is broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.lit(_LATE).cast("timestamp")).alias("_late"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias(
+            "_n_late_supp"
+        ),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    return (
+        li.filter(F.col("_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_late_supp") == 1))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp.join(F.broadcast(nation), "s_nationkey"), "l_suppkey")
+        .groupBy(F.col("n_name").alias("nacao"), F.col("s_name").alias("fornecedor"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("nacao"), F.col("fornecedor"))
+        .limit(100)
+    )

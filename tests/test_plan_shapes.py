@@ -301,3 +301,29 @@ def test_tpch_multijoin_plan_shapes(spark):
         assert "BroadcastNestedLoopJoin" not in p, name
         assert n_nodes(p, "BroadcastHashJoin") >= 2, name
         assert pushed_frag in p, name
+
+
+def test_tpch_exists_shapes_never_nested_loop(spark):
+    """Q4/Q21 analogues: the correlated EXISTS / NOT-EXISTS chain must run
+    as equi semi-join / per-order aggregate rewrites — a de-correlation
+    that degrades to a nested loop or cartesian re-scans lineitem per
+    outer row and is the classic 100 TB cliff for these shapes."""
+    import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    q4 = plan_of(QUERIES["tpch_q4_order_priority"](spark, SF_DIR))
+    assert "CartesianProduct" not in q4
+    assert "BroadcastNestedLoopJoin" not in q4
+    assert "LeftSemi" in q4  # the EXISTS really is a semi-join
+    # the late predicate reaches the lineitem scan (semi build side is
+    # late lines only, not the whole fact)
+    assert "GreaterThan(l_shipdate" in q4
+
+    q21 = plan_of(QUERIES["tpch_q21_waiting_shipments"](spark, SF_DIR))
+    assert "CartesianProduct" not in q21
+    assert "BroadcastNestedLoopJoin" not in q21
+    # both subqueries collapsed into ONE per-order aggregate: exactly one
+    # distinct-aggregate expand node, no per-row re-scan joins
+    assert n_nodes(q21, "Expand") == 1
+    assert "EqualTo(o_orderstatus,F)" in q21
