@@ -141,33 +141,75 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def running_user_totals_bucketed(events: DataFrame, buckets: int = 512) -> DataFrame:
+def _ttl_us(ttl: str | None) -> int | None:
+    import pandas as pd
+
+    return None if ttl is None else int(pd.Timedelta(ttl).total_seconds() * 1_000_000)
+
+
+def _evict_idle(
+    st_last: dict, other_maps: tuple[dict, ...], ttl_us: int | None, now_us: int
+) -> None:
+    """Idle-age eviction inside a bucket's packed state (emit-and-drop):
+    BEFORE this batch is folded in, users whose last activity lags the
+    batch's max event time (the per-bucket watermark proxy — monotone under
+    the operators' shared ordered-arrival prerequisite) by more than the
+    TTL are dropped from every state map, so state size — and the per-batch
+    wholesale array rewrite — tracks the ACTIVE population, not every user
+    ever seen.  Evicting pre-fold is what makes the semantics clean: a
+    returning user past the TTL gap starts from EMPTY state rather than
+    silently merging with expired state.  Semantics trade-off, as with any
+    watermark TTL: totals restart, session ordinals restart, funnel stage
+    resets — the pre-idle results were already emitted.  ``ttl_us=None``
+    keeps exact unbounded-lifetime state (the registered batch-parity
+    queries use it on their finite inputs)."""
+    if ttl_us is None or not st_last:
+        return
+    horizon = now_us - ttl_us
+    for u in [u for u, t in st_last.items() if t < horizon]:
+        del st_last[u]
+        for m in other_maps:
+            m.pop(u, None)
+
+
+def running_user_totals_bucketed(
+    events: DataFrame, buckets: int = 512, ttl: str | None = None
+) -> DataFrame:
     """Bucketed-dispatch variant of :func:`running_user_totals` — completes
     the adopted pattern across all three stateful operators (see
     :func:`sessionize_stream_bucketed` for the rationale and trade-offs).
     Per-batch work is one pandas groupby-agg per bucket; state packs the
-    bucket's users as parallel arrays."""
+    bucket's users as parallel arrays.  ``ttl`` bounds state on unbounded
+    streams with user churn (see :func:`_evict_idle`)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    ttl_us = _ttl_us(ttl)
+
     def update(key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState):
         if state.exists:
-            uids, ns, totals = state.get
+            uids, ns, totals, lasts = state.get
             st_n = dict(zip(uids, ns))
             st_t = dict(zip(uids, totals))
+            st_last = dict(zip(uids, lasts))
         else:
-            st_n, st_t = {}, {}
+            st_n, st_t, st_last = {}, {}, {}
         batch = pd.concat(list(pdfs))
         # size (ALL rows), not count (non-null only): the per-user twin
         # counts len(pdf), so a NULL value row must still increment
         # n_eventos identically here; pandas' NaN-skipping sum matches the
         # twin's pdf["value"].sum().
-        agg = batch.groupby("user_id")["value"].agg(["size", "sum"])
+        ts_us = batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        _evict_idle(st_last, (st_n, st_t), ttl_us, int(ts_us.max()))
+        agg = batch.assign(_ts_us=ts_us).groupby("user_id").agg(
+            size=("value", "size"), sum=("value", "sum"), last=("_ts_us", "max")
+        )
         out_users, out_n, out_t = [], [], []
         for u, row in agg.iterrows():
             n = st_n.get(u, 0) + int(row["size"])
             t = st_t.get(u, 0.0) + float(row["sum"])
             st_n[u], st_t[u] = n, t
+            st_last[u] = max(st_last.get(u, -1), int(row["last"]))
             out_users.append(u)
             out_n.append(n)
             out_t.append(t)
@@ -177,6 +219,7 @@ def running_user_totals_bucketed(events: DataFrame, buckets: int = 512) -> DataF
                 [int(u) for u in users],
                 [int(st_n[u]) for u in users],
                 [float(st_t[u]) for u in users],
+                [int(st_last[u]) for u in users],
             )
         )
         yield pd.DataFrame(
@@ -189,7 +232,10 @@ def running_user_totals_bucketed(events: DataFrame, buckets: int = 512) -> DataF
         .applyInPandasWithState(
             update,
             outputStructType="user_id long, n_eventos long, soma_valor double",
-            stateStructType="uids array<long>, ns array<long>, totals array<double>",
+            stateStructType=(
+                "uids array<long>, ns array<long>, totals array<double>, "
+                "last_us array<long>"
+            ),
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -299,7 +345,10 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def sessionize_stream_bucketed(
-    events: DataFrame, gap: str = "30 minutes", buckets: int = 512
+    events: DataFrame,
+    gap: str = "30 minutes",
+    buckets: int = 512,
+    ttl: str | None = None,
 ) -> DataFrame:
     """Bucketed-dispatch variant of :func:`sessionize_stream`: state groups
     are hash buckets of users, not individual users.
@@ -318,12 +367,15 @@ def sessionize_stream_bucketed(
     if one user in the bucket changed (arrays rewrite wholesale), and a
     bucket is the unit of parallelism — size ``buckets`` ≳ 4× total cores
     at the target scale so no executor idles.  ``buckets`` only shards
-    state; results don't depend on it.
+    state; results don't depend on it.  ``ttl`` bounds state on unbounded
+    streams with user churn (see :func:`_evict_idle`; a returning evicted
+    user's session ordinals restart at 1).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    ttl_us = _ttl_us(ttl)
 
     def update(key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState):
         if state.exists:
@@ -335,6 +387,9 @@ def sessionize_stream_bucketed(
         batch = pd.concat(list(pdfs)).sort_values(["user_id", "ts", "event_id"])
         uid = batch["user_id"]
         ts_us = batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        # pre-fold eviction: a returning user past the TTL gets a NaN carry
+        # below, so their session ordinals restart at 1
+        _evict_idle(st_last, (st_sess,), ttl_us, int(ts_us.max()))
         # within-batch previous event per user (vectorized); first rows pull
         # the carried-over last event time from state (NaN if user is new)
         prev = ts_us.groupby(uid.to_numpy()).shift(1)
@@ -424,7 +479,9 @@ def funnel_stream(events: DataFrame) -> DataFrame:
     )
 
 
-def funnel_stream_bucketed(events: DataFrame, buckets: int = 512) -> DataFrame:
+def funnel_stream_bucketed(
+    events: DataFrame, buckets: int = 512, ttl: str | None = None
+) -> DataFrame:
     """Bucketed-dispatch variant of :func:`funnel_stream` (same rationale as
     :func:`sessionize_stream_bucketed`: ≤ ``buckets`` Python invocations per
     micro-batch instead of one per user, state packed as parallel arrays).
@@ -436,23 +493,31 @@ def funnel_stream_bucketed(events: DataFrame, buckets: int = 512) -> DataFrame:
     ts ≥ fv; stage 3 iff any purchase ts ≥ fc — because "first X after Y"
     under monotone arrival is a masked groupby-min, not a scan.  Emits the
     furthest stage per user seen in the batch (update semantics identical
-    to the per-user operator).
+    to the per-user operator).  ``ttl`` bounds state on unbounded streams
+    with user churn (see :func:`_evict_idle`; a returning evicted user's
+    funnel restarts at stage 0).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    ttl_us = _ttl_us(ttl)
+
     def update(key: tuple, pdfs: Iterable["pd.DataFrame"], state: GroupState):
         if state.exists:
-            uids, fvs, fcs, stages = state.get
+            uids, fvs, fcs, stages, lasts = state.get
             st_fv = dict(zip(uids, fvs))
             st_fc = dict(zip(uids, fcs))
             st_stage = dict(zip(uids, stages))
+            st_last = dict(zip(uids, lasts))
         else:
-            st_fv, st_fc, st_stage = {}, {}, {}
+            st_fv, st_fc, st_stage, st_last = {}, {}, {}, {}
         batch = pd.concat(list(pdfs))
         uid = batch["user_id"]
         ts_us = batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
         kind = batch["event_type"]
+        # pre-fold eviction: a returning user past the TTL re-enters the
+        # funnel at stage 0 (their carried fv/fc/stage are expired)
+        _evict_idle(st_last, (st_fv, st_fc, st_stage), ttl_us, int(ts_us.max()))
 
         # pass 1 — first view per user: carried fv wins (it is <= any batch
         # ts under ordered arrival), else the batch's earliest view
@@ -483,6 +548,11 @@ def funnel_stream_bucketed(events: DataFrame, buckets: int = 512) -> DataFrame:
             st_fc[u] = int(fc.get(u, -1))
             st_stage[u] = stage
             etapas.append(stage)
+        # last activity = the user's max batch ts (ANY event type counts as
+        # activity, not just funnel-stage events)
+        last_batch = ts_us.groupby(uid.to_numpy()).max()
+        for u, t in last_batch.items():
+            st_last[u] = max(st_last.get(u, -1), int(t))
         users = list(st_fv)
         state.update(
             (
@@ -490,6 +560,7 @@ def funnel_stream_bucketed(events: DataFrame, buckets: int = 512) -> DataFrame:
                 [int(st_fv[u]) for u in users],
                 [int(st_fc[u]) for u in users],
                 [int(st_stage[u]) for u in users],
+                [int(st_last[u]) for u in users],
             )
         )
         yield pd.DataFrame({"user_id": out_users, "etapa": etapas}).astype(
@@ -503,7 +574,8 @@ def funnel_stream_bucketed(events: DataFrame, buckets: int = 512) -> DataFrame:
             update,
             outputStructType="user_id long, etapa int",
             stateStructType=(
-                "uids array<long>, fv array<long>, fc array<long>, etapa array<int>"
+                "uids array<long>, fv array<long>, fc array<long>, "
+                "etapa array<int>, last_us array<long>"
             ),
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,

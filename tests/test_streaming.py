@@ -231,3 +231,183 @@ def test_streaming_funnel_matches_batch(spark, tmp_path_factory, variant):
         r.etapa: r.usuarios for r in funnel_stage_counts(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# TTL eviction in the bucketed stateful operators: state must track the
+# ACTIVE user population on churning streams, and an evicted user who
+# returns restarts from empty state (emit-and-drop semantics).
+
+
+def _mk_churn_events(spark, d, generations=6, users_per_gen=400, base="2024-01-01"):
+    """One parquet file per 'day', each day a DISJOINT user population —
+    the worst case for unbounded state (state grows by users_per_gen/day
+    without eviction)."""
+    import time as _time
+
+    for g in range(generations):
+        day = spark.createDataFrame(
+            [
+                (
+                    g * 1_000_000 + i,
+                    g * users_per_gen + i % users_per_gen,
+                    float(i % 7),
+                )
+                for i in range(users_per_gen * 2)  # 2 events/user/day
+            ],
+            "event_id long, user_id long, value double",
+        ).select(
+            "event_id",
+            (
+                F.lit(base).cast("timestamp")
+                + F.make_interval(days=F.lit(g), mins=F.col("event_id") % 60)
+            ).alias("ts"),
+            "user_id",
+            F.lit("view").alias("event_type"),
+            "value",
+            F.lit("{}").alias("props"),
+        )
+        day.coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic replay order
+
+
+def _drain_with_progress(stream_df, output_mode):
+    import uuid as _uuid
+
+    name = f"ttl_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name), list(q.recentProgress)
+
+
+def _state_bytes(progress):
+    ops = [
+        op
+        for p in progress
+        if p["numInputRows"] > 0
+        for op in (p.get("stateOperators") or [])
+    ]
+    return [op.get("memoryUsedBytes") for op in ops]
+
+
+def test_ttl_bounds_state_under_churn(spark, tmp_path_factory):
+    """Rotating user population across micro-batches: with a TTL shorter
+    than the rotation, per-batch state stays flat instead of accumulating
+    every user ever seen — and the last generation's emitted totals are
+    identical with and without TTL (eviction only touches idle users)."""
+    from olap_sus_spark.streaming.streams import running_user_totals_bucketed
+
+    d = str(tmp_path_factory.mktemp("churn"))
+    _mk_churn_events(spark, d, generations=6, users_per_gen=400)
+
+    def run(ttl):
+        stream = read_event_stream(spark, d, max_files_per_trigger=1)
+        return _drain_with_progress(
+            running_user_totals_bucketed(stream, buckets=4, ttl=ttl), "update"
+        )
+
+    out_ttl, prog_ttl = run("2 days")
+    out_inf, prog_inf = run(None)
+
+    # final-batch state: bounded (~2 generations) vs all 6 generations
+    b_ttl, b_inf = _state_bytes(prog_ttl)[-1], _state_bytes(prog_inf)[-1]
+    assert b_ttl < b_inf * 0.6, (b_ttl, b_inf)
+
+    # active (last-generation) users' outputs are untouched by eviction
+    last_users = F.col("user_id") >= 5 * 400
+    assert _sorted(out_ttl.filter(last_users)) == _sorted(out_inf.filter(last_users))
+
+
+def test_ttl_returning_user_restarts_totals(spark, tmp_path_factory):
+    """Emit-and-drop semantics made concrete: a user idle past the TTL who
+    returns restarts counts from zero (without TTL the totals continue)."""
+    import time as _time
+
+    from olap_sus_spark.streaming.streams import running_user_totals_bucketed
+
+    d = str(tmp_path_factory.mktemp("ttl_return"))
+    for day, n_ev in [(0, 2), (40, 3)]:
+        spark.createDataFrame(
+            [(day * 100 + i, 7, 1.0) for i in range(n_ev)],
+            "event_id long, user_id long, value double",
+        ).select(
+            "event_id",
+            (
+                F.lit("2024-01-01").cast("timestamp")
+                + F.make_interval(days=F.lit(day), mins=F.col("event_id") % 60)
+            ).alias("ts"),
+            "user_id",
+            F.lit("view").alias("event_type"),
+            "value",
+            F.lit("{}").alias("props"),
+        ).coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+
+    def final_n(ttl):
+        stream = read_event_stream(spark, d, max_files_per_trigger=1)
+        out, _ = _drain_with_progress(
+            running_user_totals_bucketed(stream, buckets=2, ttl=ttl), "update"
+        )
+        rows = sorted(out.collect(), key=lambda r: r.n_eventos)
+        return [r.n_eventos for r in rows]
+
+    assert final_n(None) == [2, 5]       # continues: 2 then 2+3
+    assert final_n("30 days") == [2, 3]  # evicted at the 40-day gap: restart
+
+
+def test_ttl_returning_user_restarts_sessions_and_funnel(spark, tmp_path_factory):
+    """Session ordinals restart at 1 and the funnel restarts at stage 0
+    after an eviction — and with TTL=None both match their unbounded
+    behavior (ordinal 2 / stage 3)."""
+    import time as _time
+
+    from olap_sus_spark.streaming.streams import (
+        funnel_stream_bucketed,
+        sessionize_stream_bucketed,
+    )
+
+    d = str(tmp_path_factory.mktemp("ttl_sess"))
+    # day 0: view then click; day 40: purchase (qualifies only if fc survives)
+    for day, events in [(0, [("view", 0), ("click", 1)]), (40, [("purchase", 0)])]:
+        spark.createDataFrame(
+            [(day * 100 + i, 7, kind, 1.0) for i, (kind, _) in enumerate(events)],
+            "event_id long, user_id long, event_type string, value double",
+        ).select(
+            "event_id",
+            (
+                F.lit("2024-01-01").cast("timestamp")
+                + F.make_interval(days=F.lit(day), mins=F.col("event_id") % 60)
+            ).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            F.lit("{}").alias("props"),
+        ).coalesce(1).write.mode("append").parquet(d)
+        _time.sleep(1.1)
+
+    def run_sess(ttl):
+        stream = read_event_stream(spark, d, max_files_per_trigger=1)
+        out, _ = _drain_with_progress(
+            sessionize_stream_bucketed(stream, gap="30 minutes", buckets=2, ttl=ttl),
+            "append",
+        )
+        return max(r.sessao for r in out.collect())
+
+    assert run_sess(None) == 2        # day-40 events open session ordinal 2
+    assert run_sess("30 days") == 1   # state evicted: ordinals restart at 1
+
+    def run_funnel(ttl):
+        stream = read_event_stream(spark, d, max_files_per_trigger=1)
+        out, _ = _drain_with_progress(
+            funnel_stream_bucketed(stream, buckets=2, ttl=ttl), "update"
+        )
+        return sorted(r.etapa for r in out.collect())  # one row per batch
+
+    assert run_funnel(None) == [2, 3]       # day-0 view+click, then purchase -> 3
+    assert run_funnel("30 days") == [0, 2]  # evicted: purchase alone is stage 0

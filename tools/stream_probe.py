@@ -142,5 +142,79 @@ def main() -> None:
     spark.stop()
 
 
+def churn_main() -> None:
+    """TTL eviction probe: ROTATING user population (disjoint users per
+    'day', one file per day → one micro-batch per day), drained twice
+    through the bucketed stateful trio — TTL=2 days vs unbounded — and the
+    per-batch state memory read from the progress metrics.  Bounded-state
+    contract: with TTL the per-batch state size goes FLAT after the first
+    eviction horizon instead of growing linearly with days.
+
+    Usage: python tools/stream_probe.py churn [days] [users_per_day]
+    """
+    days = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    users = int(sys.argv[3]) if len(sys.argv) > 3 else 5000
+
+    spark = get_spark("churn-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    from olap_sus_spark.streaming.streams import (
+        funnel_stream_bucketed,
+        read_event_stream,
+        running_user_totals_bucketed,
+        sessionize_stream_bucketed,
+    )
+
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_churn_{days}x{users}")
+    if not os.path.exists(d):
+        kinds = ["view", "click", "purchase", "other"]
+        for g in range(days):
+            rows = spark.range(users * 3).select(
+                (F.lit(g) * 1_000_000 + F.col("id")).alias("event_id"),
+                (
+                    F.lit("2024-01-01").cast("timestamp")
+                    + F.make_interval(days=F.lit(g), mins=F.col("id") % 1440)
+                ).alias("ts"),
+                (F.lit(g) * users + F.col("id") % users).alias("user_id"),
+                F.element_at(
+                    F.array(*[F.lit(k) for k in kinds]),
+                    (F.col("id") % 4 + 1).cast("int"),
+                ).alias("event_type"),
+                (F.col("id") % 7).cast("double").alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            rows.coalesce(1).write.mode("append").parquet(d)
+            time.sleep(1.1)  # distinct mtimes -> one file per micro-batch
+        print(f"staged {days} days x {users} users/day -> {d}")
+
+    def state_mem(prog):
+        return [
+            op.get("memoryUsedBytes")
+            for p in prog
+            if p["numInputRows"] > 0
+            for op in (p.get("stateOperators") or [])
+        ]
+
+    for name, op, mode in [
+        ("running_totals", running_user_totals_bucketed, "update"),
+        ("sessionize", sessionize_stream_bucketed, "append"),
+        ("funnel", funnel_stream_bucketed, "update"),
+    ]:
+        for ttl in ("2 days", None):
+            src = read_event_stream(spark, d, max_files_per_trigger=1)
+            t0 = time.perf_counter()
+            rows, prog = drain_with_progress(
+                op(src, buckets=64, ttl=ttl), mode
+            )
+            mem = state_mem(prog)
+            print(
+                f"{name} ttl={ttl}: rows={rows} wall={time.perf_counter()-t0:.1f}s "
+                f"state_bytes_per_batch={mem}"
+            )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "churn":
+        churn_main()
+    else:
+        main()
