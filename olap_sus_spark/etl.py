@@ -102,6 +102,57 @@ def run_ingest(
     raise ValueError(f"unknown dataset {dataset!r} (expected 'sinasc', 'sim' or 'sih')")
 
 
+def run_backfill(
+    spark: SparkSession,
+    dataset: str,
+    start_date: str,
+    end_date: str,
+    landing_dir: str,
+    warehouse_dir: str,
+    refresh_aggregates: bool = True,
+) -> list[str]:
+    """Catch-up ingest over a date window — the engine's analogue of the
+    reference DAG's ``catchup=True`` backfill (spark_dag.py:48-78: Airflow
+    replays one ``@daily`` task per missed day).
+
+    Walks ``[start_date, end_date]`` inclusive, ingesting every day whose
+    landing partition exists (days with no drop are skipped, like an Airflow
+    run over an empty source prefix).  Where Airflow pays one full
+    aggregate-refresh per replayed day, the backfill refreshes each
+    maintained aggregate ONCE over all ingested days at the end — by
+    additive-partial idempotency (refresh_aggregate) the final warehouse
+    state is identical to N single-day runs, pinned by
+    tests/test_etl_e2e.py::test_backfill_matches_single_day_ingests.
+
+    Returns the list of dates actually ingested.
+    """
+    from datetime import date as _date, timedelta
+
+    d0, d1 = _date.fromisoformat(start_date), _date.fromisoformat(end_date)
+    if d1 < d0:
+        raise ValueError(f"end_date {end_date} precedes start_date {start_date}")
+    ingested: list[str] = []
+    cur = d0
+    while cur <= d1:
+        day = cur.isoformat()
+        try:
+            run_ingest(spark, dataset, day, landing_dir, warehouse_dir)
+        except Exception as exc:  # no landing drop for this day -> skip
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
+        else:
+            ingested.append(day)
+        cur += timedelta(days=1)
+    if refresh_aggregates and ingested:
+        fact_table = {
+            "sinasc": "fact_nascimentos", "sim": "fact_obitos", "sih": "fact_internacoes",
+        }[dataset]
+        for name, (ft, _, _, _) in AGGREGATES.items():
+            if ft == fact_table:
+                refresh_aggregate(spark, warehouse_dir, name, dates=ingested)
+    return ingested
+
+
 def _agg_nascimentos_uf_ano(fact: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
     data = dims["dim_data"].select(F.col("chave_data"), "ano")
     mun = dims["dim_municipio"].select(
