@@ -9,11 +9,13 @@ reference has no media columns, so this module is a pure extension
 Image *dimension/type extraction* is fully real — a codec-free pure-Python
 header parser (PNG IHDR / GIF logical screen / JPEG SOF marker walk, see
 :func:`parse_image_dimensions`) verified end-to-end against real container
-headers.  Only the pixel-level steps (resize, frame demux, feature
-encoding) need codec libraries that are not in this container; those run
-deterministic fakes inside the same real Spark plumbing (schema, batching,
-partition behavior), so swapping in Pillow/libvips/PyAV touches one
-function body each.
+headers.  Pixel decode is REAL for the three dominant image containers:
+PNG (zlib + full filter set, here), GIF (stdlib LZW, here), and baseline
+JPEG (Huffman + IDCT, :mod:`olap_sus_spark.operators.jpeg`).  Only video
+frame demux and the learned feature encoder genuinely need libraries this
+container lacks; those run deterministic fakes inside the same real Spark
+plumbing (schema, batching, partition behavior), so swapping in PyAV or an
+ONNX encoder touches one function body each.
 
 Scale notes: mapInPandas streams Arrow batches, so payloads never
 materialize on the driver; per-batch work is embarrassingly parallel with
@@ -193,9 +195,8 @@ def image_dimensions(assets: DataFrame) -> DataFrame:
 #
 # PNG pixel data is zlib-deflated scanlines with a 1-byte per-row filter —
 # both fully decodable with `zlib` + ~60 lines of unfiltering, no codec
-# library needed.  That makes resize REAL for the dominant lossless format;
-# JPEG/video stay deterministic fakes (DCT entropy coding genuinely needs a
-# codec library absent from this container).
+# library needed.  Baseline JPEG gets the same treatment in operators/jpeg.py
+# (canonical Huffman + numpy IDCT); only video demux stays a fake.
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -499,18 +500,19 @@ RESIZED_SCHEMA = StructType(
 def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Resize image payloads to (width, height) via Arrow-batched mapInPandas.
 
-    PNG and (non-interlaced) GIF payloads take the REAL pixel path:
-    :func:`png_decode` (zlib + full filter-set unfiltering) /
-    :func:`gif_decode` (stdlib LZW + palette mapping) →
-    :func:`nearest_resize` → :func:`png_encode` — no codec library
-    involved, verified against known pixel values in
+    PNG, (non-interlaced) GIF and baseline JPEG payloads take the REAL
+    pixel path: :func:`png_decode` (zlib + full filter-set unfiltering) /
+    :func:`gif_decode` (stdlib LZW + palette mapping) /
+    :func:`olap_sus_spark.operators.jpeg.jpeg_decode` (canonical Huffman +
+    IDCT + chroma upsample) → :func:`nearest_resize` → :func:`png_encode` —
+    no codec library involved, verified against known pixel values in
     tests/test_band_and_multimodal.py.  Decoded frames re-encode as PNG
     regardless of input container (pipelines normalize formats at the
-    resize step).  JPEG/video — DCT entropy coding genuinely needs a codec
-    library this container lacks — fall back to a deterministic
-    digest-derived fake inside the same batch loop, so swapping in Pillow
-    touches one branch.
+    resize step).  Anything undecodable (progressive JPEG, video,
+    over-ceiling images) falls back to a deterministic digest-derived fake
+    inside the same batch loop, so swapping in Pillow touches one branch.
     """
+    from olap_sus_spark.operators.jpeg import jpeg_decode
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -522,7 +524,7 @@ def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> Dat
                 if payload is None:
                     rows.append((asset_id, None, None, None))
                     continue
-                decoded = png_decode(payload) or gif_decode(payload)
+                decoded = png_decode(payload) or gif_decode(payload) or jpeg_decode(payload)
                 if decoded is not None:
                     sw, sh, ch, pix = decoded
                     resized = nearest_resize(pix, sw, sh, ch, width, height)

@@ -466,3 +466,158 @@ def test_gif_roundtrip_random_indices(w, h, npal, data):
     assert (gw, gh, gch) == (w, h, 3)
     for i, c in enumerate(idx):
         assert tuple(pix[3 * i : 3 * i + 3]) == palette[c]
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG codec (operators/jpeg.py) — VERDICT r4 #3: real pixel path.
+
+
+def test_jpeg_known_pixels_flat_color():
+    """A flat-color RGB JPEG decodes to exactly the source color (only the
+    DC coefficient is non-zero, so quant=1 round-trip is exact up to DCT
+    float rounding)."""
+    from olap_sus_spark.operators import jpeg
+
+    pix = bytes([120, 200, 64]) * (16 * 16)
+    for sub in [(1, 1), (2, 2), (2, 1)]:
+        dec = jpeg.jpeg_decode(jpeg.jpeg_encode(pix, 16, 16, 3, subsample=sub))
+        assert dec is not None
+        w, h, ch, out = dec
+        assert (w, h, ch) == (16, 16, 3)
+        assert all(abs(out[i] - pix[i]) <= 1 for i in range(len(pix))), sub
+
+
+def test_jpeg_gradient_near_lossless_444():
+    """quant=1 4:4:4: reconstruction error bounded by DCT+color rounding."""
+    from olap_sus_spark.operators import jpeg
+
+    w, h = 24, 17
+    pix = bytearray()
+    for y in range(h):
+        for x in range(w):
+            pix += bytes([(x * 11) % 256, (y * 7) % 256, (x + y) % 256])
+    dec = jpeg.jpeg_decode(jpeg.jpeg_encode(bytes(pix), w, h, 3))
+    assert dec is not None
+    dw, dh, ch, out = dec
+    assert (dw, dh, ch) == (w, h, 3)
+    assert max(abs(a - b) for a, b in zip(pix, out)) <= 4
+
+
+def test_jpeg_grayscale_and_odd_dims():
+    from olap_sus_spark.operators import jpeg
+
+    w, h = 13, 9  # forces edge-padded partial blocks
+    pix = bytes([(3 * i) % 256 for i in range(w * h)])
+    dec = jpeg.jpeg_decode(jpeg.jpeg_encode(pix, w, h, 1))
+    assert dec is not None
+    dw, dh, ch, out = dec
+    assert (dw, dh, ch) == (w, h, 1)
+    assert max(abs(a - b) for a, b in zip(pix, out)) <= 3
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn: predictors reset and byte alignment at every interval."""
+    from olap_sus_spark.operators import jpeg
+
+    w, h = 48, 33
+    pix = bytes([(i * 37 + (i // w) * 11) % 256 for i in range(w * h * 3)])
+    enc = jpeg.jpeg_encode(pix, w, h, 3, restart_interval=2)
+    assert b"\xff\xd0" in enc  # restart markers actually present
+    dec = jpeg.jpeg_decode(enc)
+    assert dec is not None and (dec[0], dec[1], dec[2]) == (w, h, 3)
+    # corrupting a restart marker must fail closed, not crash
+    bad = bytearray(enc)
+    bad[enc.find(b"\xff\xd0") + 1] = 0xD9
+    assert jpeg.jpeg_decode(bytes(bad)) is None
+
+
+def test_jpeg_rejects_hostile_payloads():
+    from olap_sus_spark.operators import jpeg
+
+    pix = bytes([9, 30, 200]) * 64
+    ok = jpeg.jpeg_encode(pix, 8, 8, 3)
+    assert jpeg.jpeg_decode(ok) is not None
+    assert jpeg.jpeg_decode(None) is None
+    assert jpeg.jpeg_decode(b"") is None
+    assert jpeg.jpeg_decode(b"notjpeg") is None
+    assert jpeg.jpeg_decode(ok[: len(ok) // 2]) is None  # truncated entropy data
+    assert jpeg.jpeg_decode(b"\xff\xd8\xff\xd9") is None  # no frame
+
+    # declared-dimension bomb: huge SOF dims refused BEFORE any allocation
+    bomb = bytearray(ok)
+    sof = bomb.find(b"\xff\xc0")
+    bomb[sof + 5 : sof + 9] = (60000).to_bytes(2, "big") + (60000).to_bytes(2, "big")
+    assert jpeg.jpeg_decode(bytes(bomb)) is None
+
+    # progressive SOF2 refused
+    prog = bytearray(ok)
+    prog[sof + 1] = 0xC2
+    assert jpeg.jpeg_decode(bytes(prog)) is None
+
+    # garbage entropy stream: must fail closed (None) or decode into a
+    # well-formed frame — never raise out of the decoder
+    garbage = bytearray(ok)
+    sos = garbage.find(b"\xff\xda")
+    for i in range(sos + 14, min(len(garbage) - 2, sos + 40)):
+        garbage[i] = 0xB7
+    out = jpeg.jpeg_decode(bytes(garbage))
+    assert out is None or (out[0], out[1], out[2]) == (8, 8, 3)
+
+
+def test_jpeg_dimension_probe_agrees_with_decoder():
+    """parse_image_dimensions (header walk) and jpeg_decode (full decode)
+    must report the same geometry on the same payload."""
+    from olap_sus_spark.operators import jpeg
+    from olap_sus_spark.operators import multimodal as mm
+
+    pix = bytes([40, 90, 17]) * (20 * 12)
+    enc = jpeg.jpeg_encode(pix, 20, 12, 3, subsample=(2, 2))
+    assert mm.parse_image_dimensions(enc) == ("image/jpeg", 20, 12)
+    dec = jpeg.jpeg_decode(enc)
+    assert (dec[0], dec[1]) == (20, 12)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 14),
+    ch=st.sampled_from([1, 3]),
+    sub=st.sampled_from([(1, 1), (2, 2), (2, 1), (1, 2)]),
+    data=st.data(),
+)
+def test_jpeg_roundtrip_random_pixels(w, h, ch, sub, data):
+    """Any geometry/sampling decodes to the declared shape; 4:4:4 luma-only
+    content reconstructs within the quant=1 error bound."""
+    from olap_sus_spark.operators import jpeg
+
+    pix = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch))
+    )
+    got = jpeg.jpeg_decode(jpeg.jpeg_encode(pix, w, h, ch, subsample=sub))
+    assert got is not None
+    assert (got[0], got[1], got[2]) == (w, h, ch)
+    if ch == 1:  # no chroma loss: tight bound regardless of sub
+        assert max(abs(a - b) for a, b in zip(pix, got[3])) <= 3
+
+
+def test_resize_real_jpeg_known_pixels(spark):
+    """resize_images on a REAL JPEG goes through jpeg_decode -> nearest
+    resize -> png_encode (output container normalized to PNG)."""
+    from olap_sus_spark.operators import jpeg
+    from olap_sus_spark.operators import multimodal as mm
+
+    # 2x2 block colors scaled to 16x16 so nearest-resize back to 2x2 is exact
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    pix = bytearray()
+    for y in range(16):
+        for x in range(16):
+            pix += bytes(colors[(y // 8) * 2 + (x // 8)])
+    payload = jpeg.jpeg_encode(bytes(pix), 16, 16, 3)
+    assets = spark.createDataFrame([(1, bytearray(payload), "image/jpeg")], mm.ASSET_SCHEMA)
+    r = {x.asset_id: x for x in mm.resize_images(assets, 2, 2).collect()}[1]
+    assert (r.width, r.height) == (2, 2)
+    w, h, ch, out = mm.png_decode(bytes(r.payload))
+    assert (w, h, ch) == (2, 2, 3)
+    for i, c in enumerate(colors):
+        got = tuple(out[3 * i : 3 * i + 3])
+        assert all(abs(a - b) <= 2 for a, b in zip(got, c)), (i, got, c)
