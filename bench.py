@@ -26,6 +26,9 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q4_order_priority",  # correlated EXISTS as a semi-join
     "tpch_q21_waiting_shipments",  # EXISTS + NOT-EXISTS chain as one per-order aggregate
+    "tpch_q7_cross_border_volume",  # double nation role-play + year-grain volume
+    "tpch_q9_product_profit",  # 5-way profit arithmetic by nation x year
+    "tpch_q18_large_orders",  # HAVING-subquery as the driving aggregate
     "money_cost_rollup",  # DECIMAL(15,2) factInternacoes money-measure twin
     "rollup_family_schooling",
     "rollup_state_ageband",

@@ -25,6 +25,7 @@ from olap_sus_spark.queries import (  # noqa: F401
     text_pipeline,
     timeseries,
     tpch,
+    tpch_full,
     vector,
 )
 
@@ -49,5 +50,6 @@ __all__ = [
     "text_pipeline",
     "timeseries",
     "tpch",
+    "tpch_full",
     "vector",
 ]

@@ -327,3 +327,66 @@ def test_tpch_exists_shapes_never_nested_loop(spark):
     # distinct-aggregate expand node, no per-row re-scan joins
     assert n_nodes(q21, "Expand") == 1
     assert "EqualTo(o_orderstatus,F)" in q21
+
+
+def test_tpch_completion_battery_plan_shapes(spark):
+    """Q2/Q7/Q9/Q12/Q13/Q14/Q16/Q18/Q19/Q22 analogues: filters pushed to
+    their scans, no cartesian anywhere, nested-loop joins only where a
+    1-row scalar broadcast makes them the intended shape (Q22), and the
+    subquery rewrites (window-min, anti-join, agg-join-back) visible in
+    the plan instead of per-row re-scans."""
+    import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    plans = {
+        name: plan_of(QUERIES[name](spark, SF_DIR))
+        for name in [
+            "tpch_q2_min_cost_supplier",
+            "tpch_q7_cross_border_volume",
+            "tpch_q9_product_profit",
+            "tpch_q12_priority_by_status",
+            "tpch_q13_order_count_distribution",
+            "tpch_q14_promo_revenue",
+            "tpch_q16_supplier_part_counts",
+            "tpch_q18_large_orders",
+            "tpch_q19_disjunctive_revenue",
+            "tpch_q22_dormant_customers",
+        ]
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+        if name != "tpch_q22_dormant_customers":
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+    # Q2: correlated scalar-MIN became ONE window over the correlation key
+    assert n_nodes(plans["tpch_q2_min_cost_supplier"], "Window") == 1
+    assert "EqualTo(p_type,ECONOMY)" in plans["tpch_q2_min_cost_supplier"]
+
+    # Q7: both nation role-plays broadcast; year filter pushed to the scan
+    assert n_nodes(plans["tpch_q7_cross_border_volume"], "BroadcastHashJoin") >= 2
+    assert "l_shipdate" in plans["tpch_q7_cross_border_volume"]
+
+    # Q9: product-line filter prunes part before the join
+    assert "EqualTo(p_type,STANDARD)" in plans["tpch_q9_product_profit"]
+
+    # Q12: shipdate window reaches the fact scan
+    assert "GreaterThanOrEqual(l_shipdate" in plans["tpch_q12_priority_by_status"]
+
+    # Q13: the priority exclusion pushes to the orders scan; outer join kept
+    assert "4-NOT SPECIFIED" in plans["tpch_q13_order_count_distribution"]
+
+    # Q14: month window pushed; single aggregation over the joined slice
+    assert "GreaterThanOrEqual(l_shipdate" in plans["tpch_q14_promo_revenue"]
+
+    # Q16: NOT IN ran as a broadcast LEFT ANTI, never a per-row subquery
+    assert "LeftAnti" in plans["tpch_q16_supplier_part_counts"]
+
+    # Q18: the HAVING subquery is the driving aggregate — lineitem scanned
+    # exactly once (agg joined back, not IN-subquery re-scan)
+    assert n_nodes(plans["tpch_q18_large_orders"], "Scan parquet") == 3
+
+    # Q22: scalar threshold rides a 1-row broadcast (≤1 BNLJ is the intended
+    # scalar pattern); the NOT EXISTS is an anti-join on the correlation key
+    assert n_nodes(plans["tpch_q22_dormant_customers"], "BroadcastNestedLoopJoin") <= 1
+    assert "LeftAnti" in plans["tpch_q22_dormant_customers"]
