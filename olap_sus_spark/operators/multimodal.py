@@ -11,11 +11,13 @@ header parser (PNG IHDR / GIF logical screen / JPEG SOF marker walk, see
 :func:`parse_image_dimensions`) verified end-to-end against real container
 headers.  Pixel decode is REAL for the three dominant image containers:
 PNG (zlib + full filter set, here), GIF (stdlib LZW, here), and baseline
-JPEG (Huffman + IDCT, :mod:`olap_sus_spark.operators.jpeg`).  Only video
-frame demux and the learned feature encoder genuinely need libraries this
-container lacks; those run deterministic fakes inside the same real Spark
-plumbing (schema, batching, partition behavior), so swapping in PyAV or an
-ONNX encoder touches one function body each.
+JPEG (Huffman + IDCT, :mod:`olap_sus_spark.operators.jpeg`); video demux
+is REAL for MJPG-AVI (RIFF walk, :mod:`olap_sus_spark.operators.avi`) with
+per-frame JPEG decode, and feature extraction is REAL (pixel grid
+statistics) for any decodable image.  Codec-bound paths that genuinely
+need absent libraries (MP4/MKV demux, learned embedding models) fall back
+to deterministic fakes inside the same Spark plumbing, so swapping in
+PyAV or an ONNX encoder touches one function body each.
 
 Scale notes: mapInPandas streams Arrow batches, so payloads never
 materialize on the driver; per-batch work is embarrassingly parallel with
@@ -540,15 +542,40 @@ def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> Dat
     return assets.mapInPandas(batches, RESIZED_SCHEMA)
 
 
-def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
-    """Feature-extraction template: payload → float vector (fake encoder).
+def grid_features(pixels: bytes, w: int, h: int, ch: int, dim: int) -> list[float]:
+    """Classical pixel-statistic features: per-channel mean over a g×g grid
+    of the image, flattened and truncated/cycled to ``dim`` floats in
+    [0, 1].  Real (pixel-derived, resolution-independent, deterministic) —
+    not a *learned* embedding; a trained encoder would replace exactly this
+    function."""
+    import numpy as np
 
-    The deterministic fake maps each digest byte to [0, 1); a real build
-    swaps in an ONNX/torch encoder inside the same Arrow batch loop —
-    the operator shape (schema ``asset_id, embedding array<float>``,
-    batch-wise vectorization, no shuffle) is what matters at scale.
+    arr = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(h, w, ch)
+    g = max(1, int((dim / ch) ** 0.5))
+    ys = [h * i // g for i in range(g + 1)]
+    xs = [w * i // g for i in range(g + 1)]
+    vals: list[float] = []
+    for i in range(g):
+        for j in range(g):
+            cell = arr[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            vals.extend(float(v) / 255.0 for v in cell.reshape(-1, ch).mean(axis=0))
+    return [vals[i % len(vals)] for i in range(dim)]
+
+
+def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
+    """Payload → float vector via Arrow-batched mapInPandas.
+
+    Payloads that decode (PNG/GIF/baseline JPEG) get REAL features:
+    :func:`grid_features` over the decoded pixels (per-channel grid means —
+    classical statistics, not a learned encoder; an ONNX/torch model would
+    slot into that one function).  Undecodable payloads keep the
+    deterministic digest-derived fake so the operator stays total.  The
+    shape that matters at scale — ``asset_id, embedding array<float>``,
+    batch-wise vectorization, no shuffle — is identical either way.
     """
     from pyspark.sql.types import ArrayType, FloatType
+
+    from olap_sus_spark.operators.jpeg import jpeg_decode
 
     schema = StructType(
         [
@@ -566,6 +593,11 @@ def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
                 if payload is None:
                     out.append((asset_id, None))
                     continue
+                decoded = png_decode(payload) or gif_decode(payload) or jpeg_decode(payload)
+                if decoded is not None:
+                    w, h, ch, pix = decoded
+                    out.append((asset_id, grid_features(pix, w, h, ch, dim)))
+                    continue
                 d = hashlib.md5(bytes(payload)).digest()
                 vec = [(d[i % 16]) / 255.0 for i in range(dim)]
                 out.append((asset_id, vec))
@@ -577,10 +609,15 @@ def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
 def sample_frames(assets: DataFrame, every_nth: int = 30) -> DataFrame:
     """Explode video payloads into sampled frames (1 row per kept frame).
 
-    The container demuxer is stubbed; the operator shape — mapInPandas
-    producing a one-to-many FRAME_SCHEMA output, partitioned by asset so
-    frames of one video stay together — is the real design.
+    MJPG-AVI payloads take the REAL path: :func:`operators.avi.avi_demux`
+    walks the RIFF structure and emits every ``every_nth``-th video chunk —
+    each a complete JPEG, decodable downstream by ``jpeg_decode``.  Other
+    containers (MP4/MKV — codec-bound) keep the deterministic fake slicer
+    so the operator stays total; ``frame_index`` is the frame's position in
+    the source stream in both paths.  One-to-many FRAME_SCHEMA output,
+    repartitioned by asset so frames of one video stay together.
     """
+    from olap_sus_spark.operators.avi import avi_demux
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -590,9 +627,12 @@ def sample_frames(assets: DataFrame, every_nth: int = 30) -> DataFrame:
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                # Deterministic fake demuxer: one "frame" per 64-byte slice,
-                # keeping every `every_nth`-th.  A real build decodes via
-                # PyAV/ffmpeg here.
+                frames = avi_demux(payload)
+                if frames is not None:
+                    for i in range(0, len(frames), every_nth):
+                        rows.append((asset_id, i, frames[i]))
+                    continue
+                # Fake slicer for codec-bound containers (documented above).
                 n_slices = max(1, len(payload) // 64)
                 for i in range(0, n_slices, every_nth):
                     rows.append((asset_id, i, bytes(payload[i * 64 : (i + 1) * 64])))

@@ -621,3 +621,77 @@ def test_resize_real_jpeg_known_pixels(spark):
     for i, c in enumerate(colors):
         got = tuple(out[3 * i : 3 * i + 3])
         assert all(abs(a - b) <= 2 for a, b in zip(got, c)), (i, got, c)
+
+
+# --------------------------------------------------------------------------
+# MJPG-AVI demux (operators/avi.py) + real feature extraction.
+
+
+def test_avi_mux_demux_roundtrip_and_frame_decode():
+    from olap_sus_spark.operators import avi, jpeg
+
+    frames = [
+        jpeg.jpeg_encode(bytes([(k * 40 + i) % 256 for i in range(16 * 16 * 3)]), 16, 16, 3)
+        for k in range(7)
+    ]
+    payload = avi.avi_mux(frames, 16, 16, fps=10)
+    out = avi.avi_demux(payload)
+    assert out == frames  # byte-exact chunk extraction, stream order
+    for f in out:  # every demuxed frame is a decodable baseline JPEG
+        d = jpeg.jpeg_decode(f)
+        assert d is not None and (d[0], d[1], d[2]) == (16, 16, 3)
+
+
+def test_avi_demux_rejects_hostile():
+    from olap_sus_spark.operators import avi, jpeg
+
+    ok = avi.avi_mux([jpeg.jpeg_encode(bytes(192), 8, 8, 3)], 8, 8)
+    assert avi.avi_demux(ok) is not None
+    assert avi.avi_demux(None) is None
+    assert avi.avi_demux(b"notavi") is None
+    assert avi.avi_demux(ok[:40]) is None  # truncated before movi
+    # chunk declaring more bytes than exist: walk stops, no crash/overread
+    bad = bytearray(ok)
+    movi = bad.find(b"00dc")
+    bad[movi + 4 : movi + 8] = (1 << 25).to_bytes(4, "little")
+    assert avi.avi_demux(bytes(bad)) in (None, [])
+
+
+def test_sample_frames_real_avi(spark):
+    """sample_frames demuxes a REAL MJPG AVI: every_nth sampling over
+    actual video chunks, frame_index = stream position, bytes decodable."""
+    from olap_sus_spark.operators import avi, jpeg
+    from olap_sus_spark.operators import multimodal as mm
+
+    frames = [
+        jpeg.jpeg_encode(bytes([k * 9 % 256] * (8 * 8 * 3)), 8, 8, 3) for k in range(10)
+    ]
+    payload = avi.avi_mux(frames, 8, 8)
+    assets = spark.createDataFrame([(5, bytearray(payload), "video/avi")], mm.ASSET_SCHEMA)
+    rows = sorted(
+        mm.sample_frames(assets, every_nth=4).collect(), key=lambda r: r.frame_index
+    )
+    assert [r.frame_index for r in rows] == [0, 4, 8]
+    for r in rows:
+        assert bytes(r.frame) == frames[r.frame_index]
+        assert jpeg.jpeg_decode(bytes(r.frame)) is not None
+
+
+def test_extract_features_real_pixels(spark):
+    """Decodable payloads produce REAL grid-mean features; undecodable
+    payloads keep the digest fake (operator stays total)."""
+    from olap_sus_spark.operators import jpeg
+    from olap_sus_spark.operators import multimodal as mm
+
+    flat = bytes([255, 0, 128]) * (16 * 16)
+    payload = jpeg.jpeg_encode(flat, 16, 16, 3)
+    assets = spark.createDataFrame(
+        [(1, bytearray(payload), "image/jpeg"), (2, b"\x00\x01undecodable", "application/octet-stream")],
+        mm.ASSET_SCHEMA,
+    )
+    out = {r.asset_id: list(r.embedding) for r in mm.extract_features(assets, dim=12).collect()}
+    # grid means of a flat image = the flat color (up to codec rounding)
+    expect = [1.0, 0.0, 128 / 255.0]
+    for i, v in enumerate(out[1]):
+        assert abs(v - expect[i % 3]) < 0.02, (i, v)
+    assert len(out[2]) == 12 and all(0.0 <= v <= 1.0 for v in out[2])
