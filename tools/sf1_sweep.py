@@ -1,0 +1,145 @@
+"""One-off sf1 full sweep (VERDICT r4 #5): every registered query vs its
+DuckDB oracle at ~sf1 (10× the bench scale, ~6M lineitem rows).
+
+No sf1 parquet ships in /root/testdata, so this stages one: every table
+replicated ×N with replica-self-contained key shifts (each replica keeps
+the base data's join selectivity, duplicate-cluster density, and per-user
+event structure — the same shifted-key recipe as the ×100 probes in
+PLANS.md, here applied to ALL tables so dimension cardinality grows the
+way real TPC-H sf1 grows, not just the facts):
+
+- customer/supplier/part: primary keys shifted per replica;
+- orders: o_orderkey AND o_custkey shifted (points at its replica's
+  customers); lineitem: l_orderkey/l_partkey/l_suppkey likewise;
+- region/nation: copied (fixed-cardinality at every TPC-H sf);
+- events: event_id/user_id shifted, timestamps kept (10× concurrent users,
+  identical window layout);
+- documents/embeddings: the interleaved-salt / perturbed-vector recipe
+  from tools/scale_probe.py (cluster density preserved, zero cross-replica
+  shingle overlap).
+
+Both engines read the SAME staged parquet, so every full value-hash oracle
+stays a valid twin at this scale.  The point is cliff-hunting: the DECIMAL
+sum overflow and the ANSI element_at bug were both only reachable by scale
+probes, never by the sf0.001/sf0.01 gates.
+
+Usage: python tools/sf1_sweep.py [N]  (default N=10 ≈ sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from olap_sus_spark.catalog import TABLES, load_table  # noqa: E402
+from olap_sus_spark.session import get_spark  # noqa: E402
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# (table, primary-key shifts, foreign-key shifts keyed by source table)
+_KEYED = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {"l_orderkey": "orders", "l_partkey": "part", "l_suppkey": "supplier"},
+    "events": {"event_id": "events", "user_id": "events_user"},
+}
+
+
+def stage(spark, n: int, out_dir: str) -> None:
+    from tools.scale_probe import replicate  # documents + embeddings recipe
+
+    shifts = {
+        "customer": load_table(spark, BASE_SF, "customer").agg(F.max("c_custkey")).first()[0] + 1,
+        "supplier": load_table(spark, BASE_SF, "supplier").agg(F.max("s_suppkey")).first()[0] + 1,
+        "part": load_table(spark, BASE_SF, "part").agg(F.max("p_partkey")).first()[0] + 1,
+        "orders": load_table(spark, BASE_SF, "orders").agg(F.max("o_orderkey")).first()[0] + 1,
+        "events": load_table(spark, BASE_SF, "events").agg(F.max("event_id")).first()[0] + 1,
+        "events_user": load_table(spark, BASE_SF, "events").agg(F.max("user_id")).first()[0] + 1,
+    }
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("rep")
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue  # handled by replicate() below
+        df = load_table(spark, BASE_SF, t)
+        if t in _KEYED:
+            out = df.select("*", rep)
+            for col, src in _KEYED[t].items():
+                out = out.withColumn(col, F.col(col) + F.col("rep") * F.lit(shifts[src]))
+            out = out.drop("rep")
+        else:  # region, nation: fixed cardinality at every sf
+            out = df
+        parts = 64 if t == "lineitem" else 32
+        out.repartition(parts).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+    replicate(spark, n, out_dir)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_sf1_x{n}")
+    spark = get_spark("sf1-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        t0 = time.perf_counter()
+        stage(spark, n, out_dir)
+        print(f"staged x{n} of {BASE_SF} in {time.perf_counter() - t0:.1f}s -> {out_dir}", flush=True)
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as contract
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{out_dir}/{t}.parquet/*.parquet')"
+        )
+    qs, oracles = contract.queries(), contract.oracle_sql()
+
+    def norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        nv = lambda v: "∅" if v is None else (repr(v) if isinstance(v, float) else str(v))
+        return sorted(tuple(nv(r[i]) for i in order) for r in rows)
+
+    fails, slow = [], []
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        try:
+            sdf = qs[name](spark, out_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            print(f"{name} ERROR {type(exc).__name__}: {str(exc)[:200]}", flush=True)
+            fails.append(name)
+            continue
+        dt = time.perf_counter() - t0
+        if dt > 60:
+            slow.append((name, dt))
+        if name not in oracles:
+            print(f"{name} rows-only {len(srows)} [{dt:.1f}s]", flush=True)
+            continue
+        try:
+            rel = con.execute(oracles[name])
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+        except Exception as exc:
+            print(f"{name} ORACLE-ERROR {type(exc).__name__}: {str(exc)[:200]}", flush=True)
+            fails.append(name)
+            continue
+        ok = sorted(sdf.columns) == sorted(dcols) and norm(srows, sdf.columns) == norm(drows, dcols)
+        print(f"{name} {'MATCH' if ok else 'MISMATCH'} [{dt:.1f}s, {len(srows)} rows]", flush=True)
+        if not ok:
+            fails.append(name)
+    print("SLOW (>60s):", slow, flush=True)
+    print("RESULT:", fails or "ALL MATCH", flush=True)
+
+
+if __name__ == "__main__":
+    main()
