@@ -118,3 +118,36 @@ def avi_mux(frames: list[bytes], width: int, height: int, fps: int = 30) -> byte
     idx1 = _chunk(b"idx1", b"".join(idx_entries))
     body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_metadata(payload: bytes | None) -> dict | None:
+    """Header-only AVI probe → the same dict shape as
+    ``mp4.parse_mp4_metadata`` (brand = 'avi ', duration from
+    avih.us_per_frame × total_frames, codecs from each strh handler).
+    Walks only hdrl — no frame data is touched."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    end = min(len(b), 8 + struct.unpack_from("<I", b, 4)[0])
+    meta = {
+        "brand": "avi ", "duration_ms": None, "n_tracks": 0,
+        "codecs": [], "width": None, "height": None,
+    }
+    for fourcc, pos, size in _chunks(b, 12, end):
+        if fourcc != b"LIST" or size < 4 or b[pos : pos + 4] != b"hdrl":
+            continue
+        for cc, q, qs in _chunks(b, pos + 4, pos + size):
+            if cc == b"avih" and qs >= 40:
+                uspf, _, _, _, total = struct.unpack_from("<5I", b, q)
+                meta["width"], meta["height"] = struct.unpack_from("<II", b, q + 32)
+                if uspf:
+                    meta["duration_ms"] = uspf * total // 1000
+            elif cc == b"LIST" and qs >= 4 and b[q : q + 4] == b"strl":
+                for sc, r, rs in _chunks(b, q + 4, q + qs):
+                    if sc == b"strh" and rs >= 8:
+                        meta["n_tracks"] += 1
+                        meta["codecs"].append(b[r + 4 : r + 8].decode("latin-1"))
+        return meta
+    return None

@@ -606,6 +606,73 @@ def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
     return assets.mapInPandas(batches, schema)
 
 
+VIDEO_METADATA_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("container", StringType(), True),
+        StructField("brand", StringType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("n_tracks", IntegerType(), True),
+        StructField("codecs", StringType(), True),  # comma-joined fourccs
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def video_metadata(assets: DataFrame) -> DataFrame:
+    """Container-level video metadata WITHOUT decoding any samples —
+    the triage pass a 100 TB video pipeline runs before deciding what to
+    demux: MP4/ISO-BMFF via :func:`operators.mp4.parse_mp4_metadata` (box
+    walk), AVI via :func:`operators.avi.avi_metadata` (hdrl walk).
+    Unrecognized containers yield NULL columns (operator stays total).
+    Same Arrow-batched, shuffle-free mapInPandas shape as
+    :func:`extract_metadata`."""
+    from olap_sus_spark.operators.avi import avi_metadata
+    from olap_sus_spark.operators.mp4 import parse_mp4_metadata
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                m = parse_mp4_metadata(payload)
+                container = "mp4" if m else None
+                if m is None:
+                    m = avi_metadata(payload)
+                    container = "avi" if m else None
+                if m is None:
+                    rows.append((asset_id, None, None, None, None, None, None, None))
+                    continue
+                rows.append(
+                    (
+                        asset_id,
+                        container,
+                        m["brand"],
+                        m["duration_ms"],
+                        m["n_tracks"],
+                        ",".join(m["codecs"]) if m["codecs"] else None,
+                        m["width"],
+                        m["height"],
+                    )
+                )
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "container", "brand", "duration_ms",
+                    "n_tracks", "codecs", "width", "height",
+                ],
+            )
+            pdf_out["duration_ms"] = pdf_out["duration_ms"].astype("Int64")
+            pdf_out["n_tracks"] = pdf_out["n_tracks"].astype("Int32")
+            pdf_out["width"] = pdf_out["width"].astype("Int32")
+            pdf_out["height"] = pdf_out["height"].astype("Int32")
+            yield pdf_out
+
+    return assets.mapInPandas(batches, VIDEO_METADATA_SCHEMA)
+
+
 def sample_frames(assets: DataFrame, every_nth: int = 30) -> DataFrame:
     """Explode video payloads into sampled frames (1 row per kept frame).
 

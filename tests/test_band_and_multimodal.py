@@ -695,3 +695,47 @@ def test_extract_features_real_pixels(spark):
     for i, v in enumerate(out[1]):
         assert abs(v - expect[i % 3]) < 0.02, (i, v)
     assert len(out[2]) == 12 and all(0.0 <= v <= 1.0 for v in out[2])
+
+
+def test_mp4_metadata_parse_and_reject():
+    from olap_sus_spark.operators import mp4
+
+    p = mp4.mp4_write(125_500, [("avc1", 1920, 1080), ("mp4a", 0, 0)], brand="mp42")
+    assert mp4.parse_mp4_metadata(p) == {
+        "brand": "mp42", "duration_ms": 125500, "n_tracks": 2,
+        "codecs": ["avc1", "mp4a"], "width": 1920, "height": 1080,
+    }
+    assert mp4.parse_mp4_metadata(None) is None
+    assert mp4.parse_mp4_metadata(b"notmp4") is None
+    # declared box size beyond the payload: fail closed before slicing
+    bomb = bytearray(p)
+    bomb[0:4] = (1 << 31).to_bytes(4, "big")
+    assert mp4.parse_mp4_metadata(bytes(bomb)) is None
+    # truncation mid-moov keeps the brand, loses the rest, never raises
+    t = mp4.parse_mp4_metadata(p[: len(p) // 2])
+    assert t is None or t["brand"] == "mp42"
+
+
+def test_video_metadata_operator(spark):
+    """video_metadata triages MP4 + AVI + junk in one batch without
+    touching any sample data."""
+    from olap_sus_spark.operators import avi, jpeg, mp4
+    from olap_sus_spark.operators import multimodal as mm
+
+    mp4_payload = mp4.mp4_write(60_000, [("avc1", 640, 360)])
+    avi_payload = avi.avi_mux([jpeg.jpeg_encode(bytes(192), 8, 8, 3)] * 5, 8, 8, fps=25)
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(mp4_payload), "video/mp4"),
+            (2, bytearray(avi_payload), "video/avi"),
+            (3, b"not a video", "application/octet-stream"),
+        ],
+        mm.ASSET_SCHEMA,
+    )
+    out = {r.asset_id: r for r in mm.video_metadata(assets).collect()}
+    assert out[1].container == "mp4" and out[1].brand == "isom"
+    assert out[1].duration_ms == 60000 and out[1].codecs == "avc1"
+    assert (out[1].width, out[1].height) == (640, 360)
+    assert out[2].container == "avi" and out[2].codecs == "MJPG"
+    assert out[2].duration_ms == 200 and (out[2].width, out[2].height) == (8, 8)
+    assert out[3].container is None and out[3].duration_ms is None
