@@ -308,6 +308,62 @@ def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The all-pairs variant above is the faithful record-linkage shape, but its
+# blocking vocabulary (head nouns) has FIXED cardinality, so block size —
+# and both the O(block²) levenshtein work and the pair output — grow
+# quadratically with corpus scale (found by the sf1 sweep: 9M pairs / 1.1 GB
+# at 10× bench scale).  The 100 TB shape is the same answer the near-dup
+# family uses (dedup.star_edges): compare each block member to the block's
+# HUB (smallest key) only — O(block) work and output, linear in corpus size;
+# recall beyond the hub flows through hub-chaining at cluster level.
+_FUZZY_STAR_ORACLE = """
+WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 2) AS bloco FROM part),
+h AS (SELECT bloco, MIN(p_partkey) AS hub FROM p GROUP BY bloco)
+SELECT hp.p_partkey AS p1, m.p_partkey AS p2,
+       hp.p_name AS nome1, m.p_name AS nome2,
+       levenshtein(hp.p_name, m.p_name) AS distancia
+FROM p m
+JOIN h ON h.bloco = m.bloco AND m.p_partkey <> h.hub
+JOIN p hp ON hp.p_partkey = h.hub
+WHERE levenshtein(hp.p_name, m.p_name) <= 3
+"""
+
+
+@register("fuzzy_part_pairs_star", oracle=_FUZZY_STAR_ORACLE)
+def fuzzy_part_pairs_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-reduced fuzzy matching: one threshold-bounded levenshtein per
+    block member (vs the hub) instead of per pair — m−1 comparisons and at
+    most m−1 output rows for an m-member block, no matter how large blocks
+    grow.  Two shuffles (hub aggregate, member⋈hub equi-join), everything
+    else narrow."""
+    from olap_sus_spark.catalog import spread_compute
+
+    part = spread_compute(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_name", F.split("p_name", " ").getItem(1).alias("bloco")
+        )
+    )
+    hubs = part.groupBy("bloco").agg(F.min("p_partkey").alias("hub"))
+    # Resolve hub names with a key-only projection (avoids the ambiguous
+    # self-join); hubs_named stays block-vocabulary-sized → broadcastable
+    # at any corpus scale.
+    hub_names = part.select(F.col("p_partkey").alias("hub"), F.col("p_name").alias("nome1"))
+    hubs_named = hubs.join(hub_names, "hub")
+    dist = F.levenshtein(F.col("nome1"), F.col("p_name"), 3)
+    return (
+        part.join(F.broadcast(hubs_named), "bloco")
+        .filter(F.col("p_partkey") != F.col("hub"))
+        .select(
+            F.col("hub").alias("p1"),
+            F.col("p_partkey").alias("p2"),
+            "nome1",
+            F.col("p_name").alias("nome2"),
+            dist.alias("distancia"),
+        )
+        .filter(F.col("distancia") >= 0)
+    )
+
+
 # --------------------------------------------------------------------------
 # Exact percentiles (the reference has only approximate none at all;
 # approx_aggregates covers the sketch path, this is the exact path).

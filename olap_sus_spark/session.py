@@ -71,5 +71,12 @@ def get_spark(app_name: str = "olap_sus_spark", master: str | None = None) -> Sp
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=UTC")
         .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+        # Probe harnesses (tools/) collect full result sets for oracle
+        # hashing and override this; engine/driver paths never collect
+        # beyond top-k/dimension-sized outputs.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "1g"),
+        )
     )
     return builder.getOrCreate()

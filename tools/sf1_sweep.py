@@ -87,6 +87,10 @@ def stage(spark, n: int, out_dir: str) -> None:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_sf1_x{n}")
+    # The probe harness collects full result sets for hashing; pair-shaped
+    # outputs legitimately reach GBs at sf1 (the driver gate never collects
+    # at this scale — this knob is probe-only, not an engine setting).
+    os.environ.setdefault("SPARK_GRAFT_MAX_RESULT", "8g")
     spark = get_spark("sf1-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
