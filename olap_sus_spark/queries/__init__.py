@@ -6,6 +6,7 @@ Importing this package populates ``olap_sus_spark.registry.QUERIES`` /
 
 from olap_sus_spark.queries import (  # noqa: F401
     affinity,
+    audio_pipeline,
     bands,
     behavior,
     data_quality,
@@ -31,6 +32,7 @@ from olap_sus_spark.queries import (  # noqa: F401
 
 __all__ = [
     "affinity",
+    "audio_pipeline",
     "bands",
     "behavior",
     "data_quality",

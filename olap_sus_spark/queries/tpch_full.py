@@ -249,10 +249,10 @@ _Q12_Y0, _Q12_Y1 = "1997-01-01", "1998-01-01"
 
 _Q12_ORACLE = f"""
 SELECT l.l_linestatus AS status,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS linhas_altas,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS linhas_baixas
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS linhas_altas,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS linhas_baixas
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '{_Q12_Y0}'
