@@ -139,3 +139,104 @@ def _pagerank_step(
             .alias("rank_fp"),
         )
     )
+
+
+def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Per-node triangle participation over an undirected edge list.
+
+    ``edges`` holds each unordered pair once with ``a < b``.  The
+    implementation is degree-ordered compact-forward counting — the
+    standard distributed-triangle trick (see e.g. the Cohen MapReduce
+    formulation): orient every edge from its lower-(degree, id) endpoint to
+    the higher one, self-join oriented edges on their source to enumerate
+    wedges, then semi-join the closing edge.  Orienting by degree bounds
+    every node's out-degree by O(√m), so wedge volume is Σ out-deg² ≤
+    O(m^1.5) — a hub with degree d contributes d wedges, not d², which is
+    the difference between finishing and dying on a power-law graph at
+    100 TB.  Three shuffles total (degree agg, wedge join, closing join);
+    the triangle→node explode is narrow.
+
+    Returns (node, n_triangles) for nodes in ≥1 triangle.
+    """
+    deg = (
+        edges.select(F.col(a).alias("node"))
+        .unionByName(edges.select(F.col(b).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias(a), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias(b), F.col("deg").alias("deg_b"))
+    ranked = edges.join(da, a).join(db, b)
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col(a) < F.col(b))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col(a)).otherwise(F.col(b)).alias("src"),
+        F.when(lower_first, F.col(b)).otherwise(F.col(a)).alias("dst"),
+        F.when(lower_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
+    )
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    # Wedge (src, v1, v2) with rank(v1) < rank(v2); close with oriented
+    # edge v1→v2 (exists iff the undirected edge does, by construction).
+    wedges = e1.join(e2, F.col("e1.src") == F.col("e2.src")).filter(
+        (F.col("e1.deg_dst") < F.col("e2.deg_dst"))
+        | (
+            (F.col("e1.deg_dst") == F.col("e2.deg_dst"))
+            & (F.col("e1.dst") < F.col("e2.dst"))
+        )
+    )
+    triangles = wedges.select(
+        F.col("e1.src").alias("x"),
+        F.col("e1.dst").alias("y"),
+        F.col("e2.dst").alias("z"),
+    ).join(
+        oriented.select(F.col("src").alias("y"), F.col("dst").alias("z")),
+        ["y", "z"],
+        "left_semi",
+    )
+    return (
+        triangles.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def khop_distances(
+    edges: DataFrame, seeds: DataFrame, k: int, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """BFS hop distance (≤ k) from a seed set over an undirected edge list.
+
+    ``seeds`` has one ``node`` column.  Classic frontier expansion: per
+    round, join the CURRENT frontier (nodes first reached last round, not
+    the whole visited set) with the adjacency list, anti-join out anything
+    already visited, checkpoint to keep the plan flat.  Per round that is
+    one join shuffle + one anti-join — frontier-sized, not graph-sized; at
+    100 TB pre-bucket the adjacency by ``a`` and the join side is pruned to
+    the frontier's buckets.
+
+    Returns (node, hop) with hop = exact BFS distance for every node within
+    k hops of a seed (seeds themselves at hop 0 — a seed's distance is 0
+    even if another seed is adjacent).
+    """
+    adj = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).unionByName(
+        edges.select(F.col(b).alias("u"), F.col(a).alias("v"))
+    )
+    dist = seeds.select("node", F.lit(0).cast("int").alias("hop")).localCheckpoint(
+        eager=True
+    )
+    frontier = dist.select("node")
+    for h in range(1, k + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist
