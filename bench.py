@@ -48,6 +48,8 @@ HEADLINE = [
     "dedup_embedding_lsh",  # LSH-blocked embedding near-dup (ids-only collision join)
     "dedup_embedding_lsh_indexed",  # same, served from the maintained dedup-width SRP index
     "tfidf_top_terms",
+    "bm25_search_topk",  # full-text BM25 from the raw corpus
+    "bm25_search_indexed",  # same, served from the maintained inverted index
     "ann_cosine_topk",
     "ann_ivf_probe_topk",  # serving path over a maintained IVF index
     "ann_lsh_probe_topk",  # serving path over a maintained SRP bucket index
@@ -116,6 +118,7 @@ def main() -> None:
 
     # dedup-width SRP signatures (occupancy-8 target; the pair-generation
     # index, distinct from the ANN probe index's 4-bit key)
+    from olap_sus_spark.operators import inverted as _inv
     from olap_sus_spark.operators.index_store import corpus_rows as _corpus_rows
 
     _dedup_bits = _sim.auto_bits(_corpus_rows(sf_dir), target_bucket=8)
@@ -151,6 +154,13 @@ def main() -> None:
             lambda: _dd.load_or_build_cluster_index(
                 spark, sf_dir, _augmented_docs(spark, sf_dir), threshold=0.5
             ),
+        ),
+        (
+            # Inverted index (BM25 postings): bm25_search_indexed's serving
+            # structure, amortized like the ANN indexes.
+            "inverted",
+            lambda: _inv.inverted_index_path(sf_dir),
+            lambda: _inv.load_or_build_inverted_index(spark, sf_dir),
         ),
     ]:
         shutil.rmtree(path_fn(), ignore_errors=True)
@@ -214,6 +224,7 @@ def main() -> None:
     _sim.load_or_build_srp_index(spark, inc_sf, dim=_DIM, n_tables=_LSH_T, n_bits=_LSH_H)
     _sim.load_or_build_ivf_index(spark, inc_sf, num_centroids=_NC)
     _dd.load_or_build_cluster_index(spark, inc_sf, docs_of(spark, None), threshold=0.5)
+    _inv.load_or_build_inverted_index(spark, inc_sf)
     _append_part("embeddings", "vec_id", 100, 100_000_000)
     _append_part("documents", "doc_id", 100, 100_000_000)
     for name, fn in [
@@ -228,6 +239,7 @@ def main() -> None:
             "cluster_refresh_1d",
             lambda: _dd.refresh_cluster_index(spark, inc_sf, docs_of, threshold=0.5),
         ),
+        ("inverted_refresh_1d", lambda: _inv.refresh_inverted_index(spark, inc_sf)),
     ]:
         t0 = time.perf_counter()
         fn()
@@ -253,6 +265,11 @@ def main() -> None:
             lambda: _dd.load_or_build_cluster_index(
                 spark, inc_sf, docs_of(spark, None), threshold=0.5
             ),
+        ),
+        (
+            "inverted_full_rebuild",
+            lambda: _inv.inverted_index_path(inc_sf),
+            lambda: _inv.load_or_build_inverted_index(spark, inc_sf),
         ),
     ]:
         shutil.rmtree(path_fn(), ignore_errors=True)

@@ -1,0 +1,197 @@
+"""Maintained inverted index: the serving-side structure for full-text
+retrieval (BM25 — queries/search.py scores over it).
+
+Reference parity note: the reference engine has no text-retrieval surface;
+this is part of the LLM-data-pipeline extension family, following the same
+maintained-index contract as the ANN/dedup indexes
+(operators/index_store.py: corpus-manifest staleness, staged build + atomic
+promotion, per-``src``-partition incremental refresh).
+
+Two tables under one index directory:
+
+- ``postings/`` — one row per (document, term): ``(doc_id, term, tf, dl,
+  src)`` with ``dl`` (document token length) denormalized onto every
+  posting so a query-term probe needs no doc-table join.  Partitioned by
+  the corpus part file (``src=``) — the refresh unit — and range-sorted on
+  ``term`` within partitions so Parquet footer min/max stats prune a
+  few-term probe down to a postings-sized read, never a corpus scan.
+  A query-term scan yields BOTH per-doc tf rows and (by counting rows,
+  postings are unique per (doc, term)) the per-term document frequency.
+- ``docs/`` — per-``src`` corpus-stat partials ``(n_docs, s_tokens)``;
+  global N and S are the sums of a #part-files-sized read.  Documents with
+  NULL text are excluded end-to-end (the retrieval contract); zero-token
+  documents count toward N (they appear in no posting but do dilute idf).
+
+Every stored measure is an exact BIGINT, so a serving-path score computed
+from the index is bit-identical to one computed from the raw corpus — the
+registered ``bm25_search_indexed`` query shares the from-scratch DuckDB
+oracle with ``bm25_search_topk``, which IS the maintained==recomputed proof.
+
+At 100 TB: the build is one tokenize+explode pass (the only corpus-sized
+job); a daily append re-tokenizes only the ingested part files and
+dynamic-partition-overwrites their ``src=`` partitions (O(ingest day));
+the probe reads footer-pruned postings for the query terms only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olap_sus_spark.operators import index_store as ix
+from olap_sus_spark.operators import text as tx
+
+_SRC = "src"
+_ALGO_VERSION = "inv1"
+
+
+def inverted_index_path(sf_dir: str, table: str = "documents") -> str:
+    return ix.index_path("inv", f"{_ALGO_VERSION}|{sf_dir}|{table}")
+
+
+def _with_src(df: DataFrame) -> DataFrame:
+    # Evaluated at the scan, before any exchange (same contract as the ANN
+    # index builders in operators/similarity.py).
+    return df.withColumn(_SRC, F.element_at(F.split(F.input_file_name(), "/"), -1))
+
+
+def _index_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, doc_stats) for a src-tagged documents frame.
+
+    One tokenize pass feeds both: ``dl`` is computed on the un-exploded
+    frame (zero-token docs must still reach doc_stats) and carried through
+    the posting aggregation as a grouping column — free, since it is
+    functionally dependent on doc_id.
+    """
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        _SRC,
+        "doc_id",
+        tx.tokens("text").alias("ts"),
+    )
+    with_dl = toks.select(
+        _SRC, "doc_id", F.size("ts").cast("bigint").alias("dl"), "ts"
+    )
+    postings = (
+        with_dl.select(_SRC, "doc_id", "dl", F.explode("ts").alias("term"))
+        .groupBy(_SRC, "doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .select(_SRC, "doc_id", "term", "tf", "dl")
+    )
+    doc_stats = (
+        with_dl.groupBy(_SRC)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("s_tokens"),
+        )
+    )
+    return postings, doc_stats
+
+
+def _write_tables(
+    postings: DataFrame, doc_stats: DataFrame, root: str, dynamic: bool
+) -> None:
+    from olap_sus_spark.sources.sinks import write_sorted_partitioned
+
+    write_sorted_partitioned(
+        postings, os.path.join(root, "postings"), _SRC, ["term"], files=4,
+        dynamic=dynamic,
+    )
+    write_sorted_partitioned(
+        doc_stats, os.path.join(root, "docs"), _SRC, ["n_docs"], files=1,
+        dynamic=dynamic,
+    )
+
+
+def load_or_build_inverted_index(
+    spark: SparkSession, sf_dir: str, table: str = "documents"
+) -> tuple[DataFrame, DataFrame]:
+    """Return ``(postings, doc_stats)``, building + persisting on first use
+    and loading the Parquet tables afterwards.  A manifest mismatch (the
+    corpus changed and nobody called :func:`refresh_inverted_index`)
+    triggers the safe full staged rebuild — a maintained index never
+    silently serves stale postings."""
+    from olap_sus_spark.catalog import load_table
+
+    path = inverted_index_path(sf_dir, table)
+    current = ix.corpus_files(sf_dir, table)
+    man = ix.read_manifest(path)
+    if man is None or man.get("files") != current:
+        ix.sweep_stale_staging()
+        os.makedirs(ix.index_root(), exist_ok=True)
+        postings, doc_stats = _index_frames(_with_src(load_table(spark, sf_dir, table)))
+        staging = ix.staging_path(path)
+        _write_tables(postings, doc_stats, staging, dynamic=False)
+        ix.write_manifest(staging, {"files": current})
+        _retire_and_promote(staging, path)
+    return _serve(spark, path)
+
+
+def refresh_inverted_index(
+    spark: SparkSession, sf_dir: str, table: str = "documents"
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental maintenance: re-tokenize ONLY the corpus part files
+    added or rewritten since the last manifest and dynamic-partition-
+    overwrite their ``src=`` partitions — O(ingested files), never
+    O(corpus).  Postings and per-src stats are functions of a single part
+    file (a document lives entirely in one), so the refreshed index is
+    bit-identical to a fresh full build by construction.  Removed part
+    files (or a never-built index) fall back to the full staged build."""
+    path = inverted_index_path(sf_dir, table)
+    current = ix.corpus_files(sf_dir, table)
+    man = ix.read_manifest(path)
+    if man is None:
+        return load_or_build_inverted_index(spark, sf_dir, table)
+    added, changed, removed = ix.diff_files(man.get("files", {}), current)
+    if removed:
+        # Shrunk corpus: per-partition overwrite cannot delete rows of a
+        # vanished src; rebuild from scratch (manifest mismatch forces it).
+        return load_or_build_inverted_index(spark, sf_dir, table)
+    stale = sorted(added + changed)
+    if stale:
+        paths = ix.corpus_file_paths(sf_dir, table, stale)
+        postings, doc_stats = _index_frames(_with_src(spark.read.parquet(*paths)))
+        _write_tables(postings, doc_stats, path, dynamic=True)
+        ix.write_manifest(path, {"files": current})
+    return _serve(spark, path)
+
+
+def _serve(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    import time
+
+    for _ in range(100):
+        try:
+            return (
+                spark.read.parquet(os.path.join(path, "postings")).select(
+                    "doc_id", "term", "tf", "dl"
+                ),
+                spark.read.parquet(os.path.join(path, "docs")).select(
+                    "n_docs", "s_tokens"
+                ),
+            )
+        except Exception:
+            if os.path.exists(path):
+                raise
+            time.sleep(0.05)
+    raise FileNotFoundError(path)
+
+
+def _retire_and_promote(staging: str, path: str) -> None:
+    """Same retire→promote contract as the ANN indexes: never assume the
+    retire rename wins (a concurrent rebuilder over the same stale manifest
+    may have retired or re-promoted first); readers retry through the
+    two-rename window in :func:`_serve`."""
+    import shutil
+
+    if os.path.exists(path):
+        tomb = ix.staging_path(path) + ".stale"
+        try:
+            os.rename(path, tomb)
+        except OSError:
+            tomb = None
+        ix.promote(staging, path)
+        if tomb is not None:
+            shutil.rmtree(tomb, ignore_errors=True)
+    else:
+        ix.promote(staging, path)

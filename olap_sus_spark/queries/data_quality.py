@@ -368,3 +368,94 @@ def outlier_orders_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centavos",
         F.when(low, "baixo").otherwise("alto").alias("lado"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution-drift detection (chi-square statistic, log-free).  The
+# monitoring primitive run between a baseline window and the current one
+# (training-data pipelines gate ingest batches on it; PSI is the same shape
+# with a log weight).  Buckets reuse the fixed-width histogram binning; the
+# per-bucket chi-square contribution (c2 − e)²/e with e = T2·c1/T1 is
+# algebraically cleared of fractions to
+#
+#     (c2·T1 − c1·T2)² / (T1·T2 · c1)
+#
+# computed as exact-BIGINT differences/products cast to DOUBLE with a FIXED
+# operation order (one multiply for the square, one for the denominator,
+# one division) — bit-identical in both engines, no order-dependent float
+# sums.  Buckets absent from the baseline get a NULL contribution (flagged
+# novel mass, the honest answer — the statistic is undefined there).
+# --------------------------------------------------------------------------
+_DRIFT_Y1, _DRIFT_Y2 = 1997, 1998
+
+_CHISQ_DRIFT_ORACLE = f"""
+WITH base AS (
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS balde,
+           CAST(COUNT(*) AS BIGINT) AS c1
+    FROM orders WHERE EXTRACT(year FROM o_orderdate) = {_DRIFT_Y1}
+    GROUP BY 1
+),
+cur AS (
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS INT) AS balde,
+           CAST(COUNT(*) AS BIGINT) AS c2
+    FROM orders WHERE EXTRACT(year FROM o_orderdate) = {_DRIFT_Y2}
+    GROUP BY 1
+),
+tot AS (
+    SELECT (SELECT CAST(SUM(c1) AS BIGINT) FROM base) AS t1,
+           (SELECT CAST(SUM(c2) AS BIGINT) FROM cur) AS t2
+),
+joined AS (
+    SELECT COALESCE(base.balde, cur.balde) AS balde,
+           COALESCE(c1, 0) AS c_base,
+           COALESCE(c2, 0) AS c_atual
+    FROM base FULL OUTER JOIN cur ON base.balde = cur.balde
+)
+SELECT balde, c_base, c_atual,
+       CASE WHEN c_base > 0 THEN
+           (CAST(c_atual * t1 - c_base * t2 AS DOUBLE)
+            * CAST(c_atual * t1 - c_base * t2 AS DOUBLE))
+           / (CAST(t1 * t2 AS DOUBLE) * CAST(c_base AS DOUBLE))
+       END AS contribuicao
+FROM joined CROSS JOIN tot
+"""
+
+
+@register("chisq_drift_orders", oracle=_CHISQ_DRIFT_ORACLE)
+def chisq_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value distribution drift {y1} → {y2}: per-bucket chi-square
+    contributions from exact integer counts.  Two pruned scans + one
+    tiny full-outer join on the 10-bucket grain; totals broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    balde = F.floor(F.col("o_totalprice") / 50000.0).cast("int").alias("balde")
+
+    def year_counts(y: int, out: str) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .select(balde)
+            .groupBy("balde")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(out))
+        )
+
+    base = year_counts(_DRIFT_Y1, "c1")
+    cur = year_counts(_DRIFT_Y2, "c2")
+    tot = base.agg(F.sum("c1").cast("bigint").alias("t1")).crossJoin(
+        cur.agg(F.sum("c2").cast("bigint").alias("t2"))
+    )
+    joined = (
+        base.join(cur, "balde", "full_outer")
+        .select(
+            "balde",
+            F.coalesce("c1", F.lit(0)).cast("bigint").alias("c_base"),
+            F.coalesce("c2", F.lit(0)).cast("bigint").alias("c_atual"),
+        )
+        .join(F.broadcast(tot))
+    )
+    d = F.col("c_atual") * F.col("t1") - F.col("c_base") * F.col("t2")
+    contrib = (d.cast("double") * d.cast("double")) / (
+        (F.col("t1") * F.col("t2")).cast("double") * F.col("c_base").cast("double")
+    )
+    return joined.select(
+        "balde", "c_base", "c_atual",
+        F.when(F.col("c_base") > 0, contrib).alias("contribuicao"),
+    )

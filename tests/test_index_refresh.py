@@ -291,3 +291,93 @@ def test_cluster_refresh_augmented_view_stays_correct(spark, tmp_path, monkeypat
     monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
     fresh = dd.load_or_build_cluster_index(spark, sf, docs_of(spark, None), threshold=0.5)
     assert got == _rows(fresh)
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (BM25 postings)
+
+
+def _inv_rows(postings, doc_stats):
+    return (
+        sorted(tuple(r) for r in postings.collect()),
+        sorted(tuple(r) for r in doc_stats.collect()),
+    )
+
+
+def test_inverted_refresh_equals_fresh_build(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.operators import inverted as inv
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    inv.load_or_build_inverted_index(spark, sf)
+
+    _append_documents(spark, sf, "part-01.parquet")
+    got = _inv_rows(*inv.refresh_inverted_index(spark, sf))
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = _inv_rows(*inv.load_or_build_inverted_index(spark, sf))
+    assert got == fresh
+    assert len(got[1]) == 2  # one stat partial per src part file
+
+
+def test_inverted_refresh_rewrites_only_new_src_partition(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.operators import inverted as inv
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    inv.load_or_build_inverted_index(spark, sf)
+    path = inv.inverted_index_path(sf)
+    base = os.path.join(path, "postings", "src=part-00.parquet")
+    stamps = {
+        f: os.path.getmtime(os.path.join(base, f))
+        for f in os.listdir(base)
+        if f.endswith(".parquet")
+    }
+    _append_documents(spark, sf, "part-01.parquet")
+    inv.refresh_inverted_index(spark, sf)
+    for f, ts in stamps.items():
+        assert os.path.getmtime(os.path.join(base, f)) == ts
+    assert os.path.isdir(os.path.join(path, "postings", "src=part-01.parquet"))
+    assert os.path.isdir(os.path.join(path, "docs", "src=part-01.parquet"))
+
+
+def test_inverted_refresh_is_idempotent(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.operators import inverted as inv
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    inv.load_or_build_inverted_index(spark, sf)
+    _append_documents(spark, sf, "part-01.parquet")
+    first = _inv_rows(*inv.refresh_inverted_index(spark, sf))
+    again = _inv_rows(*inv.refresh_inverted_index(spark, sf))
+    assert first == again
+
+
+def test_inverted_removed_file_falls_back_to_rebuild(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.operators import inverted as inv
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    _append_documents(spark, sf, "part-01.parquet")
+    inv.load_or_build_inverted_index(spark, sf)
+
+    os.remove(os.path.join(sf, "documents.parquet", "part-01.parquet"))
+    got = _inv_rows(*inv.refresh_inverted_index(spark, sf))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = _inv_rows(*inv.load_or_build_inverted_index(spark, sf))
+    assert got == fresh
+    # no orphan rows from the removed part survive
+    assert not any("novo lote" in str(r) for r in got[0])
+
+
+def test_inverted_load_full_rebuilds_when_stale(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.operators import inverted as inv
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    p1, _ = inv.load_or_build_inverted_index(spark, sf)
+    n1 = p1.count()
+    _append_documents(spark, sf, "part-01.parquet")
+    p2, d2 = inv.load_or_build_inverted_index(spark, sf)
+    assert p2.count() > n1
+    assert d2.count() == 2
