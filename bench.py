@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_lsh_auto_topk",  # same, with corpus-sized signature width (auto_bits)
     "kmeans_fixed_point",  # engine-portable Lloyd's (fixed-point means)
     "text_quality_features",
+    "ngram_lm_fluency",  # bigram-LM quality scoring (CCNet-style filtering)
     "decontaminate_train",  # benchmark-leakage gram-hash join
     # event-time / streaming
     "events_session_window",
