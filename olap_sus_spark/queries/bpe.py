@@ -1,0 +1,178 @@
+"""BPE tokenizer training: learn byte-pair merges from the corpus.
+
+The tokenizer-induction step of an LLM data pipeline.  Like every real BPE
+trainer (sentencepiece, GPT-2's encoder), training runs on the **word
+frequency table**, not the raw corpus: one corpus pass collapses text to
+(word, count) rows — vocabulary-sized, many orders of magnitude smaller
+than the corpus — and each merge iteration is an aggregation over that
+table.  At 100 TB the word table is a maintained aggregate (refreshed per
+ingest day, etl.refresh_aggregate pattern) and training cost is
+independent of corpus size.
+
+Determinism contract (what makes this oracle-able when reference BPE
+implementations disagree on ties):
+
+- each word is a symbol string in wrapped form ``(h)(e)(l)(l)(o)`` —
+  wrapping every symbol individually means a pair pattern ``(l)(l)``
+  shares no delimiter with its neighbors, so the engines' common
+  non-overlapping leftmost ``replace`` IS the textbook leftmost-greedy
+  BPE merge application (``llll`` → ``ll·ll``, both pairs merged);
+- the winning pair per iteration maximizes summed word frequency, ties
+  broken by the lexicographically smallest pair (ASCII symbols only:
+  identical collation in both engines);
+- counts are exact BIGINTs; no floats anywhere.
+
+The registered query returns the first ``_N_MERGES`` learned merges
+``(ordinal, sym1, sym2, novo_simbolo, freq)``; the DuckDB oracle unrolls
+the identical iterations as a CTE chain, so the driver value-hash gates
+the whole training trajectory, not just the final vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.queries.text_pipeline import _TOKENS_SQL
+from olap_sus_spark.registry import register
+
+_N_MERGES = 6
+_JOIN = "+"  # merged-symbol glue; tokens are [a-z0-9] so it is unambiguous
+
+
+def _pairs_col(wrapped) -> F.Column:
+    """Adjacent symbol pairs of a wrapped string, as ``s1)(s2`` strings."""
+    syms = F.split(F.expr(f"substring({wrapped}, 2, length({wrapped}) - 2)"), r"\)\(")
+    shifted = F.slice(syms, 2, 1 << 30)
+    return F.filter(
+        F.zip_with(
+            syms,
+            shifted,
+            lambda a, b: F.when(a.isNull() | b.isNull(), F.lit(None)).otherwise(
+                F.concat(a, F.lit(")("), b)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def _pairs_sql(wrapped: str) -> str:
+    syms = f"string_split(substr({wrapped}, 2, length({wrapped}) - 2), ')(')"
+    return (
+        f"CASE WHEN len({syms}) >= 2 THEN "
+        f"list_transform(range(1, len({syms})), "
+        f"i -> {syms}[i] || ')(' || {syms}[i + 1]) "
+        f"ELSE [] END"
+    )
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    parts = [
+        f"""
+WITH words AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest({toks}) AS w FROM documents WHERE text IS NOT NULL)
+    GROUP BY w
+),
+w0 AS (
+    SELECT list_aggregate(
+               list_transform(regexp_extract_all(w, '.'), c -> '(' || c || ')'),
+               'string_agg', '') AS s,
+           freq
+    FROM words
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f""",
+p{i} AS (
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS freq
+    FROM (SELECT unnest({_pairs_sql('s')}) AS pair, freq FROM {prev})
+    GROUP BY pair ORDER BY freq DESC, pair LIMIT 1
+),
+w{i} AS (
+    SELECT replace(
+               s,
+               '(' || pair || ')',
+               '(' || replace(pair, ')(', '{_JOIN}') || ')') AS s,
+           {prev}.freq
+    FROM {prev} CROSS JOIN p{i}
+)"""
+        )
+    selects = [
+        f"""SELECT {i} AS ordinal,
+       split_part(pair, ')(', 1) AS sym1,
+       split_part(pair, ')(', 2) AS sym2,
+       replace(pair, ')(', '{_JOIN}') AS novo_simbolo,
+       freq
+FROM p{i}"""
+        for i in range(1, n_merges + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("bpe_learn_merges", oracle=_bpe_oracle(_N_MERGES))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {n} BPE merges over the corpus word-frequency table.
+
+    Spark side: one corpus pass builds the (word, freq) table (checkpointed
+    — every iteration reuses it); each iteration is one pair-count
+    aggregation plus a 1-row argmax collect (the same driver-decision shape
+    as kmeans' codebook), then a narrow per-row ``replace``.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    wrapped = words.select(
+        F.array_join(
+            F.transform(
+                F.expr("regexp_extract_all(w, '.', 0)"),
+                lambda c: F.concat(F.lit("("), c, F.lit(")")),
+            ),
+            "",
+        ).alias("s"),
+        "freq",
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    cur = wrapped
+    for i in range(1, _N_MERGES + 1):
+        top = (
+            cur.select(F.explode(_pairs_col("s")).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("freq"))
+            .orderBy(F.col("freq").desc(), F.col("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, freq = top[0].pair, top[0].freq
+        s1, s2 = pair.split(")(")
+        merges.append((i, s1, s2, f"{s1}{_JOIN}{s2}", freq))
+        cur = cur.select(
+            F.expr(
+                "replace(s, '(' || {p} || ')', '(' || {m} || ')')".format(
+                    p=_sql_str(pair), m=_sql_str(f"{s1}{_JOIN}{s2}")
+                )
+            ).alias("s"),
+            "freq",
+        ).localCheckpoint(eager=False)
+
+    return spark.createDataFrame(
+        merges, "ordinal int, sym1 string, sym2 string, novo_simbolo string, freq bigint"
+    ).coalesce(1)
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
