@@ -114,15 +114,13 @@ FROM p{i}"""
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
-@register("bpe_learn_merges", oracle=_bpe_oracle(_N_MERGES))
-def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First {n} BPE merges over the corpus word-frequency table.
-
-    Spark side: one corpus pass builds the (word, freq) table (checkpointed
-    — every iteration reuses it); each iteration is one pair-count
-    aggregation plus a 1-row argmax collect (the same driver-decision shape
-    as kmeans' codebook), then a narrow per-row ``replace``.
-    """
+def _learn_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, str, int]]:
+    """Run the merge-learning loop; returns (ordinal, s1, s2, merged, freq)
+    rows.  Each iteration is one pair-count aggregation plus a 1-row argmax
+    collect (the same driver-decision shape as kmeans' codebook), then a
+    narrow per-row ``replace``."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     words = (
         docs.select(
@@ -168,10 +166,105 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "freq",
         ).localCheckpoint(eager=False)
+    return merges
 
+
+@register("bpe_learn_merges", oracle=_bpe_oracle(_N_MERGES))
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First {n} BPE merges over the corpus word-frequency table."""
     return spark.createDataFrame(
-        merges, "ordinal int, sym1 string, sym2 string, novo_simbolo string, freq bigint"
+        _learn_merges(spark, sf_dir),
+        "ordinal int, sym1 string, sym2 string, novo_simbolo string, freq bigint",
     ).coalesce(1)
+
+
+def _apply_merges_sql_duck(expr: str, n_merges: int) -> str:
+    """Nested data-dependent replaces: p{i} CTEs are cross-joined 1-row
+    merge choices, so the oracle re-derives the vocabulary itself."""
+    out = expr
+    for i in range(1, n_merges + 1):
+        out = (
+            f"replace({out}, '(' || p{i}.pair || ')', "
+            f"'(' || replace(p{i}.pair, ')(', '{_JOIN}') || ')')"
+        )
+    return out
+
+
+_WRAP_SQL = "regexp_replace(w, '(.)', '(\\1)', 'g')"
+
+_BPE_ENCODE_ORACLE = (
+    _bpe_oracle(_N_MERGES).split("\nSELECT 1 AS ordinal")[0]
+    + f"""
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_palavras,
+       CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+           AS n_chars,
+       CAST(list_sum(list_transform(ws,
+           w -> len(string_split(
+               {_apply_merges_sql_duck(_WRAP_SQL, _N_MERGES)},
+               ')(')))) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, {_TOKENS_SQL.format(t='text')} AS ws
+      FROM documents WHERE text IS NOT NULL)
+CROSS JOIN """
+    + " CROSS JOIN ".join(f"p{i}" for i in range(1, _N_MERGES + 1))
+    + """
+WHERE len(ws) > 0
+"""
+)
+
+
+@register(
+    "bpe_encode_token_counts",
+    oracle=f"""
+WITH enc AS ({_BPE_ENCODE_ORACLE})
+SELECT doc_id, n_palavras, n_chars, n_bpe_tokens,
+       CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE) AS taxa_compressao
+FROM enc
+""",
+)
+def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document under the learned BPE vocabulary and report
+    per-doc token counts + compression (chars per BPE token).
+
+    The encode itself is COMPLETELY NARROW — zero shuffles: learned merges
+    are driver literals (at 100 TB: a maintained vocabulary table, trained
+    once per corpus version) and each row applies wrap → K replaces →
+    symbol-count inside higher-order functions whose lambdas touch only
+    lambda variables (the sliding_concat HOF discipline).  Counts are
+    exact BIGINTs; the compression ratio is the single final IEEE division.
+    """
+    merges = _learn_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+    def encode_count(w):
+        s = F.regexp_replace(w, "(.)", "($1)")
+        for _, s1, s2, merged, _freq in merges:
+            s = F.replace(
+                s, F.lit(f"({s1})({s2})"), F.lit(f"({merged})")
+            )
+        return F.size(F.split(s, r"\)\("))
+
+    ws = F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    out = docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_palavras"),
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("n_chars"),
+        F.aggregate(
+            F.transform(ws, lambda w: encode_count(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("n_bpe_tokens"),
+    ).filter(F.col("n_palavras") > 0)
+    return out.select(
+        "*",
+        (
+            F.col("n_chars").cast("double") / F.col("n_bpe_tokens").cast("double")
+        ).alias("taxa_compressao"),
+    )
 
 
 def _sql_str(s: str) -> str:
