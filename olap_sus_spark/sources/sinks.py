@@ -140,6 +140,75 @@ def write_sorted(
     return path
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
+    """Morton (Z-order) interleave key over ``cols`` as a pure Catalyst
+    expression — multi-dimensional clustering without a lakehouse format.
+
+    Each column is min/max-scaled to ``bits`` buckets (bounds come from one
+    scalar aggregate, collected like a codebook — bounded driver work), and
+    the bucket bits are interleaved so nearby Z values are nearby in EVERY
+    dimension.  ``k * bits`` must fit a BIGINT (k <= 5 at the default 12).
+    NULLs scale to bucket 0.  Min/max scaling keeps the expression
+    shuffle-free; under heavy skew substitute rank-based buckets (a
+    repartitionByRange pass) — same interleave, different scale.
+    """
+    from pyspark.sql import functions as F
+
+    if len(cols) * bits > 63:
+        raise ValueError(f"zorder_key: {len(cols)} cols x {bits} bits > 63")
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+    ).first()
+    k = len(cols)
+    scaled = []
+    for c in cols:
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        if lo is None:  # all-NULL column: every row lands in bucket 0
+            lo, hi = 0.0, 0.0
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit((1 << bits) - 1),
+                F.floor(
+                    (F.coalesce(F.col(c).cast("double"), F.lit(lo)) - F.lit(lo))
+                    / F.lit(span)
+                    * F.lit(1 << bits)
+                ).cast("bigint"),
+            )
+        )
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(s, i).bitwiseAND(F.lit(1)), i * k + j)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], files: int = 4, bits: int = 12
+) -> str:
+    """:func:`write_sorted` generalized to multi-dimensional skipping:
+    range-partition + sort by the Morton key of ``cols`` so parquet footer
+    min/max stats prune selective filters on ANY of the clustered columns
+    — a lead-column sort prunes only its first column.  The key is layout
+    machinery only (not written to the table).  At 100 TB this is the
+    OPTIMIZE ZORDER equivalent for the hot multi-predicate tables."""
+    from pyspark.sql import functions as F
+
+    z = zorder_key(df, cols, bits)
+    (
+        df.withColumn("__z__", z)
+        .repartitionByRange(files, F.col("__z__"))
+        .sortWithinPartitions("__z__")
+        .drop("__z__")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
 def write_sorted_partitioned(
     df: DataFrame,
     path: str,
