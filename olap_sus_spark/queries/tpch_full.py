@@ -1,12 +1,17 @@
 """TPC-H completion battery: the remaining classic decision-support shapes
-(Q2/Q7/Q9/Q12/Q13/Q14/Q16/Q18/Q19/Q22 analogues) over the driver tables.
+(Q2/Q6/Q7/Q9/Q12/Q13/Q14/Q15/Q16/Q17/Q18/Q19/Q20/Q22 analogues) over the
+driver tables.
 
-queries/tpch.py covers Q3/Q4/Q5/Q10/Q21; with this module every classic
-TPC-H query *shape* — correlated scalar-min subquery, cross-border
-two-role-playing-dimension volume, profit arithmetic, conditional-count
-pivoting, left-join count distribution, conditional-aggregate ratio,
-NOT-IN supplier exclusion, IN-subquery-with-HAVING, disjunctive predicate
-pushdown, scalar-subquery + anti-join — has a full value-hash oracle twin.
+queries/tpch.py covers Q3/Q4/Q5/Q10/Q21 (Q1 = pricing_summary, Q8 =
+market_share_by_year, Q11 = important_stock_parts); with this module all
+22 classic TPC-H query *shapes* — correlated scalar-min subquery, pure
+scan-predicate aggregate, cross-border two-role-playing-dimension volume,
+profit arithmetic, conditional-count pivoting, left-join count
+distribution, conditional-aggregate ratio, view + scalar-MAX equality,
+NOT-IN supplier exclusion, correlated per-group AVG threshold,
+IN-subquery-with-HAVING, disjunctive predicate pushdown, doubly-nested IN
+with a two-key correlated aggregate, scalar-subquery + anti-join — have a
+full value-hash oracle twin.
 The synthetic tables lack partsupp/shipmode/phone, so each analogue maps
 the shape onto the columns that exist (noted per query); what is preserved
 is the *plan challenge*, not the TPC-H constants.
@@ -607,4 +612,237 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("saldo_total"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6: forecast revenue change — the pure scan-predicate query.  No join at
+# all: the whole plan challenge is pushing the three range predicates into
+# the parquet scan and summing exactly.
+
+_Q6_Y0, _Q6_Y1 = "1997-01-01", "1998-01-01"
+
+_Q6_ORACLE = f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+              * CAST(l_discount AS DECIMAL(15,2))) AS DOUBLE) AS receita
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_Y0}'
+  AND l_shipdate < TIMESTAMP '{_Q6_Y1}'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_forecast_revenue", oracle=_Q6_ORACLE)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: scan + conjunctive range predicates + one exact-decimal
+    aggregate.  Every predicate reaches PushedFilters; ReadSchema is the
+    four referenced columns; the aggregate is a map-side partial with a
+    1-row exchange — the minimal possible plan for the query."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q6_Y0).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q6_Y1).cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    receita = F.col("l_extendedprice").cast(_MONEY) * F.col("l_discount").cast(_MONEY)
+    return li.agg(F.sum(receita).cast("double").alias("receita"))
+
+
+# ---------------------------------------------------------------------------
+# Q15: top supplier by quarterly revenue (the CREATE VIEW + scalar-MAX
+# query).  The revenue rollup is computed once and reused for both the MAX
+# and the final equality — never twice.
+
+_Q15_Q0, _Q15_Q1 = "1997-01-01", "1997-04-01"
+
+_Q15_ORACLE = f"""
+WITH receita AS (
+    SELECT l_suppkey, SUM({_REV_SQL}) AS total
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q15_Q0}'
+      AND l_shipdate < TIMESTAMP '{_Q15_Q1}'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS fornecedor, s.s_name AS nome,
+       CAST(r.total AS DOUBLE) AS receita_total
+FROM supplier s
+JOIN receita r ON r.l_suppkey = s.s_suppkey
+WHERE r.total = (SELECT MAX(total) FROM receita)
+ORDER BY fornecedor
+"""
+
+
+@register("tpch_q15_top_supplier", oracle=_Q15_ORACLE)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: a reusable revenue view + scalar-MAX equality.  The
+    per-supplier rollup is ONE grain-collapse shuffle; the global max rides
+    back as a broadcast 1-row frame (no collect, no second scan of the
+    fact); the supplier join resolves names after the filter, so only the
+    winner row(s) touch the dimension.  Revenue stays DECIMAL through the
+    equality — exact, so ties are engine-independent."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_Q15_Q0).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q15_Q1).cast("timestamp"))
+        )
+        .select("l_suppkey", _rev().alias("_rev"))
+    )
+    receita = li.groupBy("l_suppkey").agg(F.sum("_rev").alias("_total"))
+    best = receita.agg(F.max("_total").alias("_best"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    return (
+        receita.crossJoin(F.broadcast(best))
+        .filter(F.col("_total") == F.col("_best"))
+        .join(supp, "l_suppkey")
+        .select(
+            F.col("l_suppkey").alias("fornecedor"),
+            F.col("s_name").alias("nome"),
+            F.col("_total").cast("double").alias("receita_total"),
+        )
+        .orderBy("fornecedor")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17: small-quantity-order revenue — the correlated per-part average
+# quantity threshold.  No p_container, so the part slice is a p_type class.
+
+_Q17_ORACLE = """
+WITH alvo AS (
+    SELECT p_partkey FROM part WHERE p_type = 'SMALL'
+),
+medias AS (
+    SELECT l.l_partkey,
+           0.2 * (CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  / COUNT(*)) AS limite
+    FROM lineitem l JOIN alvo a ON a.p_partkey = l.l_partkey
+    GROUP BY l.l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS receita_media_anual
+FROM lineitem l
+JOIN medias m ON m.l_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS DOUBLE) < m.limite
+"""
+
+
+@register("tpch_q17_small_quantity_revenue", oracle=_Q17_ORACLE)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: `l_quantity < (SELECT 0.2*AVG(l_quantity) ... WHERE same
+    part)` — the correlated scalar-AVG becomes a per-part window over the
+    part-sliced fact, so the fact is scanned ONCE (naive de-correlation
+    rescans per row).  The average is an exact decimal sum ÷ count cast to
+    double, then one IEEE multiply — bit-identical threshold on both
+    engines.  Part slice broadcasts; the window shuffle on l_partkey is the
+    single O(facts) exchange."""
+    alvo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "SMALL")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(alvo), "l_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    limite = F.lit(0.2) * (
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        li.withColumn("_lim", limite)
+        .filter(F.col("l_quantity").cast("double") < F.col("_lim"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast(_MONEY)).cast("double")
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("receita_media_anual")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20: potential part promotions — nested IN subqueries with a correlated
+# two-key scalar aggregate.  No partsupp.ps_availqty, so "excess stock"
+# maps to shipment concentration: a (part, supplier) pair qualifies when
+# its target-year quantity exceeds half its all-time quantity.
+
+_Q20_Y0, _Q20_Y1 = "1997-01-01", "1998-01-01"
+_Q20_REGION = 3
+
+_Q20_ORACLE = f"""
+SELECT s.s_suppkey AS fornecedor, s.s_name AS nome
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_regionkey = {_Q20_REGION}
+  AND s.s_suppkey IN (
+        SELECT ps.l_suppkey FROM (
+            SELECT l_suppkey, l_partkey,
+                   SUM(CASE WHEN l_shipdate >= TIMESTAMP '{_Q20_Y0}'
+                             AND l_shipdate < TIMESTAMP '{_Q20_Y1}'
+                            THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS qt_ano,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qt_total
+            FROM lineitem
+            GROUP BY l_suppkey, l_partkey
+        ) ps
+        WHERE ps.l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+        )
+          AND ps.qt_ano * 2 > ps.qt_total
+  )
+ORDER BY fornecedor
+"""
+
+
+@register("tpch_q20_potential_promotions", oracle=_Q20_ORACLE)
+def tpch_q20_potential_promotions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: the deepest TPC-H nesting — supplier IN (pairs whose
+    part IN (name-pattern parts) and whose correlated two-key aggregate
+    clears a threshold).  The inner correlation is ONE grouped aggregate
+    over the part-sliced fact (conditional year sum + total sum in the
+    same pass), never a per-pair rescan; the part slice broadcasts BEFORE
+    the rollup so the shuffle carries only matching pairs; both IN
+    subqueries become LEFT SEMI joins.  The threshold is exact decimal
+    arithmetic (qt_ano*2 > qt_total) — no float boundary."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    in_year = (
+        F.col("l_shipdate") >= F.lit(_Q20_Y0).cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit(_Q20_Y1).cast("timestamp"))
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_partkey", "l_shipdate", "l_quantity")
+        .join(F.broadcast(parts), "l_partkey")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_year, qty)).alias("qt_ano"),
+            F.sum(qty).alias("qt_total"),
+        )
+        .filter(F.col("qt_ano") * 2 > F.col("qt_total"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == _Q20_REGION)
+        .select(F.col("n_nationkey").alias("s_nationkey"))
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), "s_nationkey")
+        .join(pairs, "s_suppkey", "left_semi")
+        .select(
+            F.col("s_suppkey").alias("fornecedor"), F.col("s_name").alias("nome")
+        )
+        .orderBy("fornecedor")
     )

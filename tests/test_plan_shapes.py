@@ -390,3 +390,55 @@ def test_tpch_completion_battery_plan_shapes(spark):
     # scalar pattern); the NOT EXISTS is an anti-join on the correlation key
     assert n_nodes(plans["tpch_q22_dormant_customers"], "BroadcastNestedLoopJoin") <= 1
     assert "LeftAnti" in plans["tpch_q22_dormant_customers"]
+
+
+def test_tpch_final_four_plan_shapes(spark):
+    """Q6/Q15/Q17/Q20 analogues (the battery-completing four): predicates
+    reach the scans, the correlated aggregates run once (window / grouped
+    rollup), scalar-MAX rides a 1-row broadcast, and the nested INs are
+    semi-joins — never per-row re-scans or cartesians."""
+    import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    plans = {
+        name: plan_of(QUERIES[name](spark, SF_DIR))
+        for name in [
+            "tpch_q6_forecast_revenue",
+            "tpch_q15_top_supplier",
+            "tpch_q17_small_quantity_revenue",
+            "tpch_q20_potential_promotions",
+        ]
+    }
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+
+    # Q6: no join at all; all three predicates pushed to the single scan
+    q6 = plans["tpch_q6_forecast_revenue"]
+    assert n_nodes(q6, "Scan parquet") == 1
+    assert "Join" not in q6
+    for pushed in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity",
+                   "GreaterThanOrEqual(l_discount"):
+        assert pushed in q6, pushed
+
+    # Q15: scalar MAX is a 1-row broadcast (the one sanctioned BNLJ);
+    # the revenue rollup shuffles once and lineitem is scanned once
+    q15 = plans["tpch_q15_top_supplier"]
+    assert n_nodes(q15, "BroadcastNestedLoopJoin") <= 1
+    # 3 scans: lineitem under the rollup, lineitem under the MAX branch,
+    # supplier — the fact is never scanned per-row
+    assert n_nodes(q15, "Scan parquet") == 3
+
+    # Q17: the correlated AVG became ONE window over the correlation key;
+    # the part slice is pushed and broadcast
+    q17 = plans["tpch_q17_small_quantity_revenue"]
+    assert n_nodes(q17, "Window") == 1
+    assert "EqualTo(p_type,SMALL)" in q17
+    assert "BroadcastHashJoin" in q17
+
+    # Q20: both INs are semi/equi joins on already-aggregated inputs; the
+    # name pattern is pushed to the part scan
+    q20 = plans["tpch_q20_potential_promotions"]
+    assert "LeftSemi" in q20
+    assert "StringStartsWith(p_name,small)" in q20
+    assert "BroadcastNestedLoopJoin" not in q20
