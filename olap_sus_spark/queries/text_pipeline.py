@@ -1082,3 +1082,96 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_K)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate segment scrub — the C4/RefinedWeb "repeated line" filter.  A
+# crawl corpus is full of navigation chrome / license footers that repeat
+# verbatim across many pages; training-data prep drops any line that occurs
+# in >= K distinct documents and keeps the rest of the page.  The fixture
+# corpus is single-line, so "line" maps to the disjoint 10-token segment
+# (same unit family as document_chunking, stride == width).
+#
+# Plan shape (the scale story): segments explode narrowly (tokens
+# materialize once per doc at the Generate boundary, document_chunking's
+# proven pattern); the document-frequency table groups by the 60-bit md5
+# segment hash, so BOTH shuffles that scale with the corpus — the df
+# rollup and the join back — carry 8-byte keys, never segment text; the
+# rebuild is one grain-collapse groupBy(doc_id) with an order-restoring
+# array_sort over (position, segment) structs, so the output is identical
+# under any shuffle order.  No driver-side state, no HOF re-evaluation
+# (the slice runs on the row's own materialized array).
+# ---------------------------------------------------------------------------
+_SCRUB_SEG = 10
+_SCRUB_MIN_DOCS = 2
+
+_SCRUB_ORACLE = f"""
+WITH {_AUG_SQL.strip()},
+t AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM aug
+),
+s AS (
+    SELECT doc_id, toks, CAST(unnest(range(0, len(toks), {_SCRUB_SEG})) AS INT) AS inicio
+    FROM t WHERE len(toks) >= 1
+),
+segs AS (
+    SELECT doc_id, inicio,
+           array_to_string(toks[inicio + 1 : inicio + {_SCRUB_SEG}], ' ') AS seg,
+           {_md5_int_sql("array_to_string(toks[inicio + 1 : inicio + " + str(_SCRUB_SEG) + "], ' ')")} AS seg_h
+    FROM s
+),
+df AS (
+    SELECT seg_h, COUNT(DISTINCT doc_id) AS seg_df FROM segs GROUP BY seg_h
+)
+SELECT g.doc_id,
+       COUNT(*) AS n_segs,
+       CAST(SUM(CASE WHEN d.seg_df >= {_SCRUB_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler,
+       COALESCE(string_agg(g.seg, ' ' ORDER BY g.inicio)
+                FILTER (WHERE d.seg_df < {_SCRUB_MIN_DOCS}), '') AS texto_limpo
+FROM segs g JOIN df d ON d.seg_h = g.seg_h
+GROUP BY g.doc_id
+"""
+
+
+@register("boilerplate_segment_scrub", oracle=_SCRUB_ORACLE)
+def boilerplate_segment_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = augmented_docs(spark, sf_dir).select(
+        "doc_id", tx.tokens("text").alias("toks")
+    )
+    segs = (
+        docs.filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_SCRUB_SEG))
+            ).alias("inicio"),
+        )
+        .select(
+            "doc_id",
+            "inicio",
+            F.concat_ws(
+                " ", F.slice("toks", F.col("inicio") + 1, _SCRUB_SEG)
+            ).alias("seg"),
+        )
+        .withColumn("seg_h", tx.md5_int(F.col("seg")))
+    )
+    df_tbl = segs.groupBy("seg_h").agg(F.countDistinct("doc_id").alias("seg_df"))
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("inicio", "seg", "seg_df"))),
+        lambda x: x["seg_df"] < _SCRUB_MIN_DOCS,
+    )
+    return (
+        segs.join(df_tbl, "seg_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(
+                F.when(F.col("seg_df") >= _SCRUB_MIN_DOCS, 1).otherwise(0)
+            ).alias("n_boiler"),
+            F.concat_ws(" ", F.transform(kept, lambda x: x["seg"])).alias(
+                "texto_limpo"
+            ),
+        )
+    )

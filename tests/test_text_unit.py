@@ -192,3 +192,35 @@ def test_star_edges_linear_in_cluster_size(spark):
     # and the pair emitter on the same corpus is quadratic:
     pairs = dd.jaccard_pairs(docs, threshold=0.5).collect()
     assert len(pairs) == m * (m - 1) // 2
+
+
+def test_boilerplate_scrub_semantics(spark):
+    """Exact-duplicate documents are scrubbed to empty (every segment is
+    corpus-repeated); unique documents come back verbatim; near-duplicates
+    keep exactly the segment their extra token landed in."""
+    from olap_sus_spark.queries.text_pipeline import boilerplate_segment_scrub
+    from olap_sus_spark.operators.text import tokens
+    from tests.conftest import SF_DIR
+
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_segment_scrub(spark, SF_DIR).collect()
+    }
+    # exact-dup pair: base doc_id % 7 == 0 and its +1_000_000 copy
+    base7 = next(i for i in sorted(out) if i % 7 == 0 and i + 1_000_000 in out)
+    for i in (base7, base7 + 1_000_000):
+        assert out[i]["texto_limpo"] == ""
+        assert out[i]["n_boiler"] == out[i]["n_segs"]
+    # a doc in NO duplicate class survives verbatim (token-normalized)
+    from olap_sus_spark.catalog import load_table
+    clean_id = next(
+        i for i in sorted(out) if i < 1_000_000 and i % 7 != 0 and i % 11 != 0
+    )
+    src = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") == clean_id)
+        .select(F.concat_ws(" ", tokens("text")).alias("t"))
+        .first()["t"]
+    )
+    assert out[clean_id]["texto_limpo"] == src
+    assert out[clean_id]["n_boiler"] == 0
