@@ -29,6 +29,9 @@ HEADLINE = [
     "tpch_q7_cross_border_volume",  # double nation role-play + year-grain volume
     "tpch_q9_product_profit",  # 5-way profit arithmetic by nation x year
     "tpch_q18_large_orders",  # HAVING-subquery as the driving aggregate
+    "tpch_q6_forecast_revenue",  # pure scan-predicate aggregate (pushdown floor)
+    "tpch_q17_small_quantity_revenue",  # correlated per-part AVG threshold
+    "tpch_q20_potential_promotions",  # doubly-nested IN + two-key correlated agg
     "money_cost_rollup",  # DECIMAL(15,2) factInternacoes money-measure twin
     "rollup_family_schooling",
     "rollup_state_ageband",
@@ -76,6 +79,7 @@ HEADLINE = [
     "pareto_abc_parts",
     "document_chunking",
     "corpus_source_mixing",
+    "boilerplate_segment_scrub",  # C4/RefinedWeb repeated-segment filter
     # time-series + reconciliation
     "rolling_active_users",
     "snapshot_diff",

@@ -678,13 +678,19 @@ def sample_frames(assets: DataFrame, every_nth: int = 30) -> DataFrame:
 
     MJPG-AVI payloads take the REAL path: :func:`operators.avi.avi_demux`
     walks the RIFF structure and emits every ``every_nth``-th video chunk —
-    each a complete JPEG, decodable downstream by ``jpeg_decode``.  Other
-    containers (MP4/MKV — codec-bound) keep the deterministic fake slicer
-    so the operator stays total; ``frame_index`` is the frame's position in
-    the source stream in both paths.  One-to-many FRAME_SCHEMA output,
-    repartitioned by asset so frames of one video stay together.
+    each a complete JPEG, decodable downstream by ``jpeg_decode``.  MP4
+    payloads are ALSO real: :func:`operators.mp4.extract_samples` resolves
+    per-sample (offset, size) from the stts/stsc/stsz/stco tables and
+    slices sample bytes straight out of mdat — a true demux with zero
+    codec work (the scale point: the sample table is KBs of moov however
+    large mdat is, so Nth-frame sampling never streams the whole asset).
+    Remaining containers (MKV — codec-bound) keep the deterministic fake
+    slicer so the operator stays total; ``frame_index`` is the frame's
+    position in the source stream in all paths.  One-to-many FRAME_SCHEMA
+    output, repartitioned by asset so frames of one video stay together.
     """
     from olap_sus_spark.operators.avi import avi_demux
+    from olap_sus_spark.operators.mp4 import extract_samples
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -698,6 +704,11 @@ def sample_frames(assets: DataFrame, every_nth: int = 30) -> DataFrame:
                 if frames is not None:
                     for i in range(0, len(frames), every_nth):
                         rows.append((asset_id, i, frames[i]))
+                    continue
+                mp4_samples = extract_samples(payload, every_nth)
+                if mp4_samples is not None:
+                    for i, _dts_ms, data in mp4_samples:
+                        rows.append((asset_id, i, data))
                     continue
                 # Fake slicer for codec-bound containers (documented above).
                 n_slices = max(1, len(payload) // 64)

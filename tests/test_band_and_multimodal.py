@@ -739,3 +739,59 @@ def test_video_metadata_operator(spark):
     assert out[2].container == "avi" and out[2].codecs == "MJPG"
     assert out[2].duration_ms == 200 and (out[2].width, out[2].height) == (8, 8)
     assert out[3].container is None and out[3].duration_ms is None
+
+
+def test_mp4_sample_table_roundtrip():
+    """parse_sample_table/extract_samples recover exactly the written
+    sample bytes, timestamps, and sizes; hostile tables never overread."""
+    from olap_sus_spark.operators import mp4
+
+    frames = [bytes([k]) * (10 + 3 * k) for k in range(9)]
+    b = mp4.mp4_write_samples(frames, delta=40, timescale=1000)
+
+    t = mp4.parse_sample_table(b)
+    assert t is not None and t["timescale"] == 1000
+    assert [s[3] for s in t["samples"]] == [len(f) for f in frames]
+    got = mp4.extract_samples(b, 1)
+    assert [g[2] for g in got] == frames
+    assert [g[1] for g in got] == [40 * k for k in range(9)]
+    assert [g[0] for g in mp4.extract_samples(b, 4)] == [0, 4, 8]
+    # the metadata pass still reads the same file
+    m = mp4.parse_mp4_metadata(b)
+    assert m["codecs"] == ["mjpg"] and m["duration_ms"] == 9 * 40
+
+    # hostile: truncated mdat -> a sample would point past the end
+    assert mp4.parse_sample_table(b[:-3]) is None
+    # hostile: forged stsz count -> table/box bound check refuses
+    bad = bytearray(b)
+    i = bad.find(b"stsz")
+    bad[i + 8 : i + 12] = (1 << 30).to_bytes(4, "big")
+    assert mp4.parse_sample_table(bytes(bad)) is None
+    # hostile: chunk offset beyond payload
+    bad = bytearray(b)
+    i = bad.find(b"stco")
+    bad[i + 12 : i + 16] = (1 << 31).to_bytes(4, "big")
+    assert mp4.parse_sample_table(bytes(bad)) is None
+    # no sample table at all (metadata-only writer) -> None, not a crash
+    meta_only = mp4.mp4_write(1000, [("avc1", 64, 48)])
+    assert mp4.parse_sample_table(meta_only) is None
+
+
+def test_sample_frames_real_mp4(spark):
+    """sample_frames demuxes a REAL MP4: sample bytes sliced from mdat via
+    the stts/stsz/stco tables, frame_index = sample index, decodable."""
+    from olap_sus_spark.operators import jpeg, mp4
+    from olap_sus_spark.operators import multimodal as mm
+
+    frames = [
+        jpeg.jpeg_encode(bytes([k * 17 % 256] * (8 * 8 * 3)), 8, 8, 3) for k in range(10)
+    ]
+    payload = mp4.mp4_write_samples(frames, codec="mjpg", width=8, height=8)
+    assets = spark.createDataFrame([(9, bytearray(payload), "video/mp4")], mm.ASSET_SCHEMA)
+    rows = sorted(
+        mm.sample_frames(assets, every_nth=4).collect(), key=lambda r: r.frame_index
+    )
+    assert [r.frame_index for r in rows] == [0, 4, 8]
+    for r in rows:
+        assert bytes(r.frame) == frames[r.frame_index]
+        assert jpeg.jpeg_decode(bytes(r.frame)) is not None
