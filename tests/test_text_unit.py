@@ -224,3 +224,37 @@ def test_boilerplate_scrub_semantics(spark):
     )
     assert out[clean_id]["texto_limpo"] == src
     assert out[clean_id]["n_boiler"] == 0
+
+
+def test_corpus_token_budget_matches_naive_global_window(spark):
+    """The two-phase distributed prefix sum (range partition + broadcast
+    partition offsets) equals the naive single-partition global window —
+    and the budget cut is exact (next-ranked doc would overflow it)."""
+    from pyspark.sql.window import Window
+
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.queries.text_pipeline import (
+        _BUDGET_TOKENS,
+        corpus_token_budget,
+    )
+    from tests.conftest import SF_DIR
+
+    got = {r["doc_id"]: r for r in corpus_token_budget(spark, SF_DIR).collect()}
+
+    toks = tx.tokens("text")
+    scored = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("score"),
+        F.size(toks).alias("n_tokens"),
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    kept = [r for r in naive.collect() if r["cum_tokens"] <= _BUDGET_TOKENS]
+    assert {r["doc_id"] for r in kept} == set(got)
+    for r in kept:
+        assert got[r["doc_id"]]["cum_tokens"] == r["cum_tokens"]
+    # the cut is tight: at least one more doc exists and would overflow
+    over = naive.filter(F.col("cum_tokens") > _BUDGET_TOKENS).count()
+    assert over > 0
