@@ -1244,3 +1244,81 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
         .select("doc_id", "score", "n_tokens", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing — the standard LLM mixture rule
+# (weight ∝ size^α, here α = 1/2): big sources are DOWN-weighted relative
+# to proportional sampling so small high-quality sources aren't drowned.
+# Per-source size is the exact BIGINT character sum; the α-power uses
+# SQRT (IEEE-correctly-rounded everywhere, unlike pow(x, 0.5)); and the
+# normalizing total Σ√size folds over the sources in SORTED source order
+# on BOTH engines — float addition isn't associative, so a fixed fold
+# order is what makes the rates (and thus the sampled set) bit-identical.
+# Acceptance is the portable md5-slice, as corpus_source_mixing.
+# Plan: one grain-collapse agg, a 1-row broadcast fold, broadcast rate
+# join, narrow filter — nothing scales past the source count but the scan.
+# ---------------------------------------------------------------------------
+_TEMP_BUDGET = 250
+
+_TEMP_MIX_ORACLE = f"""
+WITH n AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS tam
+    FROM documents GROUP BY source
+),
+w AS (SELECT source, n_docs, sqrt(CAST(tam AS DOUBLE)) AS peso FROM n),
+tot AS (
+    SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                    list(peso ORDER BY source)),
+                       (a, b) -> a + b) AS t
+    FROM w
+),
+taxa AS (
+    SELECT w.source,
+           LEAST(1.0, {_TEMP_BUDGET} * (w.peso / tot.t) / w.n_docs) AS aceite
+    FROM w CROSS JOIN tot
+)
+SELECT d.doc_id, d.source
+FROM documents d
+JOIN taxa ON taxa.source = d.source
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT)
+      / 65536.0 < taxa.aceite
+"""
+
+
+@register("corpus_temperature_mixing", oracle=_TEMP_MIX_ORACLE)
+def corpus_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("tam"),
+        )
+        .withColumn("peso", F.sqrt(F.col("tam").cast("double")))
+    )
+    tot = w.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "peso"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["peso"],
+        ).alias("t")
+    )
+    taxa = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(_TEMP_BUDGET) * (F.col("peso") / F.col("t")) / F.col("n_docs"),
+        ).alias("aceite"),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        / 65536.0
+    )
+    return (
+        docs.join(F.broadcast(taxa), "source")
+        .filter(frac < F.col("aceite"))
+        .select("doc_id", "source")
+    )
