@@ -91,3 +91,61 @@ def band_label_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(_band_dim(spark).select("banda")), "banda", "inner"
     )
     return _summarize(joined)
+
+
+# ---------------------------------------------------------------------------
+# Binned range self-join — a fact-to-fact range join with NO equi key:
+# for every order, how many OTHER orders priced within ±delta.  The naive
+# plan is a theta join (BroadcastNestedLoopJoin → O(n²) comparisons, the
+# shape that dies first at scale).  The scale-correct rewrite is BINNING:
+# bucket every price into width-delta bins, replicate each probe row into
+# its bin and both neighbors (|a−b| ≤ delta ⇒ bins differ by ≤ 1), hash
+# equi-join on the bin id, then apply the exact range residual — work is
+# O(n × bin occupancy) and the join is an ordinary shuffled hash join.
+# Both engines evaluate the IDENTICAL boundary arithmetic
+# (b BETWEEN a−delta AND a+delta — never abs(a−b), whose rounding can
+# disagree with the BETWEEN form at float boundaries).
+# ---------------------------------------------------------------------------
+_PROX_DELTA = 64.0
+
+_PROX_ORACLE = f"""
+WITH c AS (
+    SELECT a.o_orderkey AS k, COUNT(*) AS n
+    FROM orders a
+    JOIN orders b
+      ON b.o_orderkey <> a.o_orderkey
+     AND b.o_totalprice BETWEEN a.o_totalprice - {_PROX_DELTA}
+                            AND a.o_totalprice + {_PROX_DELTA}
+    GROUP BY a.o_orderkey
+)
+SELECT o.o_orderkey, COALESCE(c.n, 0) AS n_similares
+FROM orders o LEFT JOIN c ON c.k = o.o_orderkey
+"""
+
+
+@register("range_join_binned", oracle=_PROX_ORACLE)
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    delta = F.lit(_PROX_DELTA)
+    binned = orders.withColumn("_bin", F.floor(F.col("o_totalprice") / delta))
+    probe = binned.select(
+        F.col("o_orderkey").alias("_k"),
+        F.col("o_totalprice").alias("_p"),
+        F.explode(
+            F.array(F.col("_bin") - 1, F.col("_bin"), F.col("_bin") + 1)
+        ).alias("_bin"),
+    )
+    build = binned.select(
+        F.col("o_orderkey").alias("_bk"), F.col("o_totalprice").alias("_bp"), "_bin"
+    )
+    pairs = probe.join(build, "_bin").filter(
+        (F.col("_bk") != F.col("_k"))
+        & (F.col("_bp") >= F.col("_p") - delta)
+        & (F.col("_bp") <= F.col("_p") + delta)
+    )
+    counts = pairs.groupBy(F.col("_k").alias("o_orderkey")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return orders.join(counts, "o_orderkey", "left").select(
+        "o_orderkey", F.coalesce(F.col("_n"), F.lit(0)).alias("n_similares")
+    )

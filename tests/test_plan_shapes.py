@@ -442,3 +442,17 @@ def test_tpch_final_four_plan_shapes(spark):
     assert "LeftSemi" in q20
     assert "StringStartsWith(p_name,small)" in q20
     assert "BroadcastNestedLoopJoin" not in q20
+
+
+def test_range_join_binned_is_hash_join(spark):
+    """The no-equi-key range self-join runs as bin-replicated HASH joins —
+    the O(n²) BroadcastNestedLoopJoin the naive theta join would pick must
+    not appear anywhere in the plan."""
+    import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    p = plan_of(QUERIES["range_join_binned"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Generate" in p  # the ±1 bin replication
