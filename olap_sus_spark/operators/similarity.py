@@ -577,6 +577,7 @@ def lsh_probe(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Query-path half of SRP-LSH: given the bucket table ``b`` =
     (id, vec, t, bucket) rows (from :func:`srp_buckets`, live or loaded from
@@ -584,17 +585,26 @@ def lsh_probe(
     candidates by exact cosine.  The collision join is an equi-join on
     (table, bucket) — the corpus shuffles its *signatures*, vectors move
     only for the deduped candidate pairs.
-    """
+
+    ``allowed`` (optional, a frame of permitted ``id_col`` values) makes
+    this a FILTERED vector search: the predicate semi-joins the candidate
+    stream BEFORE the exact-cosine rerank — pre-filtering, so the top-k is
+    taken over allowed candidates only (post-filtering a plain top-k would
+    silently return fewer than k).  The filter is applied after the bucket
+    collision, so the index itself stays predicate-agnostic."""
     qb = b.filter(F.col(id_col) < n_query).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "t", "bucket"
     )
+    cands = b.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "t", "bucket"
+    )
+    if allowed is not None:
+        cands = cands.join(
+            allowed.select(F.col(id_col).alias("cand_id")), "cand_id", "left_semi"
+        )
     cand = (
         F.broadcast(qb)
-        .join(
-            b.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"),
-                     "t", "bucket"),
-            ["t", "bucket"],
-        )
+        .join(cands, ["t", "bucket"])
         .filter(F.col("query_id") != F.col("cand_id"))
         .dropDuplicates(["query_id", "cand_id"])
     )

@@ -457,3 +457,34 @@ FROM q
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.quantize_int8(emb)
+
+
+# Filtered vector search — ANN restricted to a metadata predicate (the
+# "license-clean sources only" / "same-language only" retrieval every
+# production vector store needs).  PRE-filtering: the predicate semi-joins
+# the candidate stream between the bucket collision and the exact-cosine
+# rerank, so the top-k is over allowed candidates only — post-filtering a
+# plain top-k would return fewer than k whenever a neighbor is excluded.
+# The maintained SRP index stays predicate-agnostic (one index serves any
+# filter).  Oracle: the LSH SQL with the same candidate-side IN filter.
+_FILTER_PRED_SQL = "label % 2 = 0"
+
+_LSH_FILTERED_ORACLE = _LSH_ORACLE.replace(
+    f"WHERE q.vec_id < {_NQ} AND q.vec_id != c.vec_id",
+    f"WHERE q.vec_id < {_NQ} AND q.vec_id != c.vec_id\n"
+    f"      AND c.vec_id IN (SELECT vec_id FROM embeddings WHERE {_FILTER_PRED_SQL})",
+)
+assert _LSH_FILTERED_ORACLE != _LSH_ORACLE  # the anchor line must exist
+
+
+@register("ann_lsh_filtered_topk", oracle=_LSH_FILTERED_ORACLE)
+def ann_lsh_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = sim.load_or_build_srp_index(
+        spark, sf_dir, dim=_DIM, n_tables=_LSH_T, n_bits=_LSH_H
+    )
+    allowed = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("label") % 2 == 0)
+        .select("vec_id")
+    )
+    return sim.lsh_probe(b, n_query=_NQ, k=_K, allowed=allowed)
