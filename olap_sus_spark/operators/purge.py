@@ -37,6 +37,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MAX_TOMBSTONES = 100_000  # a purge batch is a legal request, not a stream
+# Above this, an isin literal list bloats the Catalyst plan (and the pushed
+# parquet filter) more than it saves — switch to a broadcast tombstone join.
+_ISIN_LIMIT = 256
+
+
+def _match(df, id_col: str, ids: list[int]):
+    """id-membership predicate applied the scale-appropriate way: a pushed
+    isin for small batches, a broadcast (semi) join for large ones."""
+    if len(ids) <= _ISIN_LIMIT:
+        return df.filter(F.col(id_col).isin(*ids))
+    spark = df.sparkSession
+    tomb = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    return df.join(F.broadcast(tomb), id_col, "left_semi")
+
+
+def _drop(df, id_col: str, ids: list[int]):
+    if len(ids) <= _ISIN_LIMIT:
+        return df.filter(~F.col(id_col).isin(*ids))
+    spark = df.sparkSession
+    tomb = spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    # reselect: the join moves the key column first, and the rewritten part
+    # file must keep the table's physical column order
+    return df.join(F.broadcast(tomb), id_col, "left_anti").select(*df.columns)
 
 
 def affected_files(
@@ -49,9 +72,7 @@ def affected_files(
     df = load_table(spark, sf_dir, table).select(
         id_col, F.input_file_name().alias("_f")
     )
-    rows = (
-        df.filter(F.col(id_col).isin(*ids)).select("_f").distinct().collect()
-    )
+    rows = _match(df, id_col, ids).select("_f").distinct().collect()
     return sorted(r["_f"].removeprefix("file:") for r in rows)
 
 
@@ -78,7 +99,7 @@ def purge_table_ids(
     for path in files:
         src = spark.read.parquet(path)
         before = src.count()
-        kept = src.filter(~F.col(id_col).isin(*ids))
+        kept = _drop(src, id_col, ids)
         # one part file in, one part file out: write to a scratch dir,
         # then atomically replace the original (readers see old XOR new)
         scratch = os.path.join(

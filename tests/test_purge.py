@@ -117,3 +117,18 @@ def test_purge_propagates_to_inverted_and_clusters(spark, tmp_path, monkeypatch)
     )
     assert clusters.filter(F.col("doc_id").isin(_PURGE)).count() == 0
     assert clusters.filter(F.col("cluster_id").isin(_PURGE)).count() == 0
+
+
+def test_purge_large_batch_uses_join_path(spark, tmp_path):
+    """A tombstone batch past the isin limit routes through the broadcast
+    anti-join and produces the identical result."""
+    from olap_sus_spark.operators.purge import _ISIN_LIMIT
+
+    corpus = _stage_corpus(spark, tmp_path)
+    big = list(range(0, _ISIN_LIMIT + 50))  # 306 ids > the isin cutover
+    removed = pg.purge_table_ids(spark, corpus, "embeddings", "vec_id", big)
+    assert removed == len([i for i in big if i < 500])
+    left = spark.read.parquet(os.path.join(corpus, "embeddings.parquet"))
+    assert left.count() == 500 - removed
+    assert left.filter(F.col("vec_id").isin(big[:100])).count() == 0
+    assert left.columns == ["vec_id", "embedding", "label"]
