@@ -164,27 +164,34 @@ _PR_SCALE = 1_000_000_000_000
 
 
 def _pagerank_oracle(iters: int = _PR_ITERS, scale: int = _PR_SCALE) -> str:
+    # The shared CTEs are MATERIALIZED: every unrolled iteration r_i
+    # references edges/deg/nodes, and DuckDB's default single-reference
+    # inlining re-derives the expensive lineitem self-join once per
+    # iteration — at the sf1 probe scale that recomputation spilled the
+    # whole disk before finishing (found by tools/sf1_sweep.py; at the
+    # sf0.01 gate the recompute was merely invisible slack).  Semantics
+    # are unchanged — materialization only pins evaluate-once.
     head = f"""
-WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-pares AS (
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pares AS MATERIALIZED (
     SELECT a.l_partkey AS p1, b.l_partkey AS p2
     FROM li a
     JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
     HAVING COUNT(*) >= 2
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT p1 AS src, p2 AS dst FROM pares
     UNION ALL
     SELECT p2, p1 FROM pares
 ),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-params AS (
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+params AS MATERIALIZED (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST((({scale} * 15) // 100) // COUNT(*) AS BIGINT) AS base
     FROM nodes
 ),
-deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS grau FROM edges GROUP BY 1),
+deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS grau FROM edges GROUP BY 1),
 r0 AS (
     SELECT node, CAST({scale} // p.n AS BIGINT) AS rank_fp
     FROM nodes CROSS JOIN params p

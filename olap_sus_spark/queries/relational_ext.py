@@ -311,8 +311,10 @@ def fuzzy_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The all-pairs variant above is the faithful record-linkage shape, but its
 # blocking vocabulary (head nouns) has FIXED cardinality, so block size —
 # and both the O(block²) levenshtein work and the pair output — grow
-# quadratically with corpus scale (found by the sf1 sweep: 9M pairs / 1.1 GB
-# at 10× bench scale).  The 100 TB shape is the same answer the near-dup
+# quadratically with corpus scale (found by the sf1 sweep: 1.1 BILLION pairs
+# at 10× bench scale — ~100× the sf0.1 output, far past any driver collect;
+# the probe harness verifies it engine-side by checksum).  The 100 TB shape
+# is the same answer the near-dup
 # family uses (dedup.star_edges): compare each block member to the block's
 # HUB (smallest key) only — O(block) work and output, linear in corpus size;
 # recall beyond the hub flows through hub-chaining at cluster level.

@@ -113,11 +113,79 @@ def main() -> None:
         nv = lambda v: "∅" if v is None else (repr(v) if isinstance(v, float) else str(v))
         return sorted(tuple(nv(r[i]) for i in order) for r in rows)
 
+    # Pair-shaped outputs legitimately reach BILLIONS of rows at this scale
+    # (fuzzy_part_pairs: 1.1B — block sizes grow 10x, pairs 100x); collecting
+    # them to the driver is exactly the anti-pattern the engine avoids, so
+    # past this threshold the probe compares ENGINE-SIDE: row count plus an
+    # order-insensitive checksum (sum of two 60-bit md5 slices over the
+    # canonical row string), computed distributed in Spark and inside DuckDB.
+    # Exact — integer sums, no float reassociation — but only defined for
+    # float-free schemas (int/string/date/bool canonicalize identically in
+    # both engines); a big FLOAT result would fall back to collect and fail
+    # loudly rather than hash doubles through repr drift.
+    BIG_ROWS = 5_000_000
+    _HASHABLE = {"tinyint", "smallint", "int", "bigint", "string", "date", "boolean"}
+
+    def spark_checksum(sdf):
+        from pyspark.sql import functions as F
+
+        cols = sorted(sdf.columns)
+        canon = F.md5(
+            F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("∅")) for c in cols]
+            )
+        )
+        h1 = F.conv(F.substring(canon, 1, 15), 16, 10).cast("decimal(38,0)")
+        h2 = F.conv(F.substring(canon, 16, 15), 16, 10).cast("decimal(38,0)")
+        r = (
+            sdf.select(h1.alias("h1"), h2.alias("h2"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("h1").alias("s1"), F.sum("h2").alias("s2"))
+            .first()
+        )
+        return (int(r.n), int(r.s1), int(r.s2))
+
+    def duck_checksum(sql, dcols):
+        cols = sorted(dcols)
+        canon = "concat_ws(chr(31), " + ", ".join(
+            f"coalesce(CAST(\"{c}\" AS VARCHAR), '∅')" for c in cols
+        ) + ")"
+        r = con.execute(
+            f"SELECT COUNT(*), SUM(('0x' || substr(h, 1, 15))::BIGINT),"
+            f" SUM(('0x' || substr(h, 16, 15))::BIGINT)"
+            f" FROM (SELECT md5({canon}) AS h FROM ({sql}))"
+        ).fetchone()
+        return (int(r[0]), int(r[1]), int(r[2]))
+
     fails, slow = [], []
     for name in sorted(qs):
         t0 = time.perf_counter()
         try:
             sdf = qs[name](spark, out_dir)
+            n_out = sdf.count()
+            if n_out > BIG_ROWS and all(
+                t in _HASHABLE for _, t in sdf.dtypes
+            ) and name in oracles:
+                schk = spark_checksum(sdf)
+                dt = time.perf_counter() - t0
+                if dt > 60:
+                    slow.append((name, dt))
+                rel = con.execute(f"SELECT * FROM ({oracles[name]}) LIMIT 0")
+                dcols = [d[0] for d in rel.description]
+                if sorted(sdf.columns) != sorted(dcols):
+                    print(f"{name} MISMATCH (schema) [checksum path]", flush=True)
+                    fails.append(name)
+                    continue
+                dchk = duck_checksum(oracles[name], dcols)
+                ok = schk == dchk
+                print(
+                    f"{name} {'MATCH' if ok else 'MISMATCH'} [{dt:.1f}s, {n_out} rows,"
+                    f" engine-side checksum]",
+                    flush=True,
+                )
+                if not ok:
+                    print(f"  spark {schk} duck {dchk}", flush=True)
+                    fails.append(name)
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
             print(f"{name} ERROR {type(exc).__name__}: {str(exc)[:200]}", flush=True)
