@@ -1203,8 +1203,8 @@ WITH t AS (
     FROM documents
 )
 SELECT doc_id, score, n_tokens,
-       SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
-                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
 FROM t
 QUALIFY cum_tokens <= {_BUDGET_TOKENS}
 """
