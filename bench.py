@@ -60,6 +60,7 @@ HEADLINE = [
     "kmeans_fixed_point",  # engine-portable Lloyd's (fixed-point means)
     "text_quality_features",
     "ngram_lm_fluency",  # bigram-LM quality scoring (CCNet-style filtering)
+    "quality_classifier_scores",  # hashed linear classifier inference (zero-shuffle fold)
     "bpe_learn_merges",  # tokenizer training: BPE merges off the word-freq table
     "decontaminate_train",  # benchmark-leakage gram-hash join
     # event-time / streaming

@@ -1322,3 +1322,53 @@ def corpus_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(frac < F.col("aceite"))
         .select("doc_id", "source")
     )
+
+# ---------------------------------------------------------------------------
+# Quality-classifier inference — the fastText-style linear filter every
+# production corpus pipeline runs after the heuristic gates (CCNet's
+# fasttext langid+quality, FineWeb's edu classifier).  The *inference*
+# shape is what matters at 100 TB: featurize with the hashing trick (no
+# vocabulary table to ship), dot the feature vector with a broadcastable
+# weight vector, threshold the logit — embarrassingly parallel, zero
+# shuffles, no model server in the loop.
+#
+# Engine-portable by construction: the "learned" weights are a
+# deterministic function of the token itself — w(t) = md5₆₀(t) mod 2001 −
+# 1000 ∈ [−1000, 1000] — so both engines materialize the identical weight
+# vector without a side table, and the logit is an exact BIGINT sum folded
+# per-row (F.aggregate / list_transform+list_sum), never a float.  A real
+# deployment swaps the md5 weight for a broadcast map-literal lookup of
+# trained coefficients; the plan shape (narrow per-row fold) is unchanged.
+# ---------------------------------------------------------------------------
+_CLS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKENS_SQL.format(t='text')} AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform(toks,
+            s -> {_md5_int_sql('s')} % 2001 - 1000)), 0) AS BIGINT) AS logit,
+       CAST(coalesce(list_sum(list_transform(toks,
+            s -> {_md5_int_sql('s')} % 2001 - 1000)), 0) AS BIGINT) > 0 AS keep
+FROM t
+"""
+
+
+@register("quality_classifier_scores", oracle=_CLS_ORACLE)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear classifier over the token stream: logit = Σ_tokens
+    w(token) with integer weights, keep = logit > 0.  One narrow pass —
+    tokenize, fold, threshold all inside whole-stage codegen; at 1000
+    executors this is a pure map stage with no exchange at all."""
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
+    toks = tx.tokens("text")
+    w = lambda s: (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % 2001 - 1000
+    )
+    logit = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, s: acc + w(s))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        logit.alias("logit"),
+        (logit > 0).alias("keep"),
+    )
