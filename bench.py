@@ -57,6 +57,7 @@ HEADLINE = [
     "ann_ivf_probe_topk",  # serving path over a maintained IVF index
     "ann_lsh_probe_topk",  # serving path over a maintained SRP bucket index
     "ann_lsh_auto_topk",  # same, with corpus-sized signature width (auto_bits)
+    "ann_mmr_diverse_topk",  # MMR diversity rerank over the candidate pool
     "kmeans_fixed_point",  # engine-portable Lloyd's (fixed-point means)
     "text_quality_features",
     "ngram_lm_fluency",  # bigram-LM quality scoring (CCNet-style filtering)

@@ -488,3 +488,154 @@ def ann_lsh_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
     return sim.lsh_probe(b, n_query=_NQ, k=_K, allowed=allowed)
+
+
+# ---------------------------------------------------------------------------
+# Diversified vector serving — MMR (maximal marginal relevance) rerank of an
+# ANN candidate pool.  Relevance-only top-k returns near-duplicates of each
+# other when the corpus has dense clusters; every production retrieval stack
+# (RAG context selection, dedup-aware search) reranks the pool greedily:
+# pick argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) for k rounds.
+#
+# Engine-portable floats by construction: query- and pair-cosines come from
+# the SAME fixed-fold expression both engines share (bit-identical doubles),
+# MAX over doubles is order-independent, and the step score is two exact
+# IEEE ops (0.5·x − 0.5·m with λ = 0.5, an exact binary fraction) — so the
+# greedy argmax (ties → smallest cand_id) is deterministic everywhere and
+# the whole iterative rerank gets a full value-hash oracle as k unrolled
+# CTew steps.  Scale shape: the pool is k-bounded per query (12 here), so
+# every step joins tiny query-partitioned frames — the corpus is touched
+# once, by the pool scan.
+# ---------------------------------------------------------------------------
+_MMR_POOL = 12
+_MMR_K = 5
+
+
+def _mmr_oracle(pool: int = _MMR_POOL, k: int = _MMR_K) -> str:
+    # pool/pairs are MATERIALIZED: every unrolled step references both, and
+    # single-reference inlining would re-derive the corpus crossJoin per
+    # step (the pagerank-oracle lesson from the sf1 sweep).
+    head = f"""
+WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pool AS MATERIALIZED (
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_cos('q.v', 'c.v')} AS cosine,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {_cos('q.v', 'c.v')} DESC, c.vec_id) AS INT) AS rk
+        FROM v q JOIN v c ON q.vec_id < {_NQ} AND q.vec_id != c.vec_id
+    ) WHERE rk <= {pool}
+),
+pairs AS MATERIALIZED (
+    SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+           {_cos('x.v', 'y.v')} AS psim
+    FROM pool a
+    JOIN pool b ON b.query_id = a.query_id AND b.cand_id != a.cand_id
+    JOIN v x ON x.vec_id = a.cand_id
+    JOIN v y ON y.vec_id = b.cand_id
+),
+pick1 AS (
+    SELECT query_id, cand_id, cosine, 0.5 * cosine AS mmr_score,
+           1 AS mmr_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY 0.5 * cosine DESC, cand_id) AS rn
+        FROM pool
+    ) WHERE rn = 1
+),
+sel1 AS (SELECT * FROM pick1)"""
+    steps = ""
+    for i in range(2, k + 1):
+        steps += f""",
+pick{i} AS (
+    SELECT query_id, cand_id, cosine, mmr_score, {i} AS mmr_rank FROM (
+        SELECT r.query_id, r.cand_id, r.cosine,
+               0.5 * r.cosine - 0.5 * m.maxp AS mmr_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.query_id
+                   ORDER BY 0.5 * r.cosine - 0.5 * m.maxp DESC, r.cand_id) AS rn
+        FROM (SELECT * FROM pool p WHERE NOT EXISTS
+                  (SELECT 1 FROM sel{i - 1} s
+                   WHERE s.query_id = p.query_id AND s.cand_id = p.cand_id)) r
+        JOIN (SELECT p.query_id, p.ca AS cand_id, MAX(p.psim) AS maxp
+              FROM pairs p
+              JOIN sel{i - 1} s ON s.query_id = p.query_id AND s.cand_id = p.cb
+              GROUP BY 1, 2) m
+          ON m.query_id = r.query_id AND m.cand_id = r.cand_id
+    ) WHERE rn = 1
+),
+sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM pick{i})"""
+    tail = f"""
+SELECT query_id, cand_id, cosine, mmr_score, mmr_rank FROM sel{k}"""
+    return head + steps + tail
+
+
+@register("ann_mmr_diverse_topk", oracle=_mmr_oracle())
+def ann_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR over a brute-force top-12 pool (λ = 0.5, k = 5): the
+    unrolled per-step shape is anti-join (drop selected) → max-pair-sim
+    aggregate → windowed argmax, all on k-bounded per-query frames;
+    pool + pairs are localCheckpointed once so the corpus scan and the
+    O(pool²) pair scoring never re-run across steps."""
+    from pyspark.sql import Window
+
+    from olap_sus_spark.operators.similarity import cosine, _as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pool = (
+        sim.cosine_topk(emb, queries, k=_MMR_POOL)
+        .select("query_id", "cand_id", "cosine")
+        .localCheckpoint(eager=True)
+    )
+    vecs = _as_double(emb, "embedding", "cv").select("vec_id", "cv")
+    a = pool.select("query_id", F.col("cand_id").alias("ca"))
+    b = pool.select("query_id", F.col("cand_id").alias("cb"))
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("ca") != F.col("cb"))
+        .join(vecs.select(F.col("vec_id").alias("ca"), F.col("cv").alias("va")), "ca")
+        .join(vecs.select(F.col("vec_id").alias("cb"), F.col("cv").alias("vb")), "cb")
+        .select("query_id", "ca", "cb", cosine(F.col("va"), F.col("vb")).alias("psim"))
+        .localCheckpoint(eager=True)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        (F.lit(0.5) * F.col("cosine")).desc(), "cand_id"
+    )
+    sel = (
+        pool.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", "cand_id", "cosine",
+            (F.lit(0.5) * F.col("cosine")).alias("mmr_score"),
+            F.lit(1).alias("mmr_rank"),
+        )
+    )
+    for step in range(2, _MMR_K + 1):
+        rem = pool.join(sel.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti")
+        maxp = (
+            pairs.join(
+                sel.select("query_id", F.col("cand_id").alias("cb")),
+                ["query_id", "cb"],
+            )
+            .groupBy("query_id", F.col("ca").alias("cand_id"))
+            .agg(F.max("psim").alias("maxp"))
+        )
+        score = F.lit(0.5) * F.col("cosine") - F.lit(0.5) * F.col("maxp")
+        ws = Window.partitionBy("query_id").orderBy(score.desc(), "cand_id")
+        pick = (
+            rem.join(maxp, ["query_id", "cand_id"])
+            .withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "cand_id", "cosine",
+                score.alias("mmr_score"),
+                F.lit(step).alias("mmr_rank"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel
