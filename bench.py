@@ -81,6 +81,7 @@ HEADLINE = [
     "pareto_abc_parts",
     "document_chunking",
     "corpus_source_mixing",
+    "weighted_corpus_sample",  # exactly-N weight-proportional sample (E-S bottom-N)
     "boilerplate_segment_scrub",  # C4/RefinedWeb repeated-segment filter
     # time-series + reconciliation
     "rolling_active_users",

@@ -1372,3 +1372,47 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.alias("logit"),
         (logit > 0).alias("keep"),
     )
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis one-pass) — the
+# mixture primitive acceptance sampling can't provide: an EXACTLY-N sample
+# with inclusion probability ∝ weight (here n_chars — "sample N documents
+# proportional to size/quality").  E-S orders items by u^(1/w) for uniform
+# u; the order is equivalently by -ln(u)/w ascending, and for our purposes
+# any strictly-monotone surrogate with the same ordering works.  We use
+# key = h₅₂ / w where h₅₂ is a 52-bit md5 slice (exact in a double) and w
+# the BIGINT weight: ONE IEEE division per row — bit-identical in any
+# engine — then a global bottom-N.  Deterministic, seedless, rerunnable;
+# at 100 TB the bottom-N is a per-partition partial top-k folded on the
+# driver side of one exchange (TakeOrderedAndProject), never a full sort.
+# ---------------------------------------------------------------------------
+_WS_N = 200
+
+_WSAMPLE_ORACLE = f"""
+SELECT doc_id, source, n_chars,
+       CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+            AS DOUBLE) / CAST(n_chars AS DOUBLE) AS sample_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY sample_key, doc_id
+LIMIT {_WS_N}
+"""
+
+
+@register("weighted_corpus_sample", oracle=_WSAMPLE_ORACLE)
+def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N weight-proportional sample: larger n_chars → smaller key →
+    more likely in the bottom-N.  Plan: narrow key projection over the scan,
+    then TakeOrderedAndProject (partial per-partition top-N, single fold) —
+    no global sort, no shuffle of the corpus."""
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
+    h52 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("bigint")
+    key = h52.cast("double") / F.col("n_chars").cast("double")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars", key.alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(_WS_N)
+    )
