@@ -639,3 +639,64 @@ def ann_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel = sel.unionByName(pick).localCheckpoint(eager=True)
     return sel
+
+
+# ---------------------------------------------------------------------------
+# Mutual nearest neighbors — the alignment-mining primitive (bitext mining,
+# cross-corpus record alignment): pair (a, b) qualifies iff b is a's single
+# nearest neighbor AND a is b's.  Mutuality is the classic precision filter
+# over one-directional NN (a hub vector is many items' top-1 but reciprocates
+# at most one).  One scored self-join + one window pass: rank=1 edges form a
+# directed graph; the mutual set is the edge set intersected with its own
+# transpose (self-join on reversed keys, a<b to emit each pair once).
+# ---------------------------------------------------------------------------
+_MNN_ORACLE = f"""
+WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                        WHERE vec_id < 500),
+nn AS MATERIALIZED (
+    SELECT vec_id, cand_id, cosine FROM (
+        SELECT a.vec_id, b.vec_id AS cand_id, {_cos('a.v', 'b.v')} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_cos('a.v', 'b.v')} DESC, b.vec_id) AS rn
+        FROM v a JOIN v b ON a.vec_id != b.vec_id
+    ) WHERE rn = 1
+)
+SELECT x.vec_id AS id_a, x.cand_id AS id_b, x.cosine
+FROM nn x JOIN nn y ON y.vec_id = x.cand_id AND y.cand_id = x.vec_id
+WHERE x.vec_id < x.cand_id
+"""
+
+
+@register("mutual_nn_pairs", oracle=_MNN_ORACLE)
+def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-NN over a 500-vector slice (the alignment working set; at
+    corpus scale the scored self-join is replaced by the SRP-bucketed
+    candidate stream — identical downstream rank-1 + transpose-intersect
+    logic).  Cosines bit-match the oracle via the shared fixed-fold dot."""
+    from pyspark.sql import Window
+
+    from olap_sus_spark.operators.similarity import cosine, _as_double
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    vecs = _as_double(emb, "embedding", "cv").select("vec_id", "cv")
+    a = vecs.select(F.col("vec_id").alias("ida"), F.col("cv").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("idb"), F.col("cv").alias("vb"))
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("ida") != F.col("idb"))
+        .select("ida", "idb", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+    )
+    w = Window.partitionBy("ida").orderBy(F.col("cosine").desc(), "idb")
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("ida", "idb", "cosine")
+        .localCheckpoint(eager=True)
+    )
+    t = nn.select(F.col("ida").alias("idb"), F.col("idb").alias("ida"))
+    return (
+        nn.join(t, ["ida", "idb"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"), "cosine")
+    )
