@@ -456,3 +456,33 @@ def test_range_join_binned_is_hash_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "Generate" in p  # the ±1 bin replication
+
+
+def test_round5_additions_plan_shapes(spark):
+    """Plan pins for the round-5 serving/sampling additions.
+
+    - weighted_corpus_sample: global bottom-N must be TakeOrderedAndProject
+      (per-partition partial top-k), never a global Sort of the corpus.
+    - quality_classifier_scores: a pure map stage — no aggregate exchange,
+      no join; the only exchange allowed is the spread_compute round-robin.
+    - ann_mmr_diverse_topk / mutual_nn_pairs: the deliberate pool/working-set
+      cross joins aside, no BroadcastNestedLoopJoin may appear (the greedy
+      steps are all equi-joins on (query_id, cand_id))."""
+    import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    ws = plan_of(QUERIES["weighted_corpus_sample"](spark, SF_DIR))
+    assert n_nodes(ws, "TakeOrderedAndProject") == 1
+    assert n_nodes(ws, "Sort") == 0
+
+    cls = plan_of(QUERIES["quality_classifier_scores"](spark, SF_DIR))
+    assert n_nodes(cls, "HashAggregate") == 0
+    assert n_nodes(cls, "Join") == 0 and "Join" not in cls
+
+    mmr = plan_of(QUERIES["ann_mmr_diverse_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in mmr
+
+    mnn = plan_of(QUERIES["mutual_nn_pairs"](spark, SF_DIR))
+    # rank-1 edges intersect their transpose via an equi self-join
+    assert "BroadcastHashJoin" in mnn or "SortMergeJoin" in mnn
