@@ -88,6 +88,8 @@ HEADLINE = [
     "snapshot_diff",
     # maintained incremental aggregate (serves from day-grain partials)
     "incremental_revenue_by_month",
+    "kmv_distinct_orders",  # grouped KMV distinct sketch straight off the facts
+    "kmv_distinct_orders_served",  # same sketch served from maintained day partials
     # stateful streaming (applyInPandasWithState end-to-end)
     "streaming_sessionize",
     "streaming_sessionize_bucketed",  # adopted bucketed-dispatch scale shape
@@ -129,6 +131,7 @@ def main() -> None:
     # index, distinct from the ANN probe index's 4-bit key)
     from olap_sus_spark.operators import inverted as _inv
     from olap_sus_spark.operators.index_store import corpus_rows as _corpus_rows
+    from olap_sus_spark.queries import sketches as _sk
 
     _dedup_bits = _sim.auto_bits(_corpus_rows(sf_dir), target_bucket=8)
 
@@ -170,6 +173,13 @@ def main() -> None:
             "inverted",
             lambda: _inv.inverted_index_path(sf_dir),
             lambda: _inv.load_or_build_inverted_index(spark, sf_dir),
+        ),
+        (
+            # KMV day partials: kmv_distinct_orders_served's maintained
+            # table, amortized so the headline is pure partial-fold serving.
+            "kmv_partials",
+            lambda: _sk.orderkey_kmv_path(sf_dir),
+            lambda: _sk.load_or_build_orderkey_kmv(spark, sf_dir),
         ),
     ]:
         shutil.rmtree(path_fn(), ignore_errors=True)

@@ -1,0 +1,301 @@
+"""KMV distinct-count sketches over the driver tables: an ad-hoc grouped
+estimate plus a MAINTAINED per-day sketch-partial table served without
+touching the facts — the sketch twin of queries/incremental.py's revenue
+partials (same stamp-marker staleness contract, same O(day) refresh, same
+"oracle recomputes from raw facts" proof that maintained == direct).
+
+The maintained table stores, per l_shipdate day, the day's k smallest
+order-key hashes (≤ k rows per day).  Because any hash among the global k
+smallest is among its own day's k smallest, union-merging all day partials
+and re-truncating yields EXACTLY the global sketch — so the serving query,
+which folds ~2500·k partial rows and never scans lineitem, hash-matches a
+DuckDB oracle that recomputes the sketch from the raw facts.  At 100 TB
+that is the whole point: "how many distinct orders ever" is served from
+O(days·k) rows, and a daily ingest refreshes one day's ≤ k-row partial.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.operators.sketches import (
+    HASH_SPACE,
+    hash48,
+    kmv_estimate,
+    kmv_fold,
+    kmv_oracle_sql,
+    kmv_pair_overlap,
+)
+from olap_sus_spark.registry import register
+
+K = 256  # RSE ~ 1/sqrt(k-2) ≈ 6.3%
+_SKETCH_ALGO_VERSION = "v1"
+
+_HASH_SQL = "CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Ad-hoc grouped estimate: distinct orders per return flag.
+
+
+@register(
+    "kmv_distinct_orders",
+    oracle=kmv_oracle_sql(
+        K,
+        _HASH_SQL,
+        "FROM lineitem WHERE l_orderkey IS NOT NULL",
+        group_sql=["l_returnflag"],
+        alias="est_orders",
+    ),
+)
+def kmv_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct l_orderkey per return flag from a k=256 KMV
+    sketch — the estimator branch is live at every gate scale (≥ ~900
+    distinct orders per flag even at sf0.001) and the oracle replays the
+    identical construction, so the gate checks the ESTIMATE bit-for-bit,
+    not a tolerance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.filter(F.col("l_orderkey").isNotNull()).select(
+        "l_returnflag", hash48("l_orderkey").alias("h")
+    )
+    return kmv_fold(h, ["l_returnflag"], K).select(
+        "l_returnflag", kmv_estimate(K, "est_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maintained per-day sketch partials (stamp-marker contract, O(day) refresh).
+
+
+def orderkey_kmv_path(sf_dir: str) -> str:
+    """Location-keyed path + stamp MARKER (not a stamp-keyed path), exactly
+    as queries/incremental.py — a stamp-keyed path can never be refreshed
+    incrementally."""
+    from olap_sus_spark.operators.index_store import index_path
+
+    return index_path("kmvorders", f"{_SKETCH_ALGO_VERSION}|{os.path.abspath(sf_dir)}")
+
+
+_STAMP_MARKER = "_corpus_stamp.txt"
+
+
+def _current_stamp(sf_dir: str) -> str:
+    from olap_sus_spark.operators.index_store import corpus_stamp
+
+    return corpus_stamp(sf_dir, "lineitem")
+
+
+def _read_marker(path: str) -> str | None:
+    try:
+        with open(os.path.join(path, _STAMP_MARKER)) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
+def _write_marker(path: str, stamp: str) -> None:
+    with open(os.path.join(path, _STAMP_MARKER), "w") as f:
+        f.write(stamp)
+
+
+def _day_partials(
+    spark: SparkSession, sf_dir: str, months: list[str] | None = None
+) -> DataFrame:
+    """Per-day k-min hash partials (mes_dt, dia, h) — ≤ k rows per day.
+    ``months`` restricts the scan with plain range predicates on
+    l_shipdate so the refresh reaches parquet row-group stats (the same
+    pushdown-preserving shape as incremental._partials)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey").isNotNull())
+    if months is not None:
+        import datetime
+
+        cond = F.lit(False)
+        for m in sorted(set(months)):
+            start = datetime.date(int(m[:4]), int(m[5:7]), 1)
+            nxt = (start + datetime.timedelta(days=32)).replace(day=1)
+            cond = cond | (
+                (F.col("l_shipdate") >= F.lit(str(start)).cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(str(nxt)).cast("timestamp"))
+            )
+        li = li.filter(cond)
+    h = li.select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("mes_dt"),
+        F.to_date("l_shipdate").alias("dia"),
+        hash48("l_orderkey").alias("h"),
+    )
+    return kmv_fold(h, ["mes_dt", "dia"], K).select(
+        "mes_dt", "dia", F.explode("khashes").alias("h")
+    )
+
+
+def load_or_build_orderkey_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged build + atomic promotion; stale marker → safe full rebuild;
+    bounded read-retry through a concurrent rebuilder's retire→promote
+    window (the incremental.py contract, verbatim)."""
+    import shutil
+    import time
+
+    from olap_sus_spark.operators.index_store import (
+        index_root,
+        promote,
+        staging_path,
+        sweep_stale_staging,
+    )
+
+    path = orderkey_kmv_path(sf_dir)
+    stamp = _current_stamp(sf_dir)
+    if not os.path.exists(path) or _read_marker(path) != stamp:
+        sweep_stale_staging()
+        os.makedirs(index_root(), exist_ok=True)
+        staging = staging_path(path)
+        _day_partials(spark, sf_dir).write.partitionBy("mes_dt").mode(
+            "overwrite"
+        ).parquet(staging)
+        _write_marker(staging, stamp)
+        if os.path.exists(path):
+            tomb = staging_path(path) + ".stale"
+            try:
+                os.rename(path, tomb)
+            except OSError:
+                tomb = None  # concurrent retire won; nothing of ours to reap
+            promote(staging, path)
+            if tomb is not None:
+                shutil.rmtree(tomb, ignore_errors=True)
+        else:
+            promote(staging, path)
+    for _ in range(100):
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            if os.path.exists(path):
+                raise
+            time.sleep(0.05)
+    return spark.read.parquet(path)
+
+
+def refresh_orderkey_kmv(spark: SparkSession, sf_dir: str, days: list[str]) -> None:
+    """Re-sketch ONLY the months containing the ingested days and
+    dynamic-partition-overwrite them — idempotent, O(day), never the fact
+    history.  Never-built tables fall through to the full staged build
+    (a months-only partial must not masquerade as the complete table)."""
+    months = sorted({d[:7] for d in days})
+    path = orderkey_kmv_path(sf_dir)
+    if not os.path.exists(path):
+        load_or_build_orderkey_kmv(spark, sf_dir)
+        return
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        _day_partials(spark, sf_dir, months).write.partitionBy("mes_dt").mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _write_marker(path, _current_stamp(sf_dir))
+
+
+@register(
+    "kmv_distinct_orders_served",
+    oracle=kmv_oracle_sql(
+        K,
+        _HASH_SQL,
+        "FROM lineitem WHERE l_orderkey IS NOT NULL",
+        alias="est_orders",
+    ),
+)
+def kmv_distinct_orders_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distinct-order estimate served from the MAINTAINED day
+    partials — a fold over ~2500·k tiny rows, no lineitem scan
+    (plan-pinned) — while the oracle recomputes the sketch from the raw
+    facts: the hash match proves union-merge-then-retruncate is exactly
+    the global sketch."""
+    partials = load_or_build_orderkey_kmv(spark, sf_dir)
+    return kmv_fold(partials.select("h"), [], K).select(kmv_estimate(K, "est_orders"))
+
+
+@register(
+    "kmv_monthly_distinct_served",
+    oracle=kmv_oracle_sql(
+        K,
+        _HASH_SQL,
+        "FROM (SELECT strftime(l_shipdate, '%Y-%m') AS mes_dt, l_orderkey"
+        "      FROM lineitem WHERE l_orderkey IS NOT NULL) t",
+        group_sql=["mes_dt"],
+        alias="est_orders",
+    ),
+)
+def kmv_monthly_distinct_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-orders-per-month TIME SERIES from the same maintained day
+    partials: fold day sketches at month grain (any hash among a month's k
+    smallest is among its own day's k smallest, so the month fold over
+    partials IS the month sketch) while the oracle re-sketches each month
+    from raw facts.  One partial table thus serves every grain coarser
+    than day — the sketch analogue of a roll-up-able cube.  At driver gate
+    scales months are under-full (exact branch, which still proves the
+    merge); the estimator branch goes live at sf0.1+ (~1800 orders/mo)."""
+    partials = load_or_build_orderkey_kmv(spark, sf_dir)
+    return kmv_fold(partials.select("mes_dt", "h"), ["mes_dt"], K).select(
+        "mes_dt", kmv_estimate(K, "est_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch set algebra: pairwise segment overlap from per-segment sketches.
+
+_NUM = (K - 1) * HASH_SPACE
+
+_SEG_OVERLAP_ORACLE = f"""
+WITH h AS (SELECT DISTINCT l_returnflag AS seg, {_HASH_SQL} AS h
+           FROM lineitem WHERE l_orderkey IS NOT NULL),
+r AS (SELECT seg, h, row_number() OVER (PARTITION BY seg ORDER BY h) AS rn FROM h),
+sk AS (SELECT seg, h FROM r WHERE rn <= {K}),
+e AS (SELECT seg, CAST(CASE WHEN COUNT(*) < {K} THEN COUNT(*)
+                 ELSE {_NUM} // NULLIF(MAX(CASE WHEN rn = {K} THEN h END), 0)
+            END AS BIGINT) AS est
+      FROM r WHERE rn <= {K} GROUP BY seg),
+segs AS (SELECT DISTINCT seg FROM sk),
+pairs AS (SELECT a.seg AS seg_a, b.seg AS seg_b
+          FROM segs a JOIN segs b ON a.seg < b.seg),
+uh AS (SELECT p.seg_a, p.seg_b, s.h,
+              BOOL_OR(s.seg = p.seg_a) AS in_a, BOOL_OR(s.seg = p.seg_b) AS in_b
+       FROM pairs p JOIN sk s ON s.seg IN (p.seg_a, p.seg_b)
+       GROUP BY p.seg_a, p.seg_b, s.h),
+ur AS (SELECT seg_a, seg_b, h, in_a, in_b,
+              row_number() OVER (PARTITION BY seg_a, seg_b ORDER BY h) AS rn
+       FROM uh),
+m AS (SELECT seg_a, seg_b, COUNT(*) AS n,
+             MAX(CASE WHEN rn = {K} THEN h END) AS hk,
+             CAST(SUM(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS p
+      FROM ur WHERE rn <= {K} GROUP BY seg_a, seg_b),
+mu AS (SELECT seg_a, seg_b, n, p,
+              CAST(CASE WHEN n < {K} THEN n ELSE {_NUM} // NULLIF(hk, 0)
+                   END AS BIGINT) AS est_union
+       FROM m)
+SELECT mu.seg_a, mu.seg_b, ea.est AS est_a, eb.est AS est_b, mu.est_union,
+       CAST(CASE WHEN mu.n < {K} THEN mu.p
+            ELSE mu.p * mu.est_union // {K} END AS BIGINT) AS est_inter
+FROM mu
+JOIN e ea ON ea.seg = mu.seg_a
+JOIN e eb ON eb.seg = mu.seg_b
+"""
+
+
+@register("kmv_segment_overlap", oracle=_SEG_OVERLAP_ORACLE)
+def kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-order overlap between every pair of return flags — |A|,
+    |B|, |A\u222aB|, |A\u2229B| — computed ENTIRELY from the per-segment KMV
+    sketches (operators.sketches.kmv_pair_overlap).  One fact pass builds
+    all sketches; the pair algebra touches |segments| arrays of \u2264 k
+    BIGINTs — where the exact answer would self-join the facts per pair.
+    All arithmetic stays integer, so the DuckDB twin replays it
+    bit-for-bit; under-full merges degrade to EXACT set counts by
+    construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.filter(F.col("l_orderkey").isNotNull()).select(
+        F.col("l_returnflag").alias("seg"), hash48("l_orderkey").alias("h")
+    )
+    return kmv_pair_overlap(kmv_fold(h, ["seg"], K), "seg", K)
