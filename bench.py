@@ -53,6 +53,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "bm25_search_topk",  # full-text BM25 from the raw corpus
     "bm25_search_indexed",  # same, served from the maintained inverted index
+    "phrase_search_indexed",  # exact-phrase probe over the positional postings
     "ann_cosine_topk",
     "ann_ivf_probe_topk",  # serving path over a maintained IVF index
     "ann_lsh_probe_topk",  # serving path over a maintained SRP bucket index

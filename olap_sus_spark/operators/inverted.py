@@ -9,14 +9,21 @@ promotion, per-``src``-partition incremental refresh).
 
 Two tables under one index directory:
 
-- ``postings/`` — one row per (document, term): ``(doc_id, term, tf, dl,
-  src)`` with ``dl`` (document token length) denormalized onto every
-  posting so a query-term probe needs no doc-table join.  Partitioned by
-  the corpus part file (``src=``) — the refresh unit — and range-sorted on
-  ``term`` within partitions so Parquet footer min/max stats prune a
-  few-term probe down to a postings-sized read, never a corpus scan.
-  A query-term scan yields BOTH per-doc tf rows and (by counting rows,
-  postings are unique per (doc, term)) the per-term document frequency.
+- ``postings/`` — one row per (document, term): ``(doc_id, term, tf,
+  positions, dl, src)`` with ``dl`` (document token length) denormalized
+  onto every posting so a query-term probe needs no doc-table join, and
+  ``positions`` the sorted 0-based token offsets of the term in the
+  document (``tf = size(positions)``) — the classic positional-postings
+  layout, which upgrades the index from bag-of-words probes (BM25) to
+  PHRASE queries: a phrase match is an equi-join of the phrase terms'
+  positions on (doc, offset-adjusted position), O(query-term postings),
+  never a corpus re-scan (queries/search.py:phrase_search_indexed).
+  Partitioned by the corpus part file (``src=``) — the refresh unit — and
+  range-sorted on ``term`` within partitions so Parquet footer min/max
+  stats prune a few-term probe down to a postings-sized read, never a
+  corpus scan.  A query-term scan yields BOTH per-doc tf rows and (by
+  counting rows, postings are unique per (doc, term)) the per-term
+  document frequency.
 - ``docs/`` — per-``src`` corpus-stat partials ``(n_docs, s_tokens)``;
   global N and S are the sums of a #part-files-sized read.  Documents with
   NULL text are excluded end-to-end (the retrieval contract); zero-token
@@ -44,7 +51,7 @@ from olap_sus_spark.operators import index_store as ix
 from olap_sus_spark.operators import text as tx
 
 _SRC = "src"
-_ALGO_VERSION = "inv1"
+_ALGO_VERSION = "inv2"  # inv2: positional postings (positions column)
 
 
 def inverted_index_path(sf_dir: str, table: str = "documents") -> str:
@@ -74,10 +81,17 @@ def _index_frames(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         _SRC, "doc_id", F.size("ts").cast("bigint").alias("dl"), "ts"
     )
     postings = (
-        with_dl.select(_SRC, "doc_id", "dl", F.explode("ts").alias("term"))
+        with_dl.select(
+            _SRC, "doc_id", "dl", F.posexplode("ts").alias("pos", "term")
+        )
         .groupBy(_SRC, "doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .select(_SRC, "doc_id", "term", "tf", "dl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias(
+                "positions"
+            ),
+        )
+        .select(_SRC, "doc_id", "term", "tf", "positions", "dl")
     )
     doc_stats = (
         with_dl.groupBy(_SRC)
@@ -164,7 +178,7 @@ def _serve(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
         try:
             return (
                 spark.read.parquet(os.path.join(path, "postings")).select(
-                    "doc_id", "term", "tf", "dl"
+                    "doc_id", "term", "tf", "positions", "dl"
                 ),
                 spark.read.parquet(os.path.join(path, "docs")).select(
                     "n_docs", "s_tokens"

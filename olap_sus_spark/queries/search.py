@@ -184,6 +184,84 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_topk(scored)
 
 
+_PHRASE = ("fast", "table")
+_PHRASE_TOP_K = 20
+
+_PHRASE_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_TOKS} AS ts FROM documents WHERE text IS NOT NULL
+),
+tf AS (
+    SELECT doc_id,
+           CAST(len(list_filter(range(1, len(ts)),
+                i -> ts[i] = '{_PHRASE[0]}' AND ts[i + 1] = '{_PHRASE[1]}'))
+           AS BIGINT) AS phrase_tf
+    FROM toks
+),
+ranked AS (
+    SELECT doc_id, phrase_tf,
+           CAST(ROW_NUMBER() OVER (ORDER BY phrase_tf DESC, doc_id) AS INT)
+               AS rank
+    FROM tf WHERE phrase_tf > 0
+)
+SELECT * FROM ranked WHERE rank <= {_PHRASE_TOP_K}
+"""
+
+
+def _phrase_topk(p1: DataFrame, p2: DataFrame) -> DataFrame:
+    """Adjacency join + top-k tail shared by the from-scratch and indexed
+    phrase queries: ``p1``/``p2`` are (doc_id, pos) postings of the two
+    phrase terms; a phrase hit is p1.pos + 1 = p2.pos in the same doc, so
+    the join shuffles O(query-term postings), never corpus tokens, and the
+    top-k plans as TakeOrderedAndProject (per-partition partial top-k)."""
+    hits = p1.join(p2.withColumn("pos", F.col("pos") - 1), ["doc_id", "pos"])
+    tf = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("phrase_tf")
+    )
+    topk = tf.orderBy(F.col("phrase_tf").desc(), "doc_id").limit(_PHRASE_TOP_K)
+    w = Window.orderBy(F.col("phrase_tf").desc(), "doc_id")
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@register("phrase_search_topk", oracle=_PHRASE_ORACLE)
+def phrase_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ("{w1} {w2}" as ADJACENT tokens, not
+    substring matching): top-k documents by phrase frequency.  One
+    tokenize+posexplode pass filtered to the two phrase terms BEFORE any
+    exchange; the adjacency equi-join on (doc_id, pos) is the classic
+    positional-postings intersection — shuffled volume is O(postings of
+    the query terms).  The oracle counts the same matches as bigram
+    equalities over the token list; ties break by doc_id."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pos = (
+        docs.select("doc_id", tx.tokens("text").alias("ts"))
+        .select("doc_id", F.posexplode("ts").alias("pos", "term"))
+        .filter(F.col("term").isin(*_PHRASE))
+    )
+    p1 = pos.filter(F.col("term") == _PHRASE[0]).select("doc_id", "pos")
+    p2 = pos.filter(F.col("term") == _PHRASE[1]).select("doc_id", "pos")
+    return _phrase_topk(p1, p2)
+
+
+@register("phrase_search_indexed", oracle=_PHRASE_ORACLE)
+def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same phrase query served from the MAINTAINED positional inverted
+    index: one footer-pruned postings read for the two phrase terms,
+    positions exploded back to (doc_id, pos) and intersected — the
+    deployment path, O(query-term postings) with no corpus access.
+    Shares the from-scratch oracle, which IS the maintained == recomputed
+    proof (same contract as bm25_search_indexed)."""
+    from olap_sus_spark.operators.inverted import load_or_build_inverted_index
+
+    postings, _ = load_or_build_inverted_index(spark, sf_dir)
+    hits = postings.filter(F.col("term").isin(*_PHRASE)).select(
+        "doc_id", "term", F.explode("positions").alias("pos")
+    )
+    p1 = hits.filter(F.col("term") == _PHRASE[0]).select("doc_id", "pos")
+    p2 = hits.filter(F.col("term") == _PHRASE[1]).select("doc_id", "pos")
+    return _phrase_topk(p1, p2)
+
+
 @register("bm25_search_indexed", oracle=_bm25_oracle())
 def bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query over the MAINTAINED inverted index
