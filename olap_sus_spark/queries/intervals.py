@@ -1,0 +1,193 @@
+"""Interval analytics via distributed sweep lines: a global open-interval
+concurrency timeline and per-key overlapping-interval merging (islands &
+gaps).  Both are classic warehouse shapes the reference's star queries
+never needed (its facts are point events — /root/reference/dags/
+spark_script_sim.py builds per-day counts only); they complete the
+engine's time-dimension family (gap_fill_daily, point_in_time_status,
+asof_join_*) with the two standard interval primitives.
+
+Scale shapes:
+
+- ``open_orders_timeline`` collapses interval endpoints to the DAY grain
+  FIRST (one shuffle, ≤ ±1 delta rows per interval → one row per active
+  day), so the global running sum runs over the calendar axis — bounded
+  by days-of-history (thousands forever), never by fact volume.  The
+  single-partition window is over that bounded axis, the same
+  deliberately-bounded shape as the dim generators (operators/dims.py).
+- ``customer_order_coverage`` merges each customer's overlapping order
+  intervals with the prefix-max island construction — windows partitioned
+  by customer, so the work distributes across the key space with no
+  global ordering anywhere.
+
+All arithmetic is integer (day counts via datediff); both oracles replay
+the identical construction, so the driver gates values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Global sweep line: how many orders are "in flight" (ordered, not yet
+# fully shipped) at the end of each day with activity.
+
+
+_TIMELINE_ORACLE = """
+WITH fim AS (
+    SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS fim
+    FROM lineitem GROUP BY l_orderkey
+),
+iv AS (
+    SELECT CAST(o.o_orderdate AS DATE) AS ini,
+           GREATEST(CAST(o.o_orderdate AS DATE), f.fim) AS fim
+    FROM orders o JOIN fim f ON f.l_orderkey = o.o_orderkey
+),
+d AS (
+    SELECT ini AS dia, 1 AS delta FROM iv
+    UNION ALL
+    SELECT fim + 1 AS dia, -1 AS delta FROM iv
+),
+tl AS (SELECT dia, SUM(delta) AS delta FROM d GROUP BY dia)
+SELECT dia,
+       CAST(SUM(delta) OVER (ORDER BY dia ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS abertos
+FROM tl
+"""
+
+
+@register("open_orders_timeline", oracle=_TIMELINE_ORACLE)
+def open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order concurrency: each order is an interval [o_orderdate,
+    last l_shipdate] (clamped to at least the order day — the synthetic
+    generator emits some ship-before-order rows); the sweep line (+1 at
+    open, −1 the day after close)
+    pre-aggregates to one net-delta row per day BEFORE the running sum,
+    so the cumulative window scans the bounded calendar axis — at 100 TB
+    the only fact-sized jobs are the endpoint collapse shuffles.  Days
+    with no order event are change-free and absent by construction (the
+    count at any such day is the previous row's ``abertos``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fim = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("fim")
+    )
+    iv = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("ini"),
+    ).join(fim, "l_orderkey").withColumn("fim", F.greatest("ini", "fim"))
+    deltas = iv.select(F.col("ini").alias("dia"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.date_add("fim", 1).alias("dia"), F.lit(-1).alias("delta"))
+    )
+    tl = deltas.groupBy("dia").agg(F.sum("delta").alias("delta"))
+    w = Window.orderBy("dia").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return tl.select(
+        "dia", F.sum("delta").over(w).cast("bigint").alias("abertos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-key interval merge (islands & gaps): for each customer, coalesce
+# overlapping/adjacent order intervals and measure the merged coverage.
+
+
+def merge_intervals(iv: DataFrame, key: str) -> DataFrame:
+    """Coalesce overlapping [ini, fim] intervals per ``key`` into maximal
+    islands: an interval starts a new island iff it begins strictly after
+    every predecessor's end (prefix max of fim); the island id is the
+    running count of such starts.  Returns one row per island:
+    (key, ilha_id, ini, fim).  Windows are partitioned by ``key`` — work
+    distributes across the key space, nothing orders globally."""
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy("ini", "fim")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        key,
+        "ini",
+        "fim",
+        F.when(F.col("ini") > F.max("fim").over(w_prev), 1)
+        .otherwise(0)
+        .alias("novo"),
+    )
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy("ini", "fim")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.select(key, "ini", "fim", F.sum("novo").over(w_run).alias("ilha_id"))
+        .groupBy(key, "ilha_id")
+        .agg(F.min("ini").alias("ini"), F.max("fim").alias("fim"))
+    )
+
+
+_COVERAGE_ORACLE = """
+WITH fim AS (
+    SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS fim
+    FROM lineitem GROUP BY l_orderkey
+),
+iv AS (
+    SELECT o.o_custkey, CAST(o.o_orderdate AS DATE) AS ini,
+           GREATEST(CAST(o.o_orderdate AS DATE), f.fim) AS fim
+    FROM orders o JOIN fim f ON f.l_orderkey = o.o_orderkey
+),
+marked AS (
+    SELECT o_custkey, ini, fim,
+           CASE WHEN ini > MAX(fim) OVER (
+                    PARTITION BY o_custkey ORDER BY ini, fim
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS novo
+    FROM iv
+),
+ilha AS (
+    SELECT o_custkey, ini, fim,
+           SUM(novo) OVER (PARTITION BY o_custkey ORDER BY ini, fim
+                           ROWS UNBOUNDED PRECEDING) AS ilha_id
+    FROM marked
+),
+merged AS (
+    SELECT o_custkey, ilha_id, MIN(ini) AS ini, MAX(fim) AS fim
+    FROM ilha GROUP BY o_custkey, ilha_id
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_ilhas,
+       CAST(SUM(date_diff('day', ini, fim) + 1) AS BIGINT) AS dias_cobertos,
+       CAST(MAX(date_diff('day', ini, fim) + 1) AS BIGINT) AS maior_ilha
+FROM merged GROUP BY o_custkey
+"""
+
+
+@register("customer_order_coverage", oracle=_COVERAGE_ORACLE)
+def customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge each customer's overlapping order intervals (open → last
+    ship) into maximal islands — prefix-max island construction: an
+    interval starts a new island iff it begins after every predecessor's
+    end; the island id is the running count of such starts.  Windows are
+    partitioned by customer, so the merge distributes across the key
+    space — per-customer interval counts bound the window work, and no
+    stage orders globally.  Returns island count, total covered days,
+    and the longest island per customer — the coverage trio downstream
+    SLA/activity queries consume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fim = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("fim")
+    )
+    iv = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_custkey",
+        F.to_date("o_orderdate").alias("ini"),
+    ).join(fim, "l_orderkey").withColumn("fim", F.greatest("ini", "fim"))
+    merged = merge_intervals(iv, "o_custkey")
+    dur = F.datediff("fim", "ini") + F.lit(1)
+    return merged.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ilhas"),
+        F.sum(dur).cast("bigint").alias("dias_cobertos"),
+        F.max(dur).cast("bigint").alias("maior_ilha"),
+    )
