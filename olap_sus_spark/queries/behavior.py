@@ -504,3 +504,57 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("posicao") <= 10)
         .select("caminho", "n", "posicao")
     )
+
+
+# --------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences: the
+# navigation-model summary recommendation/anomaly pipelines start from.
+# One shuffle on user_id (the module's standing shape); the probability is
+# one IEEE division of two exact BIGINTs — bit-identical across engines.
+# --------------------------------------------------------------------------
+_TRANSITION_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS proximo
+    FROM events
+),
+pares AS (
+    SELECT event_type AS origem, proximo AS destino,
+           CAST(COUNT(*) AS BIGINT) AS n_trans
+    FROM seq WHERE proximo IS NOT NULL
+    GROUP BY origem, destino
+)
+SELECT origem, destino, n_trans,
+       CAST(n_trans AS DOUBLE)
+           / CAST(SUM(n_trans) OVER (PARTITION BY origem) AS DOUBLE) AS prob
+FROM pares
+"""
+
+
+@register("event_transition_matrix", oracle=_TRANSITION_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(origem → destino) transition counts and row-conditional
+    probabilities over each user's (ts, event_id)-ordered event stream.
+    lead() is per-user (partitioned window, distributes across the key
+    space); the |types|² matrix that follows is dimension-bounded.  The
+    event_id tie-break makes equal-ts sequences deterministic on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("proximo")
+    ).filter(F.col("proximo").isNotNull())
+    pares = seq.groupBy(
+        F.col("event_type").alias("origem"), F.col("proximo").alias("destino")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    w_o = Window.partitionBy("origem")
+    return pares.select(
+        "origem",
+        "destino",
+        "n_trans",
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(w_o).cast("double")
+        ).alias("prob"),
+    )

@@ -191,3 +191,92 @@ def customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dur).cast("bigint").alias("dias_cobertos"),
         F.max(dur).cast("bigint").alias("maior_ilha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average over the sweep timeline (TWAP shape): each change
+# point's level holds until the next change point, so the average must
+# weight by holding duration, not by change-point count.
+
+
+_TWA_ORACLE = """
+WITH fim AS (
+    SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS fim
+    FROM lineitem GROUP BY l_orderkey
+),
+iv AS (
+    SELECT CAST(o.o_orderdate AS DATE) AS ini,
+           GREATEST(CAST(o.o_orderdate AS DATE), f.fim) AS fim
+    FROM orders o JOIN fim f ON f.l_orderkey = o.o_orderkey
+),
+d AS (
+    SELECT ini AS dia, 1 AS delta FROM iv
+    UNION ALL
+    SELECT fim + 1 AS dia, -1 AS delta FROM iv
+),
+tl AS (SELECT dia, SUM(delta) AS delta FROM d GROUP BY dia),
+run AS (
+    SELECT dia,
+           CAST(SUM(delta) OVER (ORDER BY dia ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS abertos,
+           CAST(date_diff('day', dia,
+                COALESCE(LEAD(dia) OVER (ORDER BY dia), dia + 1))
+                AS BIGINT) AS dias
+    FROM tl
+)
+SELECT CAST(EXTRACT(year FROM dia) AS INT) AS ano,
+       CAST(SUM(dias) AS BIGINT) AS dias_ponderados,
+       CAST(SUM(abertos * dias) AS DOUBLE) / CAST(SUM(dias) AS DOUBLE)
+           AS media_ponderada
+FROM run GROUP BY ano
+"""
+
+
+@register("open_orders_time_weighted_avg", oracle=_TWA_ORACLE)
+def open_orders_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average open-order count per year: each timeline
+    level is weighted by the days it holds (lead(dia) − dia; the final
+    change point, always a return-to-zero, holds one day).  A holding
+    interval is attributed to the year of its change point — both
+    engines state the same rule, and the average is one IEEE division
+    of exact BIGINT sums.  Adds one lead() pass over the bounded
+    calendar axis to the timeline plan — nothing fact-sized beyond the
+    endpoint collapse."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fim = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("fim")
+    )
+    iv = (
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.to_date("o_orderdate").alias("ini"),
+        )
+        .join(fim, "l_orderkey")
+        .withColumn("fim", F.greatest("ini", "fim"))
+    )
+    deltas = iv.select(F.col("ini").alias("dia"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.date_add("fim", 1).alias("dia"), F.lit(-1).alias("delta"))
+    )
+    tl = deltas.groupBy("dia").agg(F.sum("delta").alias("delta"))
+    w_run = Window.orderBy("dia").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_lead = Window.orderBy("dia")
+    run = tl.select(
+        "dia",
+        F.sum("delta").over(w_run).cast("bigint").alias("abertos"),
+        F.datediff(
+            F.coalesce(F.lead("dia").over(w_lead), F.date_add("dia", 1)),
+            F.col("dia"),
+        )
+        .cast("bigint")
+        .alias("dias"),
+    )
+    return run.groupBy(F.year("dia").cast("int").alias("ano")).agg(
+        F.sum("dias").cast("bigint").alias("dias_ponderados"),
+        (
+            F.sum(F.col("abertos") * F.col("dias")).cast("double")
+            / F.sum("dias").cast("double")
+        ).alias("media_ponderada"),
+    )

@@ -70,3 +70,15 @@ def test_coverage_bounds(spark):
     cov = iv.customer_order_coverage(spark, SF_DIR)
     assert cov.filter(F.col("maior_ilha") > F.col("dias_cobertos")).count() == 0
     assert cov.filter(F.col("n_ilhas") < 1).count() == 0
+
+
+def test_twa_weights_cover_every_day(spark):
+    """Year-grain weighted-day totals must sum to the full span between
+    the first and last change point (+1 for the closing point's one-day
+    hold) — no day double-counted or dropped."""
+    tl = iv.open_orders_timeline(spark, SF_DIR).orderBy("dia").collect()
+    twa = iv.open_orders_time_weighted_avg(spark, SF_DIR).collect()
+    span = (tl[-1].dia - tl[0].dia).days + 1
+    assert sum(r.dias_ponderados for r in twa) == span
+    hi = max(r.abertos for r in tl)
+    assert all(0.0 <= r.media_ponderada <= hi for r in twa)

@@ -55,3 +55,17 @@ def test_postings_positions_consistent(spark, tmp_path, monkeypatch):
         | (F.expr("positions != array_sort(array_distinct(positions))"))
     ).count()
     assert bad == 0
+
+
+def test_transition_probs_are_row_stochastic(spark):
+    """Each origem's outgoing probabilities must sum to 1 (IEEE sums of
+    the exact count ratios — tolerance for association only)."""
+    from collections import defaultdict
+
+    from olap_sus_spark.queries.behavior import event_transition_matrix
+
+    rows = event_transition_matrix(spark, SF_DIR).collect()
+    by_o = defaultdict(float)
+    for r in rows:
+        by_o[r.origem] += r.prob
+    assert by_o and all(abs(s - 1.0) < 1e-9 for s in by_o.values())
