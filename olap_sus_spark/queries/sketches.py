@@ -4,14 +4,17 @@ touching the facts — the sketch twin of queries/incremental.py's revenue
 partials (same stamp-marker staleness contract, same O(day) refresh, same
 "oracle recomputes from raw facts" proof that maintained == direct).
 
-The maintained table stores, per l_shipdate day, the day's k smallest
-order-key hashes (≤ k rows per day).  Because any hash among the global k
-smallest is among its own day's k smallest, union-merging all day partials
-and re-truncating yields EXACTLY the global sketch — so the serving query,
-which folds ~2500·k partial rows and never scans lineitem, hash-matches a
-DuckDB oracle that recomputes the sketch from the raw facts.  At 100 TB
-that is the whole point: "how many distinct orders ever" is served from
-O(days·k) rows, and a daily ingest refreshes one day's ≤ k-row partial.
+The maintained table is a SKETCH CUBE at (l_shipdate day, l_returnflag)
+grain: each cell stores its k smallest order-key hashes (≤ k rows per
+cell).  Because any hash among a coarser group's k smallest is among its
+own cell's k smallest, union-merging cells and re-truncating yields
+EXACTLY the sketch of ANY roll-up of the stored grain — global, per
+month, per flag — and the per-flag sketches further feed the pair
+set-algebra (overlap) with no fact access.  Every serving query
+hash-matches a DuckDB oracle that recomputes its answer from the raw
+facts, which is the maintained == recomputed proof.  At 100 TB: one
+≤ |flags|·k-rows-per-day table, refreshed O(day) per ingest, serves the
+whole family of distinct-count questions.
 """
 
 from __future__ import annotations
@@ -33,7 +36,7 @@ from olap_sus_spark.operators.sketches import (
 from olap_sus_spark.registry import register
 
 K = 256  # RSE ~ 1/sqrt(k-2) ≈ 6.3%
-_SKETCH_ALGO_VERSION = "v1"
+_SKETCH_ALGO_VERSION = "v2"  # v2: (day, returnflag) sketch-cube grain
 
 _HASH_SQL = "CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)"
 
@@ -105,10 +108,11 @@ def _write_marker(path: str, stamp: str) -> None:
 def _day_partials(
     spark: SparkSession, sf_dir: str, months: list[str] | None = None
 ) -> DataFrame:
-    """Per-day k-min hash partials (mes_dt, dia, h) — ≤ k rows per day.
-    ``months`` restricts the scan with plain range predicates on
-    l_shipdate so the refresh reaches parquet row-group stats (the same
-    pushdown-preserving shape as incremental._partials)."""
+    """Sketch-cube partials (mes_dt, dia, l_returnflag, h) — ≤ k rows
+    per (day, flag) cell.  ``months`` restricts the scan with plain
+    range predicates on l_shipdate so the refresh reaches parquet
+    row-group stats (the same pushdown-preserving shape as
+    incremental._partials)."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey").isNotNull())
     if months is not None:
         import datetime
@@ -125,10 +129,11 @@ def _day_partials(
     h = li.select(
         F.date_format("l_shipdate", "yyyy-MM").alias("mes_dt"),
         F.to_date("l_shipdate").alias("dia"),
+        "l_returnflag",
         hash48("l_orderkey").alias("h"),
     )
-    return kmv_fold(h, ["mes_dt", "dia"], K).select(
-        "mes_dt", "dia", F.explode("khashes").alias("h")
+    return kmv_fold(h, ["mes_dt", "dia", "l_returnflag"], K).select(
+        "mes_dt", "dia", "l_returnflag", F.explode("khashes").alias("h")
     )
 
 
@@ -282,6 +287,45 @@ FROM mu
 JOIN e ea ON ea.seg = mu.seg_a
 JOIN e eb ON eb.seg = mu.seg_b
 """
+
+
+@register(
+    "kmv_flag_distinct_served",
+    oracle=kmv_oracle_sql(
+        K,
+        _HASH_SQL,
+        "FROM lineitem WHERE l_orderkey IS NOT NULL",
+        group_sql=["l_returnflag"],
+        alias="est_orders",
+    ),
+)
+def kmv_flag_distinct_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag distinct-order estimates served from the maintained
+    sketch cube — fold the (day, flag) cells at flag grain, never touching
+    lineitem — while the oracle (identical to the ad-hoc
+    ``kmv_distinct_orders``) re-sketches from the raw facts.  The hash
+    match proves the cube rolls up along the OTHER axis too: day cells
+    collapse to the exact per-flag sketch, the same way the month/global
+    queries collapse the flag axis."""
+    partials = load_or_build_orderkey_kmv(spark, sf_dir)
+    return kmv_fold(partials.select("l_returnflag", "h"), ["l_returnflag"], K).select(
+        "l_returnflag", kmv_estimate(K, "est_orders")
+    )
+
+
+@register("kmv_segment_overlap_served", oracle=_SEG_OVERLAP_ORACLE)
+def kmv_segment_overlap_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same pairwise flag overlap as ``kmv_segment_overlap`` but with
+    the per-segment sketches folded from the MAINTAINED cube instead of a
+    fact pass — the oracle still recomputes everything from raw lineitem,
+    so the bit-match proves serve-from-partials == recompute for the set
+    algebra as well.  At 100 TB this turns "how much do segments overlap"
+    from a fact self-join into arithmetic over |flags|·k maintained rows."""
+    partials = load_or_build_orderkey_kmv(spark, sf_dir)
+    sk = kmv_fold(
+        partials.select(F.col("l_returnflag").alias("seg"), "h"), ["seg"], K
+    )
+    return kmv_pair_overlap(sk, "seg", K)
 
 
 @register("kmv_segment_overlap", oracle=_SEG_OVERLAP_ORACLE)

@@ -69,16 +69,17 @@ def test_refresh_before_build_falls_back_to_full_build(spark, tmp_path, monkeypa
 
 
 def test_day_partials_are_bounded_by_k(spark, tmp_path, monkeypatch):
-    """≤ k rows per day — the state bound that makes serving O(days·k)."""
+    """≤ k rows per (day, flag) CELL — the state bound that makes serving
+    O(days·|flags|·k)."""
     monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx4"))
-    per_day = (
+    per_cell = (
         sk.load_or_build_orderkey_kmv(spark, SF_DIR)
-        .groupBy("dia")
+        .groupBy("dia", "l_returnflag")
         .count()
         .agg(F.max("count"))
         .first()[0]
     )
-    assert per_day <= sk.K
+    assert per_cell <= sk.K
 
 
 def test_serving_plan_never_scans_lineitem(spark, tmp_path, monkeypatch):
@@ -147,6 +148,35 @@ def test_monthly_served_equals_direct_fold(spark, tmp_path, monkeypatch):
         )
     )
     assert _rows(sk.kmv_monthly_distinct_served(spark, SF_DIR)) == direct
+
+
+def test_flag_served_equals_direct_fold(spark, tmp_path, monkeypatch):
+    """Flag-grain fold over the maintained (day, flag) cube must equal the
+    per-flag sketch folded straight from the facts — the cube rolls up
+    along the day axis exactly as the month query rolls up the flag axis."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx7"))
+    li = load_table(spark, SF_DIR, "lineitem").filter(F.col("l_orderkey").isNotNull())
+    h = li.select("l_returnflag", hash48("l_orderkey").alias("h"))
+    direct = _rows(
+        kmv_fold(h, ["l_returnflag"], sk.K).select(
+            "l_returnflag", kmv_estimate(sk.K, "est_orders")
+        )
+    )
+    assert _rows(sk.kmv_flag_distinct_served(spark, SF_DIR)) == direct
+
+
+def test_overlap_served_matches_fact_pass_and_skips_lineitem(
+    spark, tmp_path, monkeypatch
+):
+    """The served pair algebra must be bit-identical to the fact-pass
+    variant AND its plan must never touch lineitem once the cube exists."""
+    from tests.test_plan_shapes import plan_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx8"))
+    sk.load_or_build_orderkey_kmv(spark, SF_DIR)  # build outside the plan
+    served = sk.kmv_segment_overlap_served(spark, SF_DIR)
+    assert "lineitem" not in plan_of(served)
+    assert _rows(served) == _rows(sk.kmv_segment_overlap(spark, SF_DIR))
 
 
 def test_refresh_scan_filter_pushes_down(spark):
