@@ -91,6 +91,9 @@ HEADLINE = [
     "incremental_revenue_by_month",
     "kmv_distinct_orders",  # grouped KMV distinct sketch straight off the facts
     "kmv_distinct_orders_served",  # same sketch served from maintained day partials
+    "cms_supplier_counts_served",  # CMS frequency grid served from maintained day partials
+    "cms_heavy_hitter_suppliers",  # heavy-hitter readout over the same maintained grid
+    "hist_quantiles_served",  # percentile readout from the maintained day histogram
     # stateful streaming (applyInPandasWithState end-to-end)
     "streaming_sessionize",
     "streaming_sessionize_bucketed",  # adopted bucketed-dispatch scale shape
@@ -133,6 +136,8 @@ def main() -> None:
     from olap_sus_spark.operators import inverted as _inv
     from olap_sus_spark.operators.index_store import corpus_rows as _corpus_rows
     from olap_sus_spark.queries import sketches as _sk
+    from olap_sus_spark.queries import cms as _cms
+    from olap_sus_spark.queries import hist as _hist
 
     _dedup_bits = _sim.auto_bits(_corpus_rows(sf_dir), target_bucket=8)
 
@@ -181,6 +186,19 @@ def main() -> None:
             "kmv_partials",
             lambda: _sk.orderkey_kmv_path(sf_dir),
             lambda: _sk.load_or_build_orderkey_kmv(spark, sf_dir),
+        ),
+        (
+            # CMS day grids: cms_*_served's maintained table, amortized so
+            # the headline is pure grid-fold + dimension-probe serving.
+            "cms_partials",
+            lambda: _cms.supplier_cms_path(sf_dir),
+            lambda: _cms.load_or_build_supplier_cms(spark, sf_dir),
+        ),
+        (
+            # Histogram day partials: hist_*_served's maintained table.
+            "hist_partials",
+            lambda: _hist.order_hist_path(sf_dir),
+            lambda: _hist.load_or_build_order_hist(spark, sf_dir),
         ),
     ]:
         shutil.rmtree(path_fn(), ignore_errors=True)

@@ -1,0 +1,129 @@
+"""Maintained partial-table contract, shared by every sketch/aggregate
+family that serves from per-day partials instead of the facts (KMV cube in
+queries/sketches.py, CMS grid in queries/cms.py; queries/incremental.py
+pioneered the pattern for the revenue rollup).
+
+The contract (proven by the incremental.py race probes and reused
+verbatim):
+
+- **Location-keyed path + stamp MARKER** — the table lives at a stable
+  path and carries the corpus stamp in a marker file; a stamp-keyed path
+  could never be refreshed incrementally.
+- **Staged build + atomic promotion**; stale marker → safe full rebuild
+  via retire-then-promote, where the retire rename must NOT assume it wins
+  (a concurrent rebuilder may have retired the path already — the loser
+  falls through to ``promote``, which discards its equivalent copy).
+- **Bounded read-retry** through a concurrent rebuilder's retire→promote
+  window (microseconds — two renames).
+- **Month-scoped dynamic-partition refresh** — re-derive ONLY the months
+  containing the ingested days and overwrite those ``mes_dt`` partitions
+  in place; idempotent.  A never-built table falls through to the full
+  staged build (a months-only partial must not masquerade as complete).
+
+``build(months)`` returns the partial rows for the given months
+(None = all) and MUST include a ``mes_dt`` yyyy-MM partition column.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_STAMP_MARKER = "_corpus_stamp.txt"
+
+
+def _one_file_per_month(partials: DataFrame) -> DataFrame:
+    """Collapse each month's partial rows into one task before the
+    partitioned write — a partial table is tiny by construction (≤ a
+    bounded number of rows per day), but writing it from every shuffle
+    task of the upstream aggregation sprays |months|·|tasks| small files
+    (measured: 2656 files / 9.5 s serving for the sf0.1 CMS grid vs 83
+    files / sub-second after).  Hash-repartitioning on mes_dt gives
+    exactly one file per month partition — the serving fold then pays
+    |months| file opens, not thousands."""
+    return partials.repartition("mes_dt")
+
+
+def read_marker(path: str) -> str | None:
+    try:
+        with open(os.path.join(path, _STAMP_MARKER)) as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
+def write_marker(path: str, stamp: str) -> None:
+    with open(os.path.join(path, _STAMP_MARKER), "w") as f:
+        f.write(stamp)
+
+
+def load_or_build_partials(
+    spark: SparkSession,
+    path: str,
+    stamp: str,
+    build: Callable[[list[str] | None], DataFrame],
+) -> DataFrame:
+    """Serve the partial table, rebuilding first if absent or stale."""
+    import shutil
+    import time
+
+    from olap_sus_spark.operators.index_store import (
+        index_root,
+        promote,
+        staging_path,
+        sweep_stale_staging,
+    )
+
+    if not os.path.exists(path) or read_marker(path) != stamp:
+        sweep_stale_staging()
+        os.makedirs(index_root(), exist_ok=True)
+        staging = staging_path(path)
+        _one_file_per_month(build(None)).write.partitionBy("mes_dt").mode(
+            "overwrite"
+        ).parquet(staging)
+        write_marker(staging, stamp)
+        if os.path.exists(path):
+            tomb = staging_path(path) + ".stale"
+            try:
+                os.rename(path, tomb)
+            except OSError:
+                tomb = None  # concurrent retire won; nothing of ours to reap
+            promote(staging, path)
+            if tomb is not None:
+                shutil.rmtree(tomb, ignore_errors=True)
+        else:
+            promote(staging, path)
+    for _ in range(100):
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            if os.path.exists(path):
+                raise
+            time.sleep(0.05)
+    return spark.read.parquet(path)
+
+
+def refresh_partials(
+    spark: SparkSession,
+    path: str,
+    stamp: str,
+    build: Callable[[list[str] | None], DataFrame],
+    days: list[str],
+) -> None:
+    """Re-derive ONLY the months containing ``days`` (yyyy-MM-dd) and
+    dynamic-partition-overwrite them — O(day), never the fact history."""
+    months = sorted({d[:7] for d in days})
+    if not os.path.exists(path):
+        load_or_build_partials(spark, path, stamp, build)
+        return
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        _one_file_per_month(build(months)).write.partitionBy("mes_dt").mode(
+            "overwrite"
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    write_marker(path, stamp)

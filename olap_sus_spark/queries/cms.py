@@ -1,0 +1,209 @@
+"""Count-Min frequency sketches over the driver tables: an ad-hoc
+point-frequency estimate plus a MAINTAINED per-day sketch-partial table
+served without touching the facts — the frequency twin of the KMV cube in
+queries/sketches.py (same maintained-partials contract from
+operators/maintained.py, same "oracle recomputes from raw facts" proof
+that maintained == direct).
+
+The maintained table stores, per l_shipdate day, the day's CMS grid rows
+(mes_dt, dia, j, slot, cnt) — ≤ depth·width rows per day.  CMS grids are
+ADDITIVE (counters sum), so summing day partials by (j, slot) yields
+EXACTLY the grid a single pass over the same facts would build; serving a
+point-frequency or heavy-hitter query is then arithmetic over
+O(days·depth·width) maintained rows plus the candidate DIMENSION —
+lineitem is never scanned (plan-pinned).  At 100 TB a daily ingest
+refreshes one day's ≤ depth·width-row grid and "how many lineitems did
+supplier X ever ship" is served in milliseconds.
+
+Candidates come from the supplier dimension — the legitimate CMS usage:
+the sketch answers point queries for keys you can name (dimension members,
+a watchlist), it cannot enumerate keys itself.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.operators.cms import (
+    CMS_DEPTH,
+    cms_build,
+    cms_estimate,
+    cms_oracle_sql,
+)
+from olap_sus_spark.registry import register
+
+WIDTH = 1024  # ε = e/width ≈ 0.27% of total weight; depth 4 → δ ≈ 1.8%
+_CMS_ALGO_VERSION = "v1"
+
+_CAND_SQL = "SELECT s_suppkey AS k FROM supplier"
+
+
+# ---------------------------------------------------------------------------
+# Ad-hoc estimate: lineitem count per supplier, straight off the facts.
+
+
+@register(
+    "cms_supplier_item_counts",
+    oracle=cms_oracle_sql(
+        CMS_DEPTH,
+        WIDTH,
+        "l_suppkey",
+        "FROM lineitem WHERE l_suppkey IS NOT NULL",
+        _CAND_SQL,
+        key_alias="s_suppkey",
+        alias="est_items",
+    ),
+)
+def cms_supplier_item_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated lineitem count per supplier from a 4×1024 Count-Min grid,
+    probed with the supplier dimension as the candidate set.  The estimate
+    is ≥ the exact count by construction and the oracle replays the
+    identical grid (same md5 row hashes, same min-over-rows), so the gate
+    checks the ESTIMATE bit-for-bit, not a tolerance."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey").isNotNull())
+    sketch = cms_build(li, [], "l_suppkey", None, CMS_DEPTH, WIDTH)
+    cand = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    return cms_estimate(sketch, cand, "s_suppkey", CMS_DEPTH, WIDTH, "est_items")
+
+
+# ---------------------------------------------------------------------------
+# Maintained per-day grid partials (shared maintained-partials contract).
+
+
+def supplier_cms_path(sf_dir: str) -> str:
+    from olap_sus_spark.operators.index_store import index_path
+
+    return index_path("cmssupp", f"{_CMS_ALGO_VERSION}|{os.path.abspath(sf_dir)}")
+
+
+def _current_stamp(sf_dir: str) -> str:
+    from olap_sus_spark.operators.index_store import corpus_stamp
+
+    return corpus_stamp(sf_dir, "lineitem")
+
+
+def _day_partials(
+    spark: SparkSession, sf_dir: str, months: list[str] | None = None
+) -> DataFrame:
+    """Per-day CMS grids (mes_dt, dia, j, slot, cnt) — ≤ depth·width rows
+    per day.  ``months`` restricts the scan with plain range predicates on
+    l_shipdate so the refresh reaches parquet row-group stats."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey").isNotNull())
+    if months is not None:
+        import datetime
+
+        cond = F.lit(False)
+        for m in sorted(set(months)):
+            start = datetime.date(int(m[:4]), int(m[5:7]), 1)
+            nxt = (start + datetime.timedelta(days=32)).replace(day=1)
+            cond = cond | (
+                (F.col("l_shipdate") >= F.lit(str(start)).cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(str(nxt)).cast("timestamp"))
+            )
+        li = li.filter(cond)
+    keyed = li.select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("mes_dt"),
+        F.to_date("l_shipdate").alias("dia"),
+        "l_suppkey",
+    )
+    return cms_build(keyed, ["mes_dt", "dia"], "l_suppkey", None, CMS_DEPTH, WIDTH)
+
+
+def load_or_build_supplier_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olap_sus_spark.operators.maintained import load_or_build_partials
+
+    return load_or_build_partials(
+        spark,
+        supplier_cms_path(sf_dir),
+        _current_stamp(sf_dir),
+        lambda months: _day_partials(spark, sf_dir, months),
+    )
+
+
+def refresh_supplier_cms(spark: SparkSession, sf_dir: str, days: list[str]) -> None:
+    from olap_sus_spark.operators.maintained import refresh_partials
+
+    refresh_partials(
+        spark,
+        supplier_cms_path(sf_dir),
+        _current_stamp(sf_dir),
+        lambda months: _day_partials(spark, sf_dir, months),
+        days,
+    )
+
+
+def _served_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global grid folded from the maintained day partials — additive
+    counters, so the sum by (j, slot) IS the single-pass grid."""
+    partials = load_or_build_supplier_cms(spark, sf_dir)
+    return partials.groupBy("j", "slot").agg(F.sum("cnt").alias("cnt"))
+
+
+@register(
+    "cms_supplier_counts_served",
+    oracle=cms_oracle_sql(
+        CMS_DEPTH,
+        WIDTH,
+        "l_suppkey",
+        "FROM lineitem WHERE l_suppkey IS NOT NULL",
+        _CAND_SQL,
+        key_alias="s_suppkey",
+        alias="est_items",
+    ),
+)
+def cms_supplier_counts_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier frequency estimates served from the MAINTAINED day
+    grids — fold ~days·depth·width tiny rows, probe the supplier dimension,
+    never scan lineitem (plan-pinned) — while the oracle rebuilds the grid
+    from the raw facts: the bit-match proves sum-of-day-grids == one-pass
+    grid (CMS additivity)."""
+    cand = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    return cms_estimate(
+        _served_sketch(spark, sf_dir), cand, "s_suppkey", CMS_DEPTH, WIDTH, "est_items"
+    )
+
+
+_HH_ORACLE = (
+    "WITH est AS ("
+    + cms_oracle_sql(
+        CMS_DEPTH,
+        WIDTH,
+        "l_suppkey",
+        "FROM lineitem WHERE l_suppkey IS NOT NULL",
+        _CAND_SQL,
+        key_alias="s_suppkey",
+        alias="est_items",
+    )
+    + """)
+SELECT s_suppkey, est_items FROM (
+  SELECT s_suppkey, est_items,
+         row_number() OVER (ORDER BY est_items DESC, s_suppkey) AS rn
+  FROM est) t
+WHERE rn <= 5
+"""
+)
+
+
+@register("cms_heavy_hitter_suppliers", oracle=_HH_ORACLE)
+def cms_heavy_hitter_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 suppliers by ESTIMATED shipped-item count, served entirely
+    from the maintained grids + the supplier dimension — the heavy-hitter
+    readout (CMS estimates are exact-or-over, so a true heavy hitter can
+    never be pushed out by an underestimate; ties broken by key for a
+    deterministic cutoff on both engines)."""
+    from pyspark.sql import Window
+
+    cand = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    est = cms_estimate(
+        _served_sketch(spark, sf_dir), cand, "s_suppkey", CMS_DEPTH, WIDTH, "est_items"
+    )
+    w = Window.orderBy(F.col("est_items").desc(), F.col("s_suppkey"))
+    return (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("s_suppkey", "est_items")
+    )

@@ -83,26 +83,10 @@ def orderkey_kmv_path(sf_dir: str) -> str:
     return index_path("kmvorders", f"{_SKETCH_ALGO_VERSION}|{os.path.abspath(sf_dir)}")
 
 
-_STAMP_MARKER = "_corpus_stamp.txt"
-
-
 def _current_stamp(sf_dir: str) -> str:
     from olap_sus_spark.operators.index_store import corpus_stamp
 
     return corpus_stamp(sf_dir, "lineitem")
-
-
-def _read_marker(path: str) -> str | None:
-    try:
-        with open(os.path.join(path, _STAMP_MARKER)) as f:
-            return f.read().strip()
-    except OSError:
-        return None
-
-
-def _write_marker(path: str, stamp: str) -> None:
-    with open(os.path.join(path, _STAMP_MARKER), "w") as f:
-        f.write(stamp)
 
 
 def _day_partials(
@@ -138,69 +122,32 @@ def _day_partials(
 
 
 def load_or_build_orderkey_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged build + atomic promotion; stale marker → safe full rebuild;
-    bounded read-retry through a concurrent rebuilder's retire→promote
-    window (the incremental.py contract, verbatim)."""
-    import shutil
-    import time
+    """Serve the cube via the shared maintained-partials contract
+    (operators/maintained.py: staged build, atomic promotion, stale-marker
+    rebuild, bounded read-retry)."""
+    from olap_sus_spark.operators.maintained import load_or_build_partials
 
-    from olap_sus_spark.operators.index_store import (
-        index_root,
-        promote,
-        staging_path,
-        sweep_stale_staging,
+    return load_or_build_partials(
+        spark,
+        orderkey_kmv_path(sf_dir),
+        _current_stamp(sf_dir),
+        lambda months: _day_partials(spark, sf_dir, months),
     )
-
-    path = orderkey_kmv_path(sf_dir)
-    stamp = _current_stamp(sf_dir)
-    if not os.path.exists(path) or _read_marker(path) != stamp:
-        sweep_stale_staging()
-        os.makedirs(index_root(), exist_ok=True)
-        staging = staging_path(path)
-        _day_partials(spark, sf_dir).write.partitionBy("mes_dt").mode(
-            "overwrite"
-        ).parquet(staging)
-        _write_marker(staging, stamp)
-        if os.path.exists(path):
-            tomb = staging_path(path) + ".stale"
-            try:
-                os.rename(path, tomb)
-            except OSError:
-                tomb = None  # concurrent retire won; nothing of ours to reap
-            promote(staging, path)
-            if tomb is not None:
-                shutil.rmtree(tomb, ignore_errors=True)
-        else:
-            promote(staging, path)
-    for _ in range(100):
-        try:
-            return spark.read.parquet(path)
-        except Exception:
-            if os.path.exists(path):
-                raise
-            time.sleep(0.05)
-    return spark.read.parquet(path)
 
 
 def refresh_orderkey_kmv(spark: SparkSession, sf_dir: str, days: list[str]) -> None:
     """Re-sketch ONLY the months containing the ingested days and
     dynamic-partition-overwrite them — idempotent, O(day), never the fact
-    history.  Never-built tables fall through to the full staged build
-    (a months-only partial must not masquerade as the complete table)."""
-    months = sorted({d[:7] for d in days})
-    path = orderkey_kmv_path(sf_dir)
-    if not os.path.exists(path):
-        load_or_build_orderkey_kmv(spark, sf_dir)
-        return
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        _day_partials(spark, sf_dir, months).write.partitionBy("mes_dt").mode(
-            "overwrite"
-        ).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    _write_marker(path, _current_stamp(sf_dir))
+    history (operators/maintained.py contract)."""
+    from olap_sus_spark.operators.maintained import refresh_partials
+
+    refresh_partials(
+        spark,
+        orderkey_kmv_path(sf_dir),
+        _current_stamp(sf_dir),
+        lambda months: _day_partials(spark, sf_dir, months),
+        days,
+    )
 
 
 @register(
