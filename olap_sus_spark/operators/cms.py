@@ -40,10 +40,24 @@ CMS_DEPTH = 4
 
 def _slot(j: str, key: str, width: int):
     """Row-j slot of a key: 48-bit md5-prefix hash of "j:key", mod width.
-    `concat_ws` renders BIGINT keys exactly as DuckDB's CAST(x AS VARCHAR),
-    so both engines land every item in the same slot."""
+    `CAST(x AS STRING)` renders BIGINT keys exactly as DuckDB's
+    CAST(x AS VARCHAR), so both engines land every item in the same slot —
+    including NULL keys: `concat` (unlike `concat_ws`) propagates NULL the
+    way SQL `||` does, so a NULL key gets a NULL slot on BOTH engines and
+    falls out of the slot equi-joins identically instead of hashing as the
+    bare row index on one side only."""
     h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.col(j), F.col(key))), 1, 12), 16, 10
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(j).cast("string"), F.lit(":"), F.col(key).cast("string")
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
     ).cast("bigint")
     return h % width
 
@@ -86,8 +100,11 @@ def cms_estimate(
     alias: str = "est",
 ) -> DataFrame:
     """Point-frequency estimates for every candidate key: min over the
-    depth rows of the key's slot counters.  Absent slots count 0 (the key
-    was never seen on that row), so unseen keys estimate 0 exactly.
+    depth rows of the key's slot counters.  Absent slots count 0, so an
+    unseen key estimates 0 whenever at least one of its slots was never
+    touched (the usual case in a non-saturated grid); if every slot
+    collides with inserted mass it gets the standard one-sided CMS
+    overestimate — never an undercount, but not exact-zero.
 
     ``sketch`` is a :func:`cms_build` result (ungrouped: j, slot, cnt);
     ``candidates`` carries one row per key to probe — a dimension table,

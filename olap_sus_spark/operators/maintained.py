@@ -34,6 +34,29 @@ from pyspark.sql import DataFrame, SparkSession
 _STAMP_MARKER = "_corpus_stamp.txt"
 
 
+def month_range_cond(col: str, months: list[str]):
+    """Month restriction as plain RANGE predicates on the raw timestamp
+    column — `date_format(..) IN (..)` would wrap the column in an
+    expression and never reach the parquet scan; `>= start AND <
+    next-month` comparisons push down to row-group stats (and prune
+    partitions outright on a date-partitioned lake), keeping a dated
+    refresh O(day), not O(history).  Shared by every family's partials
+    builder so the pushdown shape can't silently diverge."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    cond = F.lit(False)
+    for m in sorted(set(months)):
+        start = datetime.date(int(m[:4]), int(m[5:7]), 1)
+        nxt = (start + datetime.timedelta(days=32)).replace(day=1)
+        cond = cond | (
+            (F.col(col) >= F.lit(str(start)).cast("timestamp"))
+            & (F.col(col) < F.lit(str(nxt)).cast("timestamp"))
+        )
+    return cond
+
+
 def _one_file_per_month(partials: DataFrame) -> DataFrame:
     """Collapse each month's partial rows into one task before the
     partitioned write — a partial table is tiny by construction (≤ a

@@ -92,19 +92,11 @@ def _day_partials(
     """Per-day CMS grids (mes_dt, dia, j, slot, cnt) — ≤ depth·width rows
     per day.  ``months`` restricts the scan with plain range predicates on
     l_shipdate so the refresh reaches parquet row-group stats."""
+    from olap_sus_spark.operators.maintained import month_range_cond
+
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey").isNotNull())
     if months is not None:
-        import datetime
-
-        cond = F.lit(False)
-        for m in sorted(set(months)):
-            start = datetime.date(int(m[:4]), int(m[5:7]), 1)
-            nxt = (start + datetime.timedelta(days=32)).replace(day=1)
-            cond = cond | (
-                (F.col("l_shipdate") >= F.lit(str(start)).cast("timestamp"))
-                & (F.col("l_shipdate") < F.lit(str(nxt)).cast("timestamp"))
-            )
-        li = li.filter(cond)
+        li = li.filter(month_range_cond("l_shipdate", months))
     keyed = li.select(
         F.date_format("l_shipdate", "yyyy-MM").alias("mes_dt"),
         F.to_date("l_shipdate").alias("dia"),

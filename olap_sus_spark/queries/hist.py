@@ -50,19 +50,11 @@ def _day_partials(
     """Per-day bucket counts (mes_dt, dia, balde, n).  ``months`` restricts
     the scan with plain range predicates on o_orderdate so the refresh
     reaches parquet row-group stats."""
+    from olap_sus_spark.operators.maintained import month_range_cond
+
     od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     if months is not None:
-        import datetime
-
-        cond = F.lit(False)
-        for m in sorted(set(months)):
-            start = datetime.date(int(m[:4]), int(m[5:7]), 1)
-            nxt = (start + datetime.timedelta(days=32)).replace(day=1)
-            cond = cond | (
-                (F.col("o_orderdate") >= F.lit(str(start)).cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit(str(nxt)).cast("timestamp"))
-            )
-        od = od.filter(cond)
+        od = od.filter(month_range_cond("o_orderdate", months))
     return (
         od.select(
             F.date_format("o_orderdate", "yyyy-MM").alias("mes_dt"),

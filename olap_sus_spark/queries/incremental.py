@@ -49,49 +49,21 @@ def daily_revenue_path(sf_dir: str) -> str:
     )
 
 
-_STAMP_MARKER = "_corpus_stamp.txt"
-
-
 def _current_stamp(sf_dir: str) -> str:
     from olap_sus_spark.operators.index_store import corpus_stamp
 
     return corpus_stamp(sf_dir, "lineitem")
 
 
-def _read_marker(path: str) -> str | None:
-    try:
-        with open(os.path.join(path, _STAMP_MARKER)) as f:
-            return f.read().strip()
-    except OSError:
-        return None
-
-
-def _write_marker(path: str, stamp: str) -> None:
-    with open(os.path.join(path, _STAMP_MARKER), "w") as f:
-        f.write(stamp)
-
-
 def _partials(spark: SparkSession, sf_dir: str, months: list[str] | None = None) -> DataFrame:
     """Day-grain revenue partials from lineitem: (dia, valor, n) + month
-    partition key.  ``months`` (yyyy-MM) restricts the scan as RANGE
-    predicates on the raw timestamp column — `date_format(..) IN (..)`
-    would wrap the column in an expression and never reach the parquet
-    scan; plain `>= start AND < next-month` comparisons push down to
-    row-group stats (and prune partitions outright on a date-partitioned
-    lake), keeping refresh cost O(day), not O(history)."""
+    partition key.  ``months`` (yyyy-MM) restricts the scan via the shared
+    pushdown-preserving range predicate (operators/maintained.py)."""
+    from olap_sus_spark.operators.maintained import month_range_cond
+
     li = load_table(spark, sf_dir, "lineitem")
     if months is not None:
-        import datetime
-
-        cond = F.lit(False)
-        for m in sorted(set(months)):
-            start = datetime.date(int(m[:4]), int(m[5:7]), 1)
-            nxt = (start + datetime.timedelta(days=32)).replace(day=1)
-            cond = cond | (
-                (F.col("l_shipdate") >= F.lit(str(start)).cast("timestamp"))
-                & (F.col("l_shipdate") < F.lit(str(nxt)).cast("timestamp"))
-            )
-        li = li.filter(cond)
+        li = li.filter(month_range_cond("l_shipdate", months))
     return (
         li.select(
             F.date_format("l_shipdate", "yyyy-MM").alias("mes_dt"),
@@ -104,64 +76,21 @@ def _partials(spark: SparkSession, sf_dir: str, months: list[str] | None = None)
 
 
 def load_or_build_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maintained partial table: staged build + atomic promotion (index
-    contract), staleness via the stamp marker.  A marker matching the
-    current facts serves directly; a mismatch (the caller ingested without
-    calling :func:`refresh_daily_revenue`) triggers the safe full rebuild —
-    the maintained table must never silently serve stale partials."""
-    import shutil
+    """Maintained partial table on the shared contract
+    (operators/maintained.py — this family pioneered it): staged build +
+    atomic promotion, staleness via the stamp marker (a mismatch means the
+    caller ingested without calling :func:`refresh_daily_revenue` and
+    triggers the safe full rebuild — the table must never silently serve
+    stale partials), bounded read-retry through a concurrent rebuilder's
+    retire→promote window."""
+    from olap_sus_spark.operators.maintained import load_or_build_partials
 
-    from olap_sus_spark.operators.index_store import (
-        index_root,
-        promote,
-        staging_path,
-        sweep_stale_staging,
+    return load_or_build_partials(
+        spark,
+        daily_revenue_path(sf_dir),
+        _current_stamp(sf_dir),
+        lambda months: _partials(spark, sf_dir, months),
     )
-
-    path = daily_revenue_path(sf_dir)
-    stamp = _current_stamp(sf_dir)
-    if not os.path.exists(path) or _read_marker(path) != stamp:
-        sweep_stale_staging()
-        os.makedirs(index_root(), exist_ok=True)
-        staging = staging_path(path)
-        _partials(spark, sf_dir).write.partitionBy("mes_dt").mode("overwrite").parquet(
-            staging
-        )
-        _write_marker(staging, stamp)
-        if os.path.exists(path):
-            # Stale table: retire-then-promote.  The retire rename must NOT
-            # assume it wins — a concurrent rebuilder over the same stale
-            # marker may have retired (or already re-promoted) the path, in
-            # which case our rename raises and we fall through to `promote`,
-            # which lands this staging if the path is still absent or
-            # discards it if the winner's copy is already live (the same
-            # race-loser contract as the IVF quarantine in similarity.py).
-            # Readers CAN observe a brief no-table window between retire and
-            # promote; the serve below retries through it.
-            tomb = staging_path(path) + ".stale"
-            try:
-                os.rename(path, tomb)
-            except OSError:
-                tomb = None  # concurrent retire won; nothing of ours to reap
-            promote(staging, path)
-            if tomb is not None:
-                shutil.rmtree(tomb, ignore_errors=True)
-        else:
-            promote(staging, path)
-    # Serve with a bounded retry: a concurrent rebuilder's retire→promote
-    # window can make the path vanish between our freshness check and the
-    # read.  The window is microseconds (two renames); by the retry the
-    # winner has promoted and the read succeeds.
-    import time
-
-    for _ in range(100):
-        try:
-            return spark.read.parquet(path)
-        except Exception:
-            if os.path.exists(path):
-                raise
-            time.sleep(0.05)
-    return spark.read.parquet(path)
 
 
 def refresh_daily_revenue(spark: SparkSession, sf_dir: str, days: list[str]) -> None:
@@ -169,28 +98,19 @@ def refresh_daily_revenue(spark: SparkSession, sf_dir: str, days: list[str]) -> 
     the ingested days and dynamic-partition-overwrite them in place —
     idempotent (re-refreshing an unchanged day rewrites identical bytes).
     Cost is one pruned scan + one partition write, never the fact history.
-    """
-    months = sorted({d[:7] for d in days})
-    path = daily_revenue_path(sf_dir)
-    if not os.path.exists(path):
-        # Refreshing a never-built table must NOT create a months-only
-        # partial that load_or_build would later mistake for the complete
-        # table — fall through to the full staged build instead.
-        load_or_build_daily_revenue(spark, sf_dir)
-        return
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        _partials(spark, sf_dir, months).write.partitionBy("mes_dt").mode(
-            "overwrite"
-        ).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    # The caller declares the ingest reconciled: stamp the table with the
-    # CURRENT facts identity so serves trust the refreshed partials (this
-    # is what makes the O(day) path reachable on actually-changed facts —
-    # a stamp-keyed path would full-rebuild on every ingest).
-    _write_marker(path, _current_stamp(sf_dir))
+    The refresh stamps the table with the CURRENT facts identity so serves
+    trust the refreshed partials — what makes the O(day) path reachable on
+    actually-changed facts (a stamp-keyed path would full-rebuild on every
+    ingest)."""
+    from olap_sus_spark.operators.maintained import refresh_partials
+
+    refresh_partials(
+        spark,
+        daily_revenue_path(sf_dir),
+        _current_stamp(sf_dir),
+        lambda months: _partials(spark, sf_dir, months),
+        days,
+    )
 
 
 _INCR_ORACLE = """

@@ -36,7 +36,11 @@ from olap_sus_spark.operators.sketches import (
 from olap_sus_spark.registry import register
 
 K = 256  # RSE ~ 1/sqrt(k-2) ≈ 6.3%
-_SKETCH_ALGO_VERSION = "v2"  # v2: (day, returnflag) sketch-cube grain
+# v2: (day, returnflag) sketch-cube grain.  A version bump changes the
+# index directory name, so the previous version's table is simply never
+# read again — it lives under the OS temp dir (index_root) and follows its
+# lifecycle; no reaper races a concurrent process still serving from it.
+_SKETCH_ALGO_VERSION = "v2"
 
 _HASH_SQL = "CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)"
 
@@ -97,19 +101,11 @@ def _day_partials(
     range predicates on l_shipdate so the refresh reaches parquet
     row-group stats (the same pushdown-preserving shape as
     incremental._partials)."""
+    from olap_sus_spark.operators.maintained import month_range_cond
+
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey").isNotNull())
     if months is not None:
-        import datetime
-
-        cond = F.lit(False)
-        for m in sorted(set(months)):
-            start = datetime.date(int(m[:4]), int(m[5:7]), 1)
-            nxt = (start + datetime.timedelta(days=32)).replace(day=1)
-            cond = cond | (
-                (F.col("l_shipdate") >= F.lit(str(start)).cast("timestamp"))
-                & (F.col("l_shipdate") < F.lit(str(nxt)).cast("timestamp"))
-            )
-        li = li.filter(cond)
+        li = li.filter(month_range_cond("l_shipdate", months))
     h = li.select(
         F.date_format("l_shipdate", "yyyy-MM").alias("mes_dt"),
         F.to_date("l_shipdate").alias("dia"),
@@ -160,11 +156,11 @@ def refresh_orderkey_kmv(spark: SparkSession, sf_dir: str, days: list[str]) -> N
     ),
 )
 def kmv_distinct_orders_served(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global distinct-order estimate served from the MAINTAINED day
-    partials — a fold over ~2500·k tiny rows, no lineitem scan
-    (plan-pinned) — while the oracle recomputes the sketch from the raw
-    facts: the hash match proves union-merge-then-retruncate is exactly
-    the global sketch."""
+    """Global distinct-order estimate served from the MAINTAINED cube —
+    a fold over ~2500·|flags|·k tiny rows, no lineitem scan (plan-pinned)
+    — while the oracle recomputes the sketch from the raw facts: the hash
+    match proves union-merge-then-retruncate is exactly the global
+    sketch."""
     partials = load_or_build_orderkey_kmv(spark, sf_dir)
     return kmv_fold(partials.select("h"), [], K).select(kmv_estimate(K, "est_orders"))
 

@@ -38,6 +38,19 @@ def test_estimate_never_underestimates_and_absent_key_is_zero(spark):
     assert all(r["est"] == 0 for r in zeros)
 
 
+def test_null_keys_never_pollute_real_slots(spark):
+    """A NULL key must behave as SQL `||` does in the oracle: NULL slot,
+    so its weight lands in no real slot and every real key's estimate is
+    identical to a build over the null-filtered input."""
+    data = [(f"k{i}", 2) for i in range(10)]
+    with_null = spark.createDataFrame(data + [(None, 99)], "k string, w int")
+    clean = spark.createDataFrame(data, "k string, w int")
+    cand = clean.select("k").distinct()
+    a = _rows(cms_estimate(cms_build(with_null, [], "k", "w", CMS_DEPTH, 8), cand, "k", CMS_DEPTH, 8))
+    b = _rows(cms_estimate(cms_build(clean, [], "k", "w", CMS_DEPTH, 8), cand, "k", CMS_DEPTH, 8))
+    assert a == b
+
+
 def test_wide_grid_is_exact_for_isolated_keys(spark):
     """With width >> keys every key sits alone in at least one row's slot
     whp; for THIS fixed hash family and key set the estimates are exactly
