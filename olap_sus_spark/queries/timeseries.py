@@ -221,3 +221,68 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("changed")
         .alias("mudanca"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exponential time-decay scoring — "what's trending" with EXACT arithmetic.
+# Weights are powers of two over WEEK buckets (half-life = 1 week, horizon
+# 8 weeks), so the decayed sum is pure BIGINT: q · 2^(8−weeks_ago) summed,
+# then normalized by 2^8 — a dyadic division both engines perform exactly
+# in IEEE doubles.  The usual float pow(λ, age) pipeline can never be
+# bit-matched across engines (summation order); the dyadic form can, which
+# is what lets the driver gate hash-check a DECAYED metric at all.  The
+# anchor (max ship date) is one scalar aggregate collected driver-side —
+# bounded — so the 8-week filter reaches the scan as a plain range
+# predicate (pushdown, partition pruning on a dt-partitioned lake).
+# --------------------------------------------------------------------------
+_DECAY_ORACLE = """
+WITH anchor AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS mx FROM lineitem),
+src AS (
+    SELECT p.p_brand,
+           CAST(l.l_quantity AS BIGINT) AS q,
+           date_diff('day', CAST(l.l_shipdate AS DATE), a.mx) // 7 AS w
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    CROSS JOIN anchor a
+)
+SELECT p_brand,
+       CAST(SUM(q * (1 << (8 - w))) AS BIGINT) AS decayed_score,
+       CAST(SUM(q * (1 << (8 - w))) AS BIGINT) / 256.0 AS decayed_norm
+FROM src WHERE w <= 8
+GROUP BY p_brand
+"""
+
+
+@register("decayed_brand_popularity", oracle=_DECAY_ORACLE)
+def decayed_brand_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted brand popularity: each lineitem's quantity counts
+    at weight 2^(8−weeks_ago) relative to the newest ship date, i.e. it
+    halves every week and drops out after 8 — the trending-score shape
+    (recency-weighted source/popularity ranking in a training-data
+    pipeline) with every weight a power of two so the fold stays in
+    BIGINT and the oracle replays it bit-for-bit.  The part dim
+    broadcasts; the week filter is a range predicate on l_shipdate at the
+    scan."""
+    import datetime
+
+    li = load_table(spark, sf_dir, "lineitem")
+    anchor = li.agg(F.max(F.to_date("l_shipdate"))).first()[0]  # 1-row scalar
+    start = anchor - datetime.timedelta(days=9 * 7)  # covers w <= 8 fully
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    src = (
+        li.filter(F.col("l_shipdate") >= F.lit(str(start)).cast("timestamp"))
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("bigint").alias("q"),
+            F.expr(
+                f"datediff(DATE'{anchor}', to_date(l_shipdate)) DIV 7"
+            ).alias("w"),
+        )
+        .filter(F.col("w") <= 8)
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    score = F.sum(F.col("q") * F.expr("shiftleft(CAST(1 AS BIGINT), 8 - w)"))
+    return src.groupBy("p_brand").agg(
+        score.cast("bigint").alias("decayed_score"),
+        (score.cast("bigint") / F.lit(256.0)).alias("decayed_norm"),
+    )

@@ -486,3 +486,19 @@ def test_round5_additions_plan_shapes(spark):
     mnn = plan_of(QUERIES["mutual_nn_pairs"](spark, SF_DIR))
     # rank-1 edges intersect their transpose via an equi self-join
     assert "BroadcastHashJoin" in mnn or "SortMergeJoin" in mnn
+
+
+def test_decayed_popularity_plan_shape(spark):
+    """decayed_brand_popularity: the 8-week recency filter must reach the
+    lineitem scan as a range predicate (pushdown → partition pruning on a
+    dt-partitioned lake) and the part dim must broadcast."""
+    import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(QUERIES["decayed_brand_popularity"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "l_shipdate" in ln and "GreaterThanOrEqual" in ln for ln in pushed
+    ), pushed
