@@ -172,3 +172,57 @@ def hist_quantiles_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("balde").alias("balde"))
         .select("pct", "balde", (F.col("balde") * BUCKET_WIDTH).alias("limite_inferior"))
     )
+
+
+_MONTHLY_MEDIAN_ORACLE = f"""
+WITH h AS (SELECT strftime(o_orderdate, '%Y-%m') AS mes_dt,
+                  CAST(FLOOR(o_totalprice / {BUCKET_WIDTH}) AS INT) AS balde,
+                  COUNT(*) AS n
+           FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2),
+c AS (SELECT mes_dt, balde,
+             SUM(n) OVER (PARTITION BY mes_dt ORDER BY balde) AS cum,
+             CAST(SUM(n) OVER (PARTITION BY mes_dt) AS BIGINT) AS total
+      FROM h)
+SELECT mes_dt, MIN(balde) AS balde,
+       MIN(balde) * {BUCKET_WIDTH} AS limite_inferior
+FROM c WHERE cum >= (total + 1) // 2
+GROUP BY mes_dt
+"""
+
+
+@register("hist_monthly_median_served", oracle=_MONTHLY_MEDIAN_ORACLE)
+def hist_monthly_median_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median order value PER MONTH (bucket lower bound) from the same
+    maintained day partials — the group-wise percentile readout: fold the
+    cube at (month, bucket) grain, per-month running counts, smallest
+    bucket reaching ceil(N_month/2).  One maintained table thus serves
+    global percentiles, per-month medians, and the raw histogram; the
+    window partitions by month, so the frame per task is ≤ |buckets| rows
+    at any scale.  Oracle recomputes from raw orders."""
+    from pyspark.sql import Window
+
+    hist = (
+        load_or_build_order_hist(spark, sf_dir)
+        .groupBy("mes_dt", "balde")
+        .agg(F.sum("n").alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("mes_dt")
+        .orderBy("balde")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("mes_dt")
+    c = hist.select(
+        "mes_dt",
+        "balde",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).cast("bigint").alias("total"),
+    )
+    return (
+        c.filter(F.col("cum") >= F.expr("(total + 1) DIV 2"))
+        .groupBy("mes_dt")
+        .agg(F.min("balde").alias("balde"))
+        .select(
+            "mes_dt", "balde", (F.col("balde") * BUCKET_WIDTH).alias("limite_inferior")
+        )
+    )

@@ -286,3 +286,61 @@ def decayed_brand_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.cast("bigint").alias("decayed_score"),
         (score.cast("bigint") / F.lit(256.0)).alias("decayed_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Partition content checksums — merkle-style replica reconciliation.  Two
+# copies of a table (primary/DR, pre/post-migration) are compared partition
+# by partition: only partitions whose checksum differs need a row-level
+# diff (snapshot_diff above).  The per-partition digest is BIT_XOR over
+# 48-bit row hashes — order-independent and CONSTANT SPACE per group, so it
+# holds at billions of rows per partition where a collect-and-hash digest
+# (the bridge-signature idiom) would OOM; paired with the row count (xor is
+# blind to duplicate pairs; n catches them).  Hash inputs stick to
+# integer/string/date columns — canonical across engines — never raw
+# doubles, whose string rendering is not portable.
+# --------------------------------------------------------------------------
+_CHECKSUM_ORACLE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS mes_dt,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(CAST(concat('0x', substr(md5(
+             CAST(l_orderkey AS VARCHAR) || '|' ||
+             CAST(l_partkey AS VARCHAR) || '|' ||
+             CAST(l_suppkey AS VARCHAR) || '|' ||
+             l_returnflag || '|' ||
+             CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' ||
+             strftime(l_shipdate, '%Y-%m-%d')), 1, 12)) AS BIGINT))
+            AS BIGINT) AS checksum
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("partition_content_checksums", oracle=_CHECKSUM_ORACLE)
+def partition_content_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month (n_rows, BIT_XOR-of-row-hashes) digest of lineitem — the
+    cheap half of replica reconciliation: ship these ~|months| rows across
+    sites, compare, and row-diff only the partitions that disagree.  One
+    scan, one |months|-row shuffle, no per-group state growth.  The oracle
+    rebuilds the digests from the same rows, so the gate proves the digest
+    function itself is engine-portable — which is the whole point of a
+    cross-site checksum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ident = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_returnflag"),
+        F.col("l_quantity").cast("bigint").cast("string"),
+        F.date_format("l_shipdate", "yyyy-MM-dd"),
+    )
+    h = F.conv(F.substring(F.md5(ident), 1, 12), 16, 10).cast("bigint")
+    return (
+        li.select(F.date_format("l_shipdate", "yyyy-MM").alias("mes_dt"), h.alias("h"))
+        .groupBy("mes_dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("CAST(bit_xor(h) AS BIGINT)").alias("checksum"),
+        )
+    )
