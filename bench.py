@@ -91,6 +91,7 @@ HEADLINE = [
     "incremental_revenue_by_month",
     "kmv_distinct_orders",  # grouped KMV distinct sketch straight off the facts
     "kmv_distinct_orders_served",  # same sketch served from maintained day partials
+    "kmv_trailing_quarter_distinct_served",  # sliding-window re-fold of the same cube
     "cms_supplier_counts_served",  # CMS frequency grid served from maintained day partials
     "cms_heavy_hitter_suppliers",  # heavy-hitter readout over the same maintained grid
     "hist_quantiles_served",  # percentile readout from the maintained day histogram
