@@ -199,3 +199,98 @@ def cms_heavy_hitter_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("s_suppkey", "est_items")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window heavy hitters: CMS additivity means the maintained day
+# grids re-fold into ANY window, exactly like the KMV cube's trailing fold.
+
+_TRAIL_HH_ORACLE = f"""
+WITH src AS (SELECT strftime(l_shipdate, '%Y-%m') AS mes, l_suppkey AS k
+             FROM lineitem WHERE l_suppkey IS NOT NULL),
+months AS (SELECT DISTINCT mes FROM src),
+rows_j AS (SELECT m.mes AS mes_fim, s.k, t.j
+           FROM months m JOIN src s
+             ON CAST(m.mes || '-01' AS DATE)
+                BETWEEN CAST(s.mes || '-01' AS DATE)
+                    AND CAST(s.mes || '-01' AS DATE) + INTERVAL 2 MONTH
+           CROSS JOIN range(0, {CMS_DEPTH}) t(j)),
+sk AS (SELECT mes_fim, j,
+              CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) % {WIDTH} AS slot,
+              COUNT(*) AS cnt
+       FROM rows_j GROUP BY 1, 2, 3),
+probes AS (SELECT m.mes AS mes_fim, c.k, t.j,
+                  CAST(concat('0x', substr(md5(CAST(t.j AS VARCHAR) || ':' || CAST(c.k AS VARCHAR)), 1, 12)) AS BIGINT) % {WIDTH} AS slot
+           FROM months m CROSS JOIN ({_CAND_SQL}) c CROSS JOIN range(0, {CMS_DEPTH}) t(j)),
+est AS (SELECT p.mes_fim, p.k AS s_suppkey,
+               CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_items
+        FROM probes p LEFT JOIN sk
+          ON sk.mes_fim = p.mes_fim AND sk.j = p.j AND sk.slot = p.slot
+        GROUP BY 1, 2)
+SELECT mes_fim, s_suppkey, est_items FROM (
+  SELECT mes_fim, s_suppkey, est_items,
+         row_number() OVER (PARTITION BY mes_fim
+                            ORDER BY est_items DESC, s_suppkey) AS rn
+  FROM est) t
+WHERE rn <= 3
+"""
+
+
+@register("cms_trailing_quarter_heavy_hitters", oracle=_TRAIL_HH_ORACLE)
+def cms_trailing_quarter_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 suppliers by ESTIMATED shipped items in each TRAILING QUARTER
+    (window of months m−2..m, one readout per month) — the frequency twin
+    of the KMV cube's sliding fold: grids are additive, so the maintained
+    day cells re-sum into every window that covers them (explode ×3 over
+    the month-grain fold, O(depth·width·months) rows) and the probe joins
+    only the supplier DIMENSION — lineitem is never scanned.  Ties break
+    by key for a deterministic cutoff on both engines."""
+    from pyspark.sql import Window
+
+    from olap_sus_spark.operators.cms import _slot
+
+    partials = load_or_build_supplier_cms(spark, sf_dir)
+    mcell = partials.groupBy("mes_dt", "j", "slot").agg(F.sum("cnt").alias("cnt"))
+    months = mcell.select("mes_dt").distinct()
+    exp = mcell.select(
+        "j",
+        "slot",
+        "cnt",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("off"),
+        F.to_date(F.concat(F.col("mes_dt"), F.lit("-01"))).alias("m0"),
+    ).select(
+        F.date_format(F.expr("add_months(m0, off)"), "yyyy-MM").alias("mes_fim"),
+        "j",
+        "slot",
+        "cnt",
+    )
+    wsk = (
+        exp.join(F.broadcast(months.withColumnRenamed("mes_dt", "mes_fim")), "mes_fim")
+        .groupBy("mes_fim", "j", "slot")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cand = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    probes = (
+        months.withColumnRenamed("mes_dt", "mes_fim")
+        .coalesce(1)
+        .crossJoin(F.broadcast(cand))
+        .select(
+            "mes_fim",
+            "s_suppkey",
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j"),
+        )
+        .withColumn("slot", _slot("j", "s_suppkey", WIDTH))
+    )
+    est = (
+        probes.join(wsk, ["mes_fim", "j", "slot"], "left")
+        .groupBy("mes_fim", "s_suppkey")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_items"))
+    )
+    w = Window.partitionBy("mes_fim").orderBy(
+        F.col("est_items").desc(), F.col("s_suppkey")
+    )
+    return (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("mes_fim", "s_suppkey", "est_items")
+    )
