@@ -148,3 +148,14 @@ def test_refresh_scan_filter_pushes_down(spark):
     assert any(
         "l_shipdate" in ln and "GreaterThanOrEqual" in ln for ln in pushed
     ), pushed
+
+
+def test_trailing_heavy_hitters_plan_never_scans_lineitem(
+    spark, tmp_path, monkeypatch
+):
+    from tests.test_plan_shapes import plan_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx9"))
+    q.load_or_build_supplier_cms(spark, SF_DIR)  # build outside the plan
+    plan = plan_of(q.cms_trailing_quarter_heavy_hitters(spark, SF_DIR))
+    assert "lineitem" not in plan
