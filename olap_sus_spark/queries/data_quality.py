@@ -459,3 +459,44 @@ def chisq_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "balde", "c_base", "c_atual",
         F.when(F.col("c_base") > 0, contrib).alias("contribuicao"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit profile — the anomaly/fraud screen over a money
+# measure: natural multiplicative data follows log10(1+1/d); fabricated or
+# truncated data doesn't.  Everything emitted is engine-portable — the
+# leading digit comes from the INTEGER STRING of the cents value (double
+# formatting is not portable; integer rendering is), and the share is one
+# IEEE division of two exact BIGINTs (deterministic in both engines).  The
+# expected-Benford column is deliberately omitted: log10 goes through each
+# engine's libm and is NOT guaranteed bit-identical — compare downstream.
+# --------------------------------------------------------------------------
+_BENFORD_ORACLE = """
+WITH d AS (
+    SELECT substr(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+           AS digito
+    FROM orders WHERE o_totalprice > 0
+)
+SELECT digito, CAST(COUNT(*) AS BIGINT) AS n,
+       COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+FROM d GROUP BY digito
+"""
+
+
+@register("benford_first_digit", oracle=_BENFORD_ORACLE)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed first-digit distribution of order values (count + share
+    per leading digit 1-9).  One scan, a 9-row aggregate, and a 9-row
+    window for the shares — the profiling shape runs at any fact volume."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    d = orders.select(F.substring(cents.cast("string"), 1, 1).alias("digito"))
+    g = d.groupBy("digito").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return g.select(
+        "digito",
+        "n",
+        (F.col("n") / F.sum("n").over(w).cast("double")).alias("share"),
+    )
