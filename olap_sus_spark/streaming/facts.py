@@ -1,0 +1,106 @@
+"""Streaming fact ingest: lineitem drops → exactly-once corpus append →
+every maintained fact summary refreshed inside the micro-batch.
+
+The TPC-H-side twin of :mod:`olap_sus_spark.streaming.corpus` (which
+closes ingest→refresh→serve for the ANN/dedup indexes) and
+:mod:`olap_sus_spark.streaming.ingest` (warehouse aggregates): a
+file-watch stream appends landing drops to the corpus lineitem table,
+then calls :func:`olap_sus_spark.maintenance.refresh_fact_summaries` so
+the revenue rollup, KMV cube, CMS grid, and histogram are fresh — at
+O(day) each — the moment the batch commits.
+
+Appends here are EXACTLY-ONCE, one step past corpus.py's plain
+``mode("append")``: each micro-batch lands as a single part file whose
+name is keyed by the Structured Streaming ``batch_id``, committed with
+one atomic rename, and a replayed batch (crash between append and
+checkpoint commit) finds its file already present and skips — no
+duplicate rows, no transaction log needed.  One file per batch also keeps
+the corpus manifest growing O(1) per batch (the property the incremental
+index refreshes rely on).
+
+Requirements: ``corpus_dir`` is a full sf-dir layout (orders/supplier
+present for the CMS/histogram candidates and stamps) and its
+``lineitem.parquet`` is a DIRECTORY dataset (the shape appends grow).
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _append_exactly_once(batch: DataFrame, table_dir: str, batch_id: int) -> None:
+    """Land the micro-batch as ``ingest_batch_<id>.parquet`` inside the
+    dataset directory via stage-then-rename; a replay of the same batch id
+    is a no-op.  The single coalesce keeps the write atomic (one file, one
+    rename) — day-scale batches; larger batches would shard by a
+    within-batch key and rename each shard under its own deterministic
+    name."""
+    dst = os.path.join(table_dir, f"ingest_batch_{batch_id:06d}.parquet")
+    if os.path.exists(dst):
+        return  # replayed batch — already committed
+    staging = f"{table_dir}.__ingest__{batch_id}_{os.getpid()}"
+    batch.coalesce(1).write.mode("overwrite").parquet(staging)
+    parts = sorted(
+        f for f in os.listdir(staging) if f.endswith(".parquet") and f.startswith("part-")
+    )
+    assert len(parts) == 1, parts
+    os.makedirs(table_dir, exist_ok=True)
+    try:
+        os.rename(os.path.join(staging, parts[0]), dst)
+    except OSError:
+        if not os.path.exists(dst):  # a concurrent replayer won the rename
+            raise
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def _fact_batch(corpus_dir: str, refresh_summaries: bool = True):
+    from olap_sus_spark.maintenance import refresh_fact_summaries
+
+    table = posixpath.join(corpus_dir, "lineitem.parquet")
+
+    def inner(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        days = sorted(
+            str(r["d"])
+            for r in batch.select(F.to_date("l_shipdate").alias("d")).distinct().collect()
+        )
+        _append_exactly_once(batch, table, batch_id)
+        if refresh_summaries:
+            refresh_fact_summaries(spark, corpus_dir, days)
+
+    return inner
+
+
+def stream_lineitem_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    refresh_summaries: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain available lineitem drops into the corpus with every maintained
+    fact summary refreshed per micro-batch (Trigger.AvailableNow,
+    checkpointed file tracking — run on a schedule, or a processingTime
+    trigger for continuous ingest).  The landing schema is read once from
+    the landing files' own footers (one driver-side read, no sampling
+    inference job)."""
+    schema = spark.read.parquet(landing_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(landing_dir)
+        .writeStream.foreachBatch(_fact_batch(corpus_dir, refresh_summaries))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
