@@ -143,3 +143,42 @@ def incremental_revenue_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_itens"),
         )
     )
+
+
+_TRAILING_REV_ORACLE = """
+WITH daily AS (
+    SELECT CAST(l_shipdate AS DATE) AS dia,
+           SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS v,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+)
+SELECT dia,
+       CAST(SUM(v) OVER (ORDER BY dia RANGE BETWEEN INTERVAL 27 DAY PRECEDING
+                         AND CURRENT ROW) AS DOUBLE) AS receita_28d,
+       CAST(SUM(n) OVER (ORDER BY dia RANGE BETWEEN INTERVAL 27 DAY PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS itens_28d
+FROM daily
+"""
+
+
+@register("trailing_28d_revenue_served", oracle=_TRAILING_REV_ORACLE)
+def trailing_28d_revenue_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-28-day revenue per day served from the MAINTAINED
+    day partials — the exact-aggregate sibling of the sketch families'
+    sliding folds: a RANGE window over ~2500 partial rows (gap-safe —
+    rangeBetween on the day number, not row offsets) replaces a 28-day
+    fact rescan per output day.  DECIMAL sums stay exact through the
+    window; the only doubles are the final casts.  The calendar bounds the
+    single-partition window frame forever."""
+    from pyspark.sql import Window
+
+    partials = load_or_build_daily_revenue(spark, sf_dir)
+    daily = partials.select("dia", "valor", "n").withColumn(
+        "dia_num", F.unix_date("dia")
+    )
+    w = Window.orderBy("dia_num").rangeBetween(-27, 0)
+    return daily.select(
+        "dia",
+        F.sum("valor").over(w).cast("double").alias("receita_28d"),
+        F.sum("n").over(w).cast("bigint").alias("itens_28d"),
+    )
