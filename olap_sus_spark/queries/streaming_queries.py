@@ -210,3 +210,69 @@ def streaming_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("segmento"),
     )
     return run_available_now(joined, "append")
+
+
+_FACT_STAGED: dict[str, str] = {}
+
+
+@register(
+    "streaming_fact_ingest_loop",
+    oracle="""
+SELECT
+    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS ano,
+    CAST(EXTRACT(MONTH FROM l_shipdate) AS INT) AS mes,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS valor_total,
+    CAST(COUNT(*) AS BIGINT) AS n_itens
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def streaming_fact_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ingest→refresh→serve loop for the fact summaries, run as a
+    STREAM: lineitem is split into a pre-loaded corpus (≤1995) plus two
+    landing drops, drained through stream_lineitem_ingest (two real
+    micro-batches, exactly-once appends, refresh_fact_summaries inside
+    each batch), then the maintained revenue rollup is SERVED from the
+    streamed corpus.  The oracle recomputes from the ORIGINAL lineitem —
+    equality proves drops landed exactly once and every in-stream refresh
+    left the maintained table identical to a full recompute."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from olap_sus_spark.queries.incremental import incremental_revenue_by_month
+    from olap_sus_spark.streaming.facts import stream_lineitem_ingest
+
+    if sf_dir not in _FACT_STAGED:
+        base = tempfile.mkdtemp(prefix="olap_sus_factstream_")
+        corpus = os.path.join(base, "corpus")
+        landing = os.path.join(base, "landing")
+        os.makedirs(corpus)
+        os.makedirs(landing)
+        for t in ("orders", "supplier"):
+            src = os.path.join(sf_dir, f"{t}.parquet")
+            (shutil.copytree if os.path.isdir(src) else shutil.copy)(
+                src, os.path.join(corpus, f"{t}.parquet")
+            )
+        li = load_table(spark, sf_dir, "lineitem")
+        li.filter(F.year("l_shipdate") <= 1995).coalesce(1).write.parquet(
+            os.path.join(corpus, "lineitem.parquet")
+        )
+        rest = li.filter(F.year("l_shipdate") > 1995)
+        for i, part in enumerate(
+            (rest.filter(F.year("l_shipdate") <= 1998),
+             rest.filter(F.year("l_shipdate") > 1998))
+        ):
+            tmp = os.path.join(base, f"tmp{i}")
+            part.coalesce(1).write.parquet(tmp)
+            src = next(
+                f for f in os.listdir(tmp)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            os.rename(os.path.join(tmp, src), os.path.join(landing, f"drop_{i}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+        stream_lineitem_ingest(
+            spark, landing, corpus, os.path.join(base, "ck"), max_files_per_trigger=1
+        )
+        _FACT_STAGED[sf_dir] = corpus
+    return incremental_revenue_by_month(spark, _FACT_STAGED[sf_dir])
