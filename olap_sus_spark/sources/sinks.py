@@ -104,6 +104,36 @@ def merge_upsert(
     return path
 
 
+def append_exactly_once(batch: DataFrame, table_dir: str, batch_id: int) -> None:
+    """Exactly-once micro-batch append for foreachBatch sinks: the batch
+    lands as ``ingest_batch_<id>.parquet`` inside the dataset directory via
+    stage-then-rename, so a replayed batch (crash between append and
+    checkpoint commit) finds its file already present and SKIPS — no
+    duplicate rows, no transaction log.  One file per batch also grows the
+    corpus manifest O(1) per batch, the property the incremental index
+    refreshes key on.  Day-scale batches; larger batches would shard by a
+    within-batch key and rename each shard under its own deterministic
+    name."""
+    import shutil
+
+    dst = os.path.join(table_dir, f"ingest_batch_{batch_id:06d}.parquet")
+    if os.path.exists(dst):
+        return  # replayed batch — already committed
+    staging = f"{table_dir}.__ingest__{batch_id}_{os.getpid()}"
+    batch.coalesce(1).write.mode("overwrite").parquet(staging)
+    parts = sorted(
+        f for f in os.listdir(staging) if f.endswith(".parquet") and f.startswith("part-")
+    )
+    assert len(parts) == 1, parts
+    os.makedirs(table_dir, exist_ok=True)
+    try:
+        os.rename(os.path.join(staging, parts[0]), dst)
+    except OSError:
+        if not os.path.exists(dst):  # a concurrent replayer won the rename
+            raise
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def compact_partition(spark: SparkSession, path: str, target_files: int = 1) -> int:
     """Small-file compaction: rewrite a table/partition directory into
     ``target_files`` parquet files (streaming ingest and per-day appends

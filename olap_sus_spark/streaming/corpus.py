@@ -14,11 +14,13 @@ fresh full build or falls back to one (id-order and part-file-diff guards
 in the refresh functions).  The stream==rebuild equality tests in
 tests/test_streaming_ingest.py pin this end-to-end.
 
-Scale notes: each micro-batch coalesces to a bounded number of part files
-(``files_per_batch``) so the corpus manifest — and the src= partition
-count of every maintained index — grows by O(1) per batch, not O(input
-splits).  At 100 TB the same loop runs with a processingTime trigger; the
-appended-part-file diff is what makes per-batch refresh affordable.
+Scale notes: each micro-batch lands as ONE part file through the shared
+EXACTLY-ONCE sink (sources/sinks.append_exactly_once: batch-id-keyed
+atomic rename — a crash-replayed batch appends nothing), so the corpus
+manifest — and the src= partition count of every maintained index — grows
+by O(1) per batch, not O(input splits).  At 100 TB the same loop runs
+with a processingTime trigger; the appended-part-file diff is what makes
+per-batch refresh affordable.
 """
 
 from __future__ import annotations
@@ -27,6 +29,8 @@ import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from olap_sus_spark.sources.sinks import append_exactly_once
 from pyspark.sql.types import (
     ArrayType,
     FloatType,
@@ -87,7 +91,6 @@ def _document_batch(
     corpus_dir: str,
     refresh_indexes: bool = True,
     threshold: float = 0.5,
-    files_per_batch: int = 2,
 ):
     from olap_sus_spark.operators import dedup as dd
 
@@ -97,7 +100,7 @@ def _document_batch(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        batch.coalesce(files_per_batch).write.mode("append").parquet(table)
+        append_exactly_once(batch, table, batch_id)
         if refresh_indexes:
             dd.refresh_cluster_index(
                 spark, corpus_dir, corpus_docs_of(corpus_dir), threshold=threshold
@@ -113,7 +116,6 @@ def _embedding_batch(
     n_tables: int = 12,
     n_bits: int | None = 4,
     num_centroids: int = 16,
-    files_per_batch: int = 2,
 ):
     from olap_sus_spark.operators import similarity as sim
 
@@ -123,7 +125,7 @@ def _embedding_batch(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        batch.coalesce(files_per_batch).write.mode("append").parquet(table)
+        append_exactly_once(batch, table, batch_id)
         if refresh_indexes:
             sim.refresh_srp_index(spark, corpus_dir, dim, n_tables, n_bits)
             sim.refresh_ivf_index(spark, corpus_dir, num_centroids=num_centroids)

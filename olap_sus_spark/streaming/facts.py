@@ -9,14 +9,9 @@ then calls :func:`olap_sus_spark.maintenance.refresh_fact_summaries` so
 the revenue rollup, KMV cube, CMS grid, and histogram are fresh — at
 O(day) each — the moment the batch commits.
 
-Appends here are EXACTLY-ONCE, one step past corpus.py's plain
-``mode("append")``: each micro-batch lands as a single part file whose
-name is keyed by the Structured Streaming ``batch_id``, committed with
-one atomic rename, and a replayed batch (crash between append and
-checkpoint commit) finds its file already present and skips — no
-duplicate rows, no transaction log needed.  One file per batch also keeps
-the corpus manifest growing O(1) per batch (the property the incremental
-index refreshes rely on).
+Appends are EXACTLY-ONCE via the shared
+:func:`olap_sus_spark.sources.sinks.append_exactly_once` (batch-id-keyed
+atomic rename; the corpus document/embedding streams use the same sink).
 
 Requirements: ``corpus_dir`` is a full sf-dir layout (orders/supplier
 present for the CMS/histogram candidates and stamps) and its
@@ -25,37 +20,13 @@ present for the CMS/histogram candidates and stamps) and its
 
 from __future__ import annotations
 
-import os
 import posixpath
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _append_exactly_once(batch: DataFrame, table_dir: str, batch_id: int) -> None:
-    """Land the micro-batch as ``ingest_batch_<id>.parquet`` inside the
-    dataset directory via stage-then-rename; a replay of the same batch id
-    is a no-op.  The single coalesce keeps the write atomic (one file, one
-    rename) — day-scale batches; larger batches would shard by a
-    within-batch key and rename each shard under its own deterministic
-    name."""
-    dst = os.path.join(table_dir, f"ingest_batch_{batch_id:06d}.parquet")
-    if os.path.exists(dst):
-        return  # replayed batch — already committed
-    staging = f"{table_dir}.__ingest__{batch_id}_{os.getpid()}"
-    batch.coalesce(1).write.mode("overwrite").parquet(staging)
-    parts = sorted(
-        f for f in os.listdir(staging) if f.endswith(".parquet") and f.startswith("part-")
-    )
-    assert len(parts) == 1, parts
-    os.makedirs(table_dir, exist_ok=True)
-    try:
-        os.rename(os.path.join(staging, parts[0]), dst)
-    except OSError:
-        if not os.path.exists(dst):  # a concurrent replayer won the rename
-            raise
-    shutil.rmtree(staging, ignore_errors=True)
+from olap_sus_spark.sources.sinks import append_exactly_once as _append_exactly_once
 
 
 def _fact_batch(corpus_dir: str, refresh_summaries: bool = True):
