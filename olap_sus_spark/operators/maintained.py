@@ -57,6 +57,34 @@ def month_range_cond(col: str, months: list[str]):
     return cond
 
 
+def trailing_month_fold(
+    partials: DataFrame, cols: list[str], months_back: int = 2
+) -> DataFrame:
+    """Sliding-window scaffolding shared by the sketch families: re-project
+    each month-grain partial row onto EVERY trailing window that covers it
+    — (mes_fim, *cols) for offsets 0..months_back — validity-joined to the
+    months actually present, so windows at the series start simply cover
+    fewer months (same rule as the SQL oracles).  O(cells·months_back)
+    rows, never a fact scan; the caller folds the result at mes_fim grain
+    (kmv_fold re-truncation, CMS counter re-sum, ...)."""
+    from pyspark.sql import functions as F
+
+    months = partials.select("mes_dt").distinct()
+    exp = partials.select(
+        *cols,
+        F.explode(
+            F.array(*[F.lit(i) for i in range(months_back + 1)])
+        ).alias("off"),
+        F.to_date(F.concat(F.col("mes_dt"), F.lit("-01"))).alias("m0"),
+    ).select(
+        F.date_format(F.expr("add_months(m0, off)"), "yyyy-MM").alias("mes_fim"),
+        *cols,
+    )
+    return exp.join(
+        F.broadcast(months.withColumnRenamed("mes_dt", "mes_fim")), "mes_fim"
+    )
+
+
 def _one_file_per_month(partials: DataFrame) -> DataFrame:
     """Collapse each month's partial rows into one task before the
     partitioned write — a partial table is tiny by construction (≤ a

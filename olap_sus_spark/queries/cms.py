@@ -249,29 +249,19 @@ def cms_trailing_quarter_heavy_hitters(spark: SparkSession, sf_dir: str) -> Data
 
     from olap_sus_spark.operators.cms import _slot
 
+    from olap_sus_spark.operators.maintained import trailing_month_fold
+
     partials = load_or_build_supplier_cms(spark, sf_dir)
     mcell = partials.groupBy("mes_dt", "j", "slot").agg(F.sum("cnt").alias("cnt"))
-    months = mcell.select("mes_dt").distinct()
-    exp = mcell.select(
-        "j",
-        "slot",
-        "cnt",
-        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("off"),
-        F.to_date(F.concat(F.col("mes_dt"), F.lit("-01"))).alias("m0"),
-    ).select(
-        F.date_format(F.expr("add_months(m0, off)"), "yyyy-MM").alias("mes_fim"),
-        "j",
-        "slot",
-        "cnt",
-    )
     wsk = (
-        exp.join(F.broadcast(months.withColumnRenamed("mes_dt", "mes_fim")), "mes_fim")
+        trailing_month_fold(mcell, ["j", "slot", "cnt"])
         .groupBy("mes_fim", "j", "slot")
         .agg(F.sum("cnt").alias("cnt"))
     )
     cand = load_table(spark, sf_dir, "supplier").select("s_suppkey")
     probes = (
-        months.withColumnRenamed("mes_dt", "mes_fim")
+        mcell.select(F.col("mes_dt").alias("mes_fim"))
+        .distinct()
         .coalesce(1)
         .crossJoin(F.broadcast(cand))
         .select(

@@ -326,19 +326,10 @@ def kmv_trailing_quarter_distinct_served(spark: SparkSession, sf_dir: str) -> Da
     scale (~540 distinct orders per window at sf0.01 > k).  The oracle
     re-sketches every window from raw lineitem; the hash match proves
     window-fold == direct window sketch."""
+    from olap_sus_spark.operators.maintained import trailing_month_fold
+
     partials = load_or_build_orderkey_kmv(spark, sf_dir)
-    months = partials.select("mes_dt").distinct()
-    exp = partials.select(
-        "h",
-        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("off"),
-        F.to_date(F.concat(F.col("mes_dt"), F.lit("-01"))).alias("m0"),
-    ).select(
-        F.date_format(F.expr("add_months(m0, off)"), "yyyy-MM").alias("mes_fim"),
-        "h",
-    )
-    exp = exp.join(
-        F.broadcast(months.withColumnRenamed("mes_dt", "mes_fim")), "mes_fim"
-    )
+    exp = trailing_month_fold(partials, ["h"])
     return kmv_fold(exp, ["mes_fim"], K).select(
         "mes_fim", kmv_estimate(K, "est_orders")
     )

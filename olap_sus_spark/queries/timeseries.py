@@ -239,7 +239,7 @@ _DECAY_ORACLE = """
 WITH anchor AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS mx FROM lineitem),
 src AS (
     SELECT p.p_brand,
-           CAST(l.l_quantity AS BIGINT) AS q,
+           CAST(FLOOR(l.l_quantity) AS BIGINT) AS q,
            date_diff('day', CAST(l.l_shipdate AS DATE), a.mx) // 7 AS w
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -273,7 +273,8 @@ def decayed_brand_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") >= F.lit(str(start)).cast("timestamp"))
         .select(
             "l_partkey",
-            F.col("l_quantity").cast("bigint").alias("q"),
+            # floor, not a bare cast: ANSI cast truncates, DuckDB rounds
+            F.floor("l_quantity").cast("bigint").alias("q"),
             F.expr(
                 f"datediff(DATE'{anchor}', to_date(l_shipdate)) DIV 7"
             ).alias("w"),
@@ -299,17 +300,21 @@ def decayed_brand_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blind to duplicate pairs; n catches them).  Hash inputs stick to
 # integer/string/date columns — canonical across engines — never raw
 # doubles, whose string rendering is not portable.
+# The oracle's hex prefix uses '||' (NOT concat): DuckDB's concat IGNORES
+# NULL arguments, so concat('0x', NULL-hash) would yield the unparseable
+# string '0x' and crash the BIGINT cast on NULL-keyed rows; '||' propagates
+# the NULL and bit_xor skips it — exactly what the Spark side does.
 # --------------------------------------------------------------------------
 _CHECKSUM_ORACLE = """
 SELECT strftime(l_shipdate, '%Y-%m') AS mes_dt,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(bit_xor(CAST(concat('0x', substr(md5(
+       CAST(bit_xor(CAST('0x' || substr(md5(
              CAST(l_orderkey AS VARCHAR) || '|' ||
              CAST(l_partkey AS VARCHAR) || '|' ||
              CAST(l_suppkey AS VARCHAR) || '|' ||
              l_returnflag || '|' ||
-             CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' ||
-             strftime(l_shipdate, '%Y-%m-%d')), 1, 12)) AS BIGINT))
+             CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS VARCHAR) || '|' ||
+             strftime(l_shipdate, '%Y-%m-%d')), 1, 12) AS BIGINT))
             AS BIGINT) AS checksum
 FROM lineitem
 GROUP BY 1
@@ -325,14 +330,29 @@ def partition_content_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilds the digests from the same rows, so the gate proves the digest
     function itself is engine-portable — which is the whole point of a
     cross-site checksum."""
-    li = load_table(spark, sf_dir, "lineitem")
-    ident = F.concat_ws(
-        "|",
+    return _partition_checksums(load_table(spark, sf_dir, "lineitem"))
+
+
+def _partition_checksums(li: DataFrame) -> DataFrame:
+    """The digest pipeline over any lineitem-shaped frame (split out so the
+    NULL/fractional parity tests drive the EXACT production expression).
+    concat, NOT concat_ws: the oracle's `||` propagates NULL (row drops
+    out of the xor on both engines identically); concat_ws would skip the
+    NULL field and hash a shifted-but-valid string on this side only —
+    the same parity class fixed in operators/cms.py:_slot.  floor() on
+    the double quantity, NOT a bare bigint cast: Spark's ANSI cast
+    truncates where DuckDB's rounds."""
+    ident = F.concat(
         F.col("l_orderkey").cast("string"),
+        F.lit("|"),
         F.col("l_partkey").cast("string"),
+        F.lit("|"),
         F.col("l_suppkey").cast("string"),
+        F.lit("|"),
         F.col("l_returnflag"),
-        F.col("l_quantity").cast("bigint").cast("string"),
+        F.lit("|"),
+        F.floor("l_quantity").cast("string"),
+        F.lit("|"),
         F.date_format("l_shipdate", "yyyy-MM-dd"),
     )
     h = F.conv(F.substring(F.md5(ident), 1, 12), 16, 10).cast("bigint")

@@ -104,22 +104,28 @@ def merge_upsert(
     return path
 
 
-def append_exactly_once(batch: DataFrame, table_dir: str, batch_id: int) -> None:
+def append_exactly_once(
+    batch: DataFrame, table_dir: str, batch_id: int, run_tag: str
+) -> None:
     """Exactly-once micro-batch append for foreachBatch sinks: the batch
-    lands as ``ingest_batch_<id>.parquet`` inside the dataset directory via
-    stage-then-rename, so a replayed batch (crash between append and
-    checkpoint commit) finds its file already present and SKIPS — no
-    duplicate rows, no transaction log.  One file per batch also grows the
-    corpus manifest O(1) per batch, the property the incremental index
-    refreshes key on.  Day-scale batches; larger batches would shard by a
-    within-batch key and rename each shard under its own deterministic
-    name."""
+    lands as ``ingest_batch_<run_tag>_<id>.parquet`` inside the dataset
+    directory via stage-then-rename, so a replayed batch (crash between
+    append and checkpoint commit) finds its file already present and SKIPS
+    — no duplicate rows, no transaction log.  ``run_tag`` scopes the dedup
+    to ONE logical stream: batch ids restart at 0 per checkpoint, so
+    without the tag a fresh-checkpoint drain into an existing corpus would
+    collide with a prior run's batch 0 and silently drop its rows — derive
+    the tag from the checkpoint location (:func:`run_tag_of`).  One file
+    per batch also grows the corpus manifest O(1) per batch, the property
+    the incremental index refreshes key on.  Day-scale batches; larger
+    batches would shard by a within-batch key and rename each shard under
+    its own deterministic name."""
     import shutil
 
-    dst = os.path.join(table_dir, f"ingest_batch_{batch_id:06d}.parquet")
+    dst = os.path.join(table_dir, f"ingest_batch_{run_tag}_{batch_id:06d}.parquet")
     if os.path.exists(dst):
         return  # replayed batch — already committed
-    staging = f"{table_dir}.__ingest__{batch_id}_{os.getpid()}"
+    staging = f"{table_dir}.__ingest__{run_tag}_{batch_id}_{os.getpid()}"
     batch.coalesce(1).write.mode("overwrite").parquet(staging)
     parts = sorted(
         f for f in os.listdir(staging) if f.endswith(".parquet") and f.startswith("part-")
@@ -132,6 +138,16 @@ def append_exactly_once(batch: DataFrame, table_dir: str, batch_id: int) -> None
         if not os.path.exists(dst):  # a concurrent replayer won the rename
             raise
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def run_tag_of(checkpoint_dir: str) -> str:
+    """Stable per-stream tag for :func:`append_exactly_once`, derived from
+    the checkpoint location — the same identity Structured Streaming keys
+    its batch ids on, so replays share the tag and distinct streams (or a
+    wiped/relocated checkpoint, which IS a new stream) never collide."""
+    import hashlib
+
+    return hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
 
 
 def compact_partition(spark: SparkSession, path: str, target_files: int = 1) -> int:

@@ -30,7 +30,7 @@ import posixpath
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from olap_sus_spark.sources.sinks import append_exactly_once
+from olap_sus_spark.sources.sinks import append_exactly_once, run_tag_of
 from pyspark.sql.types import (
     ArrayType,
     FloatType,
@@ -89,6 +89,7 @@ def corpus_docs_of(corpus_dir: str):
 
 def _document_batch(
     corpus_dir: str,
+    run_tag: str,
     refresh_indexes: bool = True,
     threshold: float = 0.5,
 ):
@@ -100,7 +101,7 @@ def _document_batch(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        append_exactly_once(batch, table, batch_id)
+        append_exactly_once(batch, table, batch_id, run_tag)
         if refresh_indexes:
             dd.refresh_cluster_index(
                 spark, corpus_dir, corpus_docs_of(corpus_dir), threshold=threshold
@@ -112,6 +113,7 @@ def _document_batch(
 def _embedding_batch(
     corpus_dir: str,
     dim: int,
+    run_tag: str,
     refresh_indexes: bool = True,
     n_tables: int = 12,
     n_bits: int | None = 4,
@@ -125,7 +127,7 @@ def _embedding_batch(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        append_exactly_once(batch, table, batch_id)
+        append_exactly_once(batch, table, batch_id, run_tag)
         if refresh_indexes:
             sim.refresh_srp_index(spark, corpus_dir, dim, n_tables, n_bits)
             sim.refresh_ivf_index(spark, corpus_dir, num_centroids=num_centroids)
@@ -146,7 +148,9 @@ def stream_document_ingest(
     to a processingTime trigger for continuous ingest)."""
     q = (
         read_document_stream(spark, landing_dir)
-        .writeStream.foreachBatch(_document_batch(corpus_dir, threshold=threshold))
+        .writeStream.foreachBatch(
+            _document_batch(corpus_dir, run_tag_of(checkpoint_dir), threshold=threshold)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -168,7 +172,10 @@ def stream_embedding_ingest(
     q = (
         read_embedding_stream(spark, landing_dir)
         .writeStream.foreachBatch(
-            _embedding_batch(corpus_dir, dim, n_bits=n_bits, num_centroids=num_centroids)
+            _embedding_batch(
+                corpus_dir, dim, run_tag_of(checkpoint_dir),
+                n_bits=n_bits, num_centroids=num_centroids,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

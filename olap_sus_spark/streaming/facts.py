@@ -26,10 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-from olap_sus_spark.sources.sinks import append_exactly_once as _append_exactly_once
+from olap_sus_spark.sources.sinks import append_exactly_once, run_tag_of
 
 
-def _fact_batch(corpus_dir: str, refresh_summaries: bool = True):
+def _fact_batch(corpus_dir: str, run_tag: str, refresh_summaries: bool = True):
     from olap_sus_spark.maintenance import refresh_fact_summaries
 
     table = posixpath.join(corpus_dir, "lineitem.parquet")
@@ -42,7 +42,7 @@ def _fact_batch(corpus_dir: str, refresh_summaries: bool = True):
             str(r["d"])
             for r in batch.select(F.to_date("l_shipdate").alias("d")).distinct().collect()
         )
-        _append_exactly_once(batch, table, batch_id)
+        append_exactly_once(batch, table, batch_id, run_tag)
         if refresh_summaries:
             refresh_fact_summaries(spark, corpus_dir, days)
 
@@ -63,13 +63,22 @@ def stream_lineitem_ingest(
     trigger for continuous ingest).  The landing schema is read once from
     the landing files' own footers (one driver-side read, no sampling
     inference job)."""
+    import os
+
+    if not (
+        os.path.isdir(landing_dir)
+        and any(f.endswith(".parquet") for f in os.listdir(landing_dir))
+    ):
+        return  # scheduled drain with nothing pending — a no-op, not a crash
     schema = spark.read.parquet(landing_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     q = (
         reader.parquet(landing_dir)
-        .writeStream.foreachBatch(_fact_batch(corpus_dir, refresh_summaries))
+        .writeStream.foreachBatch(
+            _fact_batch(corpus_dir, run_tag_of(checkpoint_dir), refresh_summaries)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

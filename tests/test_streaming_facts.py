@@ -10,7 +10,8 @@ import shutil
 from pyspark.sql import functions as F
 
 from olap_sus_spark.catalog import load_table
-from olap_sus_spark.streaming.facts import _append_exactly_once, stream_lineitem_ingest
+from olap_sus_spark.sources.sinks import append_exactly_once
+from olap_sus_spark.streaming.facts import stream_lineitem_ingest
 from tests.conftest import SF_DIR
 
 
@@ -89,12 +90,16 @@ def test_stream_equals_rebuild_for_every_summary(spark, tmp_path, monkeypatch):
 
 def test_replayed_batch_appends_nothing(spark, tmp_path):
     """A crash between append and checkpoint commit re-delivers the batch;
-    the batch-id-keyed rename must make the second delivery a no-op."""
+    the (run_tag, batch_id)-keyed rename must make the second delivery a
+    no-op — while a DIFFERENT stream's batch 0 (fresh checkpoint, ids
+    restart) must still append, never be mistaken for a replay."""
     table = str(tmp_path / "t.parquet")
     batch = load_table(spark, SF_DIR, "lineitem").limit(100)
-    _append_exactly_once(batch, table, 7)
+    append_exactly_once(batch, table, 7, "runA")
     once = _rows(spark.read.parquet(table))
-    _append_exactly_once(batch, table, 7)  # replay, same batch id
+    append_exactly_once(batch, table, 7, "runA")  # replay, same stream
     assert _rows(spark.read.parquet(table)) == once
-    _append_exactly_once(batch, table, 8)  # a NEW batch does append
+    append_exactly_once(batch, table, 8, "runA")  # a NEW batch does append
     assert spark.read.parquet(table).count() == 200
+    append_exactly_once(batch, table, 7, "runB")  # new STREAM, colliding id
+    assert spark.read.parquet(table).count() == 300
