@@ -135,7 +135,15 @@ def load_or_build_partials(
             "overwrite"
         ).parquet(staging)
         write_marker(staging, stamp)
-        if os.path.exists(path):
+        if os.path.exists(path) and read_marker(path) == stamp:
+            # A concurrent builder landed a FRESH copy while we were
+            # building (our absent-or-stale observation is seconds old).
+            # Retiring it would yank part files out from under the winner's
+            # in-flight scans — a real mid-scan FileNotFound found by
+            # tools/race_probe_maintained.py — and buy nothing: our staging
+            # is an equivalent copy, so discard it and serve the live one.
+            shutil.rmtree(staging, ignore_errors=True)
+        elif os.path.exists(path):
             tomb = staging_path(path) + ".stale"
             try:
                 os.rename(path, tomb)
