@@ -577,7 +577,7 @@ def load_or_build_cluster_index(
                 "n": n,
             },
         )
-        _retire_and_promote(staging, path)
+        _retire_and_promote(staging, path, current, ("clusters", "hubs"))
     return _serve_retry(spark, os.path.join(path, "clusters")).select(
         id_col, "cluster_id"
     )

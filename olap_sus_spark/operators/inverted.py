@@ -138,7 +138,7 @@ def load_or_build_inverted_index(
         staging = ix.staging_path(path)
         _write_tables(postings, doc_stats, staging, dynamic=False)
         ix.write_manifest(staging, {"files": current})
-        _retire_and_promote(staging, path)
+        _retire_and_promote(staging, path, current, ("postings", "docs"))
     return _serve(spark, path)
 
 
@@ -191,13 +191,29 @@ def _serve(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     raise FileNotFoundError(path)
 
 
-def _retire_and_promote(staging: str, path: str) -> None:
+def _retire_and_promote(
+    staging: str,
+    path: str,
+    current_files: dict | None = None,
+    components: tuple[str, ...] = (),
+) -> None:
     """Same retire→promote contract as the ANN indexes: never assume the
     retire rename wins (a concurrent rebuilder over the same stale manifest
     may have retired or re-promoted first); readers retry through the
-    two-rename window in :func:`_serve`."""
+    two-rename window in :func:`_serve`.  ``current_files`` skips the
+    retire entirely when a concurrent builder already landed a CURRENT
+    copy (see similarity._retire_and_promote)."""
     import shutil
 
+    if current_files is not None and os.path.exists(path):
+        man = ix.read_manifest(path)
+        if (
+            man is not None
+            and man.get("files") == current_files
+            and all(os.path.exists(os.path.join(path, c)) for c in components)
+        ):
+            shutil.rmtree(staging, ignore_errors=True)
+            return
     if os.path.exists(path):
         tomb = ix.staging_path(path) + ".stale"
         try:

@@ -747,14 +747,36 @@ def _serve_retry(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _retire_and_promote(staging: str, path: str) -> None:
+def _retire_and_promote(
+    staging: str,
+    path: str,
+    current_files: dict | None = None,
+    components: tuple[str, ...] = (),
+) -> None:
     """Replace a live (stale) index with a fully-built staging copy.  The
     retire rename must not assume it wins — a concurrent rebuilder over the
     same stale manifest may have retired/re-promoted already; the loser
     falls through to `promote`, which discards its equivalent copy if a
-    winner's is live (queries/incremental.py contract)."""
+    winner's is live (queries/incremental.py contract).  ``current_files``
+    re-checks freshness immediately BEFORE retiring: if a concurrent
+    builder already landed a copy whose manifest matches the current
+    corpus, retiring it would yank files out from under the winner's
+    in-flight scans (the race found by tools/race_probe_maintained.py) —
+    discard our equivalent staging instead."""
     import shutil
 
+    if current_files is not None and os.path.exists(path):
+        man = _read_manifest(path)
+        if (
+            man is not None
+            and man.get("files") == current_files
+            and all(os.path.exists(os.path.join(path, c)) for c in components)
+        ):
+            # current AND complete (``components`` guards the detected-
+            # partial rebuild: its broken copy also carries a matching
+            # manifest and MUST still be replaced)
+            shutil.rmtree(staging, ignore_errors=True)
+            return
     if os.path.exists(path):
         tomb = _staging_path(path) + ".stale"
         try:
@@ -812,7 +834,7 @@ def load_or_build_srp_index(
         write_sorted_partitioned(b, staging, _SRC, ["t", "bucket"], files=4)
         b.unpersist()
         _write_manifest(staging, {"files": current, "n_bits": n_bits})
-        _retire_and_promote(staging, path)
+        _retire_and_promote(staging, path, current)
     return _serve_retry(spark, path).select(id_col, vec_col, "t", "bucket")
 
 
@@ -905,7 +927,7 @@ def _build_ivf(spark, sf_dir, num_centroids, id_col, vec_col, path, current):
             "n_centroids_built": int(stats[1]),
         },
     )
-    _retire_and_promote(staging, path)
+    _retire_and_promote(staging, path, current, ("assignments", "centroids"))
 
 
 def load_or_build_ivf_index(
