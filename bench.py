@@ -331,6 +331,20 @@ def main() -> None:
     _inc.refresh_daily_revenue(spark, sf_dir, [one_day])
     index_build["daily_revenue_refresh_1d"] = round(time.perf_counter() - t0, 4)
 
+    # Same refresh-vs-full evidence for the other maintained summaries
+    # (their full builds are the kmv/cms/hist_partials entries above).
+    from olap_sus_spark.queries import hist as _qh
+    from olap_sus_spark.queries import sketches as _qs
+
+    for tag, refresh in (
+        ("kmv_refresh_1d", lambda d: _qs.refresh_orderkey_kmv(spark, sf_dir, [d])),
+        ("cms_refresh_1d", lambda d: _cms.refresh_supplier_cms(spark, sf_dir, [d])),
+        ("hist_refresh_1d", lambda d: _qh.refresh_order_hist(spark, sf_dir, [d])),
+    ):
+        t0 = time.perf_counter()
+        refresh(one_day)
+        index_build[tag] = round(time.perf_counter() - t0, 4)
+
     # N measured executions per query (default 2), report the fastest
     # (steady state): the first run pays one-time whole-stage-codegen
     # compilation, which on a long-lived cluster amortizes to zero.
