@@ -284,3 +284,34 @@ def cms_trailing_quarter_heavy_hitters(spark: SparkSession, sf_dir: str) -> Data
         .filter(F.col("rn") <= 3)
         .select("mes_fim", "s_suppkey", "est_items")
     )
+
+
+_JOIN_SIZE_ORACLE = f"""
+WITH src AS (SELECT l_suppkey AS k FROM lineitem WHERE l_suppkey IS NOT NULL),
+rows_j AS (SELECT k, j FROM src CROSS JOIN range(0, {CMS_DEPTH}) t(j)),
+sk AS (SELECT j,
+              CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) % {WIDTH} AS slot,
+              COUNT(*) AS cnt
+       FROM rows_j GROUP BY 1, 2),
+ip AS (SELECT j, SUM(cnt * cnt) AS ip FROM sk GROUP BY j)
+SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM ip
+"""
+
+
+@register("cms_selfjoin_size_estimate", oracle=_JOIN_SIZE_ORACLE)
+def cms_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from the sketch INNER PRODUCT (Alon-Matias-
+    Szegedy / Cormode-Muthukrishnan): |R ⋈ S on k| ≈ min_j Σ_slot
+    cntR[j,s]·cntS[j,s] — here the lineitem self-join on l_suppkey, i.e.
+    Σ freq(s)², the skew statistic an optimizer wants BEFORE committing to
+    a shuffle join at 100 TB (a huge estimate says salt the key).  One
+    fact pass builds the grid; the estimate is arithmetic over ≤
+    depth·width rows, always ≥ the exact size, all-BIGINT — the oracle
+    replays it bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey").isNotNull())
+    sketch = cms_build(li, [], "l_suppkey", None, CMS_DEPTH, WIDTH)
+    return (
+        sketch.groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("ip"))
+        .agg(F.min("ip").cast("bigint").alias("est_join_rows"))
+    )

@@ -159,3 +159,18 @@ def test_trailing_heavy_hitters_plan_never_scans_lineitem(
     q.load_or_build_supplier_cms(spark, SF_DIR)  # build outside the plan
     plan = plan_of(q.cms_trailing_quarter_heavy_hitters(spark, SF_DIR))
     assert "lineitem" not in plan
+
+
+def test_selfjoin_estimate_dominates_exact(spark):
+    """The inner-product estimate must be >= the exact self-join size
+    (sum of per-key frequency squares) — the AMS one-sided guarantee."""
+    exact = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")))
+        .first()[0]
+    )
+    est = q.cms_selfjoin_size_estimate(spark, SF_DIR).first()[0]
+    assert est >= exact
+    assert est <= 2 * exact  # 1024 slots vs 10 keys: collisions are rare
