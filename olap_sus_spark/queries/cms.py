@@ -315,3 +315,37 @@ def cms_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("ip"))
         .agg(F.min("ip").cast("bigint").alias("est_join_rows"))
     )
+
+
+_MONTHLY_SKEW_ORACLE = f"""
+WITH src AS (SELECT strftime(l_shipdate, '%Y-%m') AS mes_dt, l_suppkey AS k
+             FROM lineitem WHERE l_suppkey IS NOT NULL),
+rows_j AS (SELECT mes_dt, k, j FROM src CROSS JOIN range(0, {CMS_DEPTH}) t(j)),
+sk AS (SELECT mes_dt, j,
+              CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) % {WIDTH} AS slot,
+              COUNT(*) AS cnt
+       FROM rows_j GROUP BY 1, 2, 3),
+ip AS (SELECT mes_dt, j, SUM(cnt * cnt) AS ip FROM sk GROUP BY 1, 2)
+SELECT mes_dt, CAST(MIN(ip) AS BIGINT) AS est_join_rows
+FROM ip GROUP BY mes_dt
+"""
+
+
+@register("cms_monthly_skew_served", oracle=_MONTHLY_SKEW_ORACLE)
+def cms_monthly_skew_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month self-join-size (Σ freq²) TIMELINE served from the
+    MAINTAINED day grids — skew-trend monitoring with no fact access:
+    fold the cube at month grain (additivity), inner-product each month's
+    grid, min over rows.  A month whose estimate jumps is a month whose
+    key distribution skewed — the signal that schedules a salting or
+    repartitioning change BEFORE the nightly join falls over.  The oracle
+    rebuilds every month grid from raw lineitem; the match proves
+    sum-of-day-grids inner products == single-pass inner products."""
+    partials = load_or_build_supplier_cms(spark, sf_dir)
+    mcell = partials.groupBy("mes_dt", "j", "slot").agg(F.sum("cnt").alias("cnt"))
+    return (
+        mcell.groupBy("mes_dt", "j")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("ip"))
+        .groupBy("mes_dt")
+        .agg(F.min("ip").cast("bigint").alias("est_join_rows"))
+    )
