@@ -39,3 +39,14 @@ def refresh_fact_summaries(
     refresh_supplier_cms(spark, sf_dir, days)
     refresh_order_hist(spark, sf_dir, days)
     return ["daily_revenue", "orderkey_kmv", "supplier_cms", "order_hist"]
+
+
+def refresh_event_summaries(
+    spark: SparkSession, sf_dir: str, days: list[str]
+) -> list[str]:
+    """Events-side daily close: refresh the maintained summaries keyed on
+    the events table (the active-user sketch cube) for the ingested days."""
+    from olap_sus_spark.queries.sketches import refresh_user_kmv
+
+    refresh_user_kmv(spark, sf_dir, days)
+    return ["user_kmv"]

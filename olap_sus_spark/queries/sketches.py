@@ -333,3 +333,117 @@ def kmv_trailing_quarter_distinct_served(spark: SparkSession, sf_dir: str) -> Da
     return kmv_fold(exp, ["mes_fim"], K).select(
         "mes_fim", kmv_estimate(K, "est_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# Active-user sketch cube over events: ONE maintained per-day user-sketch
+# table serves DAU / WAU / MAU for every day — the product-analytics trio
+# that normally costs a distinct-count scan per (day, window).
+
+_USER_HASH_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+)
+_AU_WINDOWS = [1, 7, 28]
+
+
+def user_kmv_path(sf_dir: str) -> str:
+    from olap_sus_spark.operators.index_store import index_path
+
+    return index_path("kmvusers", f"{_SKETCH_ALGO_VERSION}|{os.path.abspath(sf_dir)}")
+
+
+def _user_stamp(sf_dir: str) -> str:
+    from olap_sus_spark.operators.index_store import corpus_stamp
+
+    return corpus_stamp(sf_dir, "events")
+
+
+def _user_day_partials(
+    spark: SparkSession, sf_dir: str, months: list[str] | None = None
+) -> DataFrame:
+    """Per-day k-min user-hash cells (mes_dt, dia, h) over events."""
+    from olap_sus_spark.operators.maintained import month_range_cond
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    if months is not None:
+        ev = ev.filter(month_range_cond("ts", months))
+    h = ev.select(
+        F.date_format("ts", "yyyy-MM").alias("mes_dt"),
+        F.to_date("ts").alias("dia"),
+        hash48("user_id").alias("h"),
+    )
+    return kmv_fold(h, ["mes_dt", "dia"], K).select(
+        "mes_dt", "dia", F.explode("khashes").alias("h")
+    )
+
+
+def load_or_build_user_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olap_sus_spark.operators.maintained import load_or_build_partials
+
+    return load_or_build_partials(
+        spark,
+        user_kmv_path(sf_dir),
+        _user_stamp(sf_dir),
+        lambda months: _user_day_partials(spark, sf_dir, months),
+    )
+
+
+def refresh_user_kmv(spark: SparkSession, sf_dir: str, days: list[str]) -> None:
+    from olap_sus_spark.operators.maintained import refresh_partials
+
+    refresh_partials(
+        spark,
+        user_kmv_path(sf_dir),
+        _user_stamp(sf_dir),
+        lambda months: _user_day_partials(spark, sf_dir, months),
+        days,
+    )
+
+
+_ACTIVE_USERS_ORACLE = f"""
+WITH h AS (SELECT DISTINCT CAST(ts AS DATE) AS dia, {_USER_HASH_SQL} AS h
+           FROM events WHERE user_id IS NOT NULL),
+days AS (SELECT DISTINCT dia FROM h),
+w AS (SELECT CAST(win AS INT) AS win FROM (VALUES (1), (7), (28)) t(win)),
+exp AS (SELECT DISTINCT d.dia AS dia_fim, w.win, x.h
+        FROM days d CROSS JOIN w JOIN h x
+          ON date_diff('day', x.dia, d.dia) BETWEEN 0 AND w.win - 1),
+r AS (SELECT dia_fim, win, h,
+             row_number() OVER (PARTITION BY dia_fim, win ORDER BY h) AS rn
+      FROM exp),
+s AS (SELECT dia_fim, win, COUNT(*) AS n,
+             MAX(CASE WHEN rn = {K} THEN h END) AS hk
+      FROM r WHERE rn <= {K} GROUP BY 1, 2)
+SELECT dia_fim, win, CAST(CASE WHEN n < {K} THEN n
+                          ELSE {(K - 1) * HASH_SPACE} // NULLIF(hk, 0)
+                     END AS BIGINT) AS est_users
+FROM s
+"""
+
+
+@register("kmv_active_users_served", oracle=_ACTIVE_USERS_ORACLE)
+def kmv_active_users_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU per day (trailing 1/7/28-day distinct users) served
+    from ONE maintained per-day user-sketch table — each day cell re-folds
+    into every window covering it (explode ≤ 36 rows per cell, never an
+    event scan), where exact answers cost a distinct-scan per (day,
+    window).  The estimator is live at sf0.1 (1356 users/day > k); the
+    gate scales exercise the exact branch, which still proves the window
+    merges.  The oracle re-sketches every (day, window) from raw events."""
+    partials = load_or_build_user_kmv(spark, sf_dir)
+    days = partials.select(F.col("dia").alias("dia_fim")).distinct()
+    exp = (
+        partials.select(
+            "h",
+            "dia",
+            F.explode(F.array(*[F.lit(w) for w in _AU_WINDOWS])).alias("win"),
+        )
+        .select(
+            "h", "win", F.explode(F.expr("sequence(0, win - 1)")).alias("off"), "dia"
+        )
+        .select("h", "win", F.expr("date_add(dia, off)").alias("dia_fim"))
+        .join(F.broadcast(days), "dia_fim")
+    )
+    return kmv_fold(exp, ["dia_fim", "win"], K).select(
+        "dia_fim", "win", kmv_estimate(K, "est_users")
+    )

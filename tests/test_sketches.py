@@ -198,3 +198,22 @@ def test_trailing_quarter_plan_never_scans_lineitem(spark, tmp_path, monkeypatch
     sk.load_or_build_orderkey_kmv(spark, SF_DIR)  # build outside the plan
     plan = plan_of(sk.kmv_trailing_quarter_distinct_served(spark, SF_DIR))
     assert "lineitem" not in plan
+
+
+def test_active_users_plan_never_scans_events(spark, tmp_path, monkeypatch):
+    from tests.test_plan_shapes import plan_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx10"))
+    sk.load_or_build_user_kmv(spark, SF_DIR)  # build outside the plan
+    plan = plan_of(sk.kmv_active_users_served(spark, SF_DIR))
+    assert "events" not in plan
+
+
+def test_user_kmv_refresh_equals_rebuild(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx11"))
+    full = _rows(sk.kmv_active_users_served(spark, SF_DIR))
+    day = str(sk.load_or_build_user_kmv(spark, SF_DIR).agg(F.min("dia")).first()[0])
+    from olap_sus_spark.maintenance import refresh_event_summaries
+
+    assert refresh_event_summaries(spark, SF_DIR, [day]) == ["user_kmv"]
+    assert _rows(sk.kmv_active_users_served(spark, SF_DIR)) == full
