@@ -117,7 +117,11 @@ def run_backfill(
 
     Walks ``[start_date, end_date]`` inclusive, ingesting every day whose
     landing partition exists (days with no drop are skipped, like an Airflow
-    run over an empty source prefix).  Where Airflow pays one full
+    run over an empty source prefix).  The no-drop decision is an explicit
+    glob of the day's landing path BEFORE the ingest — never inferred from
+    ingest exception text, so a real failure inside run_ingest (missing
+    warehouse dim, bad data) always propagates instead of silently skipping
+    a day that had data.  Where Airflow pays one full
     aggregate-refresh per replayed day, the backfill refreshes each
     maintained aggregate ONCE over all ingested days at the end — by
     additive-partial idempotency (refresh_aggregate) the final warehouse
@@ -126,7 +130,10 @@ def run_backfill(
 
     Returns the list of dates actually ingested.
     """
+    import glob as _glob
     from datetime import date as _date, timedelta
+
+    from olap_sus_spark.sources.raw_csv import landing_glob
 
     d0, d1 = _date.fromisoformat(start_date), _date.fromisoformat(end_date)
     if d1 < d0:
@@ -135,12 +142,8 @@ def run_backfill(
     cur = d0
     while cur <= d1:
         day = cur.isoformat()
-        try:
+        if _glob.glob(landing_glob(landing_dir, dataset, day)):
             run_ingest(spark, dataset, day, landing_dir, warehouse_dir)
-        except Exception as exc:  # no landing drop for this day -> skip
-            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
-                raise
-        else:
             ingested.append(day)
         cur += timedelta(days=1)
     if refresh_aggregates and ingested:

@@ -171,18 +171,56 @@ def refresh_partials(
     build: Callable[[list[str] | None], DataFrame],
     days: list[str],
 ) -> None:
-    """Re-derive ONLY the months containing ``days`` (yyyy-MM-dd) and
-    dynamic-partition-overwrite them — O(day), never the fact history."""
+    """Re-derive ONLY the months containing ``days`` (yyyy-MM-dd) and swap
+    the refreshed month partitions in — O(day), never the fact history.
+
+    The refreshed months are STAGED to a per-process dir first and then
+    swapped partition-by-partition with the same retire-then-promote
+    choreography as the full rebuild (never delete a live directory; the
+    rename-race loser discards its equivalent copy).  An in-place
+    dynamic-partition overwrite instead deletes the live month's files
+    before committing the new ones — a concurrent cross-process reader
+    mid-scan of that month would hit FileNotFound outside the bounded
+    whole-path retry in :func:`load_or_build_partials`.  With the swap the
+    vulnerable window is the same two-renames-per-month microsecond window
+    every index family already runs (and the race probes cover)."""
+    import shutil
+
+    from olap_sus_spark.operators.index_store import (
+        staging_path,
+        sweep_stale_staging,
+    )
+
     months = sorted({d[:7] for d in days})
     if not os.path.exists(path):
         load_or_build_partials(spark, path, stamp, build)
         return
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    sweep_stale_staging()
+    staging = staging_path(path)
+    _one_file_per_month(build(months)).write.partitionBy("mes_dt").mode(
+        "overwrite"
+    ).parquet(staging)
     try:
-        _one_file_per_month(build(months)).write.partitionBy("mes_dt").mode(
-            "overwrite"
-        ).parquet(path)
+        for entry in sorted(os.listdir(staging)):
+            if not entry.startswith("mes_dt="):
+                continue
+            live = os.path.join(path, entry)
+            tomb = f"{staging}.{entry}.stale"  # .__build__ name → sweepable
+            if os.path.exists(live):
+                try:
+                    os.rename(live, tomb)
+                except OSError:
+                    tomb = None  # concurrent refresher retired it first
+            else:
+                tomb = None
+            try:
+                os.rename(os.path.join(staging, entry), live)
+            except OSError:
+                # concurrent refresher promoted its (equivalent) month copy
+                # between our retire and promote — keep the live one
+                pass
+            if tomb is not None:
+                shutil.rmtree(tomb, ignore_errors=True)
+        write_marker(path, stamp)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    write_marker(path, stamp)
+        shutil.rmtree(staging, ignore_errors=True)

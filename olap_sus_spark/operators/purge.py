@@ -66,14 +66,20 @@ def affected_files(
     spark: SparkSession, sf_dir: str, table: str, id_col: str, ids: list[int]
 ) -> list[str]:
     """Local filesystem paths of the part files holding any tombstoned id —
-    ONE column-pruned scan with the id filter pushed to the parquet reader."""
+    ONE column-pruned scan with the id filter pushed to the parquet reader.
+
+    ``input_file_name()`` returns a URI: percent-escapes (spaces etc. in a
+    corpus path) must be decoded before the path is handed to os-level
+    read/replace, or the later rewrite would miss the file."""
+    from urllib.parse import unquote
+
     from olap_sus_spark.catalog import load_table
 
     df = load_table(spark, sf_dir, table).select(
         id_col, F.input_file_name().alias("_f")
     )
     rows = _match(df, id_col, ids).select("_f").distinct().collect()
-    return sorted(r["_f"].removeprefix("file:") for r in rows)
+    return sorted(unquote(r["_f"].removeprefix("file:")) for r in rows)
 
 
 def purge_table_ids(

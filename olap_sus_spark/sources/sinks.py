@@ -132,11 +132,16 @@ def append_exactly_once(
     )
     assert len(parts) == 1, parts
     os.makedirs(table_dir, exist_ok=True)
+    # Commit point is a hard-link, NOT a rename: POSIX rename silently
+    # REPLACES an existing destination, so it cannot detect the concurrent-
+    # replayer race (harmless only because a replayed batch's bytes are
+    # identical — but that's an accident, not a guarantee).  link() fails
+    # with EEXIST exactly when another replayer already committed, making
+    # first-commit-wins explicit.
     try:
-        os.rename(os.path.join(staging, parts[0]), dst)
-    except OSError:
-        if not os.path.exists(dst):  # a concurrent replayer won the rename
-            raise
+        os.link(os.path.join(staging, parts[0]), dst)
+    except FileExistsError:
+        pass  # a concurrent replayer committed first — keep its copy
     shutil.rmtree(staging, ignore_errors=True)
 
 
