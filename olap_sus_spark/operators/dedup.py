@@ -512,8 +512,10 @@ def load_or_build_cluster_index(
     from pyspark.sql import functions as F
 
     from olap_sus_spark.operators.index_store import (
+        compact_manifest,
         corpus_files,
         index_root,
+        manifest_is_current,
         read_manifest,
         staging_path,
         sweep_stale_staging,
@@ -525,7 +527,7 @@ def load_or_build_cluster_index(
     path = cluster_index_path(sf_dir, threshold, n)
     current = corpus_files(sf_dir, "documents")
     man = read_manifest(path)
-    if man is None or man.get("files") != current:
+    if not manifest_is_current(man, current):
         sweep_stale_staging()
         g = _grams_blocks(docs, n, id_col)
         if _SRC not in g.columns:
@@ -571,7 +573,7 @@ def load_or_build_cluster_index(
         write_manifest(
             staging,
             {
-                "files": current,
+                **compact_manifest(man, current),
                 "max_doc_id": None if max_id is None else int(max_id),
                 "threshold": threshold,
                 "n": n,
@@ -617,9 +619,10 @@ def refresh_cluster_index(
     from pyspark.sql import functions as F
 
     from olap_sus_spark.operators.index_store import (
+        compact_manifest,
         corpus_file_paths,
         corpus_files,
-        diff_files,
+        manifest_diff,
         read_manifest,
         write_manifest,
     )
@@ -639,7 +642,7 @@ def refresh_cluster_index(
     current = corpus_files(sf_dir, "documents")
     if man is None or not (os.path.exists(cpath) and os.path.exists(hpath)):
         return _full()
-    added, changed, removed = diff_files(man["files"], current)
+    added, changed, removed = manifest_diff(man, current)
     if changed or removed:
         return _full()
     if added:
@@ -654,8 +657,7 @@ def refresh_cluster_index(
         min_new = g.agg(F.min(id_col)).first()[0]
         if min_new is None:
             g.unpersist()
-            _write_man = dict(man, files=current)
-            write_manifest(path, _write_man)
+            write_manifest(path, {**man, **compact_manifest(man, current)})
             return _serve_retry(spark, cpath).select(id_col, "cluster_id")
         if man["max_doc_id"] is not None and min_new <= man["max_doc_id"]:
             # an id at or below the existing range could displace a hub and
@@ -707,7 +709,7 @@ def refresh_cluster_index(
         g.unpersist()
         write_manifest(
             path,
-            dict(man, files=current, max_doc_id=int(max_new)),
+            {**man, **compact_manifest(man, current), "max_doc_id": int(max_new)},
         )
     return _serve_retry(spark, cpath).select(id_col, "cluster_id")
 

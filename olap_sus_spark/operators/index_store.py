@@ -131,6 +131,98 @@ def diff_files(
     return added, changed, removed
 
 
+# ---------------------------------------------------------------------------
+# Manifest compaction: an append-only corpus at daily ingest grows the
+# per-file manifest one row per ingested file FOREVER.  Once a file is fully
+# signed into the index it almost never changes again, so old rows are
+# rolled into sealed EPOCHS — each a sorted name list plus one hash over the
+# members' identities.  The live ``files`` map stays bounded
+# (≤ _EPOCH_KEEP + one epoch of slack); staleness and diff checks treat a
+# sealed epoch as one unit: hash matches → all members unchanged (O(1) rows
+# in the manifest), hash broken → every surviving member conservatively
+# re-signed (O(epoch), still never O(corpus)).  Purge/RTBF rewrites of an
+# old file therefore cost one epoch's re-sign instead of staying file-
+# scoped — the deliberate trade for a bounded manifest.
+# ---------------------------------------------------------------------------
+EPOCH_KEEP = 64  # max loose per-file rows before sealing kicks in
+EPOCH_SIZE = 64  # files rolled into one sealed epoch
+
+
+def _epoch_hash(names: list[str], files: dict[str, list[int]]) -> str:
+    import hashlib
+
+    ident = [(n, list(files[n])) for n in sorted(names)]
+    return hashlib.md5(repr(ident).encode()).hexdigest()[:16]
+
+
+def compact_manifest(man: dict | None, current: dict[str, list[int]]) -> dict:
+    """Build the ``{"files": ..., "epochs": ...}`` payload for ``current``:
+    carry forward every sealed epoch still intact, re-loosen members of
+    broken ones, then seal the oldest loose files (by mtime, then name)
+    while more than EPOCH_KEEP remain.  Callers merge their extra keys on
+    top.  A manifest without epochs reads/writes exactly as before."""
+    epochs = []
+    for e in (man or {}).get("epochs", []):
+        if all(n in current for n in e["names"]) and _epoch_hash(
+            e["names"], current
+        ) == e.get("h"):
+            epochs.append({"names": sorted(e["names"]), "h": e["h"]})
+    covered = {n for e in epochs for n in e["names"]}
+    loose = {n: list(v) for n, v in current.items() if n not in covered}
+    order = sorted(loose, key=lambda n: (loose[n][1], n))  # oldest first
+    while len(loose) > EPOCH_KEEP:
+        chunk = order[: min(EPOCH_SIZE, len(loose) - EPOCH_KEEP)]
+        order = order[len(chunk):]
+        epochs.append({"names": sorted(chunk), "h": _epoch_hash(chunk, current)})
+        for n in chunk:
+            del loose[n]
+    # "epochs" is ALWAYS present (even empty) so ``{**man, **compacted}``
+    # merges can never carry a stale epoch list forward
+    return {"files": loose, "epochs": epochs}
+
+
+def manifest_is_current(man: dict | None, current: dict[str, list[int]]) -> bool:
+    """Epoch-aware staleness test: every sealed epoch intact AND the loose
+    map exactly covers the remaining current files."""
+    if man is None:
+        return False
+    covered: set[str] = set()
+    for e in man.get("epochs", []):
+        if any(n not in current for n in e["names"]):
+            return False
+        if _epoch_hash(e["names"], current) != e.get("h"):
+            return False
+        covered.update(e["names"])
+    loose_cur = {n: list(v) for n, v in current.items() if n not in covered}
+    files = {n: list(v) for n, v in man.get("files", {}).items()}
+    return files == loose_cur
+
+
+def manifest_diff(
+    man: dict, current: dict[str, list[int]]
+) -> tuple[list[str], list[str], list[str]]:
+    """Epoch-aware (added, changed, removed).  An intact epoch contributes
+    nothing; a broken epoch's surviving members are conservatively
+    ``changed`` (their individual old identities were compacted away) and
+    its vanished members ``removed``."""
+    covered: set[str] = set()
+    changed_extra: list[str] = []
+    removed_extra: list[str] = []
+    for e in man.get("epochs", []):
+        covered.update(e["names"])
+        missing = [n for n in e["names"] if n not in current]
+        if missing:
+            removed_extra.extend(missing)
+            changed_extra.extend(n for n in e["names"] if n in current)
+        elif _epoch_hash(e["names"], current) != e.get("h"):
+            changed_extra.extend(e["names"])
+    loose_cur = {n: v for n, v in current.items() if n not in covered}
+    a, c, r = diff_files(man.get("files", {}), loose_cur)
+    return sorted(a), sorted(set(c) | set(changed_extra)), sorted(
+        set(r) | set(removed_extra)
+    )
+
+
 def index_path(kind: str, key: str) -> str:
     """Deterministic index directory for (kind, logical key)."""
     import hashlib

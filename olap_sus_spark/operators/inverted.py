@@ -131,13 +131,13 @@ def load_or_build_inverted_index(
     path = inverted_index_path(sf_dir, table)
     current = ix.corpus_files(sf_dir, table)
     man = ix.read_manifest(path)
-    if man is None or man.get("files") != current:
+    if not ix.manifest_is_current(man, current):
         ix.sweep_stale_staging()
         os.makedirs(ix.index_root(), exist_ok=True)
         postings, doc_stats = _index_frames(_with_src(load_table(spark, sf_dir, table)))
         staging = ix.staging_path(path)
         _write_tables(postings, doc_stats, staging, dynamic=False)
-        ix.write_manifest(staging, {"files": current})
+        ix.write_manifest(staging, ix.compact_manifest(man, current))
         _retire_and_promote(staging, path, current, ("postings", "docs"))
     return _serve(spark, path)
 
@@ -157,7 +157,7 @@ def refresh_inverted_index(
     man = ix.read_manifest(path)
     if man is None:
         return load_or_build_inverted_index(spark, sf_dir, table)
-    added, changed, removed = ix.diff_files(man.get("files", {}), current)
+    added, changed, removed = ix.manifest_diff(man, current)
     if removed:
         # Shrunk corpus: per-partition overwrite cannot delete rows of a
         # vanished src; rebuild from scratch (manifest mismatch forces it).
@@ -167,7 +167,7 @@ def refresh_inverted_index(
         paths = ix.corpus_file_paths(sf_dir, table, stale)
         postings, doc_stats = _index_frames(_with_src(spark.read.parquet(*paths)))
         _write_tables(postings, doc_stats, path, dynamic=True)
-        ix.write_manifest(path, {"files": current})
+        ix.write_manifest(path, ix.compact_manifest(man, current))
     return _serve(spark, path)
 
 
@@ -207,10 +207,8 @@ def _retire_and_promote(
 
     if current_files is not None and os.path.exists(path):
         man = ix.read_manifest(path)
-        if (
-            man is not None
-            and man.get("files") == current_files
-            and all(os.path.exists(os.path.join(path, c)) for c in components)
+        if ix.manifest_is_current(man, current_files) and all(
+            os.path.exists(os.path.join(path, c)) for c in components
         ):
             shutil.rmtree(staging, ignore_errors=True)
             return

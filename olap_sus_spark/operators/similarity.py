@@ -678,11 +678,13 @@ def lsh_topk(
 
 
 from olap_sus_spark.operators.index_store import (
+    compact_manifest as _compact_manifest,
     corpus_file_paths as _corpus_file_paths,
     corpus_files as _corpus_files,
     corpus_rows as _corpus_rows,
-    diff_files as _diff_files,
     index_root as _index_root,
+    manifest_diff as _manifest_diff,
+    manifest_is_current as _manifest_is_current,
     promote as _promote,
     read_manifest as _read_manifest,
     staging_path as _staging_path,
@@ -767,10 +769,8 @@ def _retire_and_promote(
 
     if current_files is not None and os.path.exists(path):
         man = _read_manifest(path)
-        if (
-            man is not None
-            and man.get("files") == current_files
-            and all(os.path.exists(os.path.join(path, c)) for c in components)
+        if _manifest_is_current(man, current_files) and all(
+            os.path.exists(os.path.join(path, c)) for c in components
         ):
             # current AND complete (``components`` guards the detected-
             # partial rebuild: its broken copy also carries a matching
@@ -818,7 +818,7 @@ def load_or_build_srp_index(
     path = srp_index_path(sf_dir, dim, n_tables, n_bits)
     current = _corpus_files(sf_dir)
     man = _read_manifest(path)
-    if man is None or man.get("files") != current:
+    if not _manifest_is_current(man, current):
         _sweep_stale_staging()
         emb = _with_src(load_table(spark, sf_dir, "embeddings"))
         # Materialize the signature pass once: the range partitioner's
@@ -833,7 +833,9 @@ def load_or_build_srp_index(
         staging = _staging_path(path)
         write_sorted_partitioned(b, staging, _SRC, ["t", "bucket"], files=4)
         b.unpersist()
-        _write_manifest(staging, {"files": current, "n_bits": n_bits})
+        _write_manifest(
+            staging, {**_compact_manifest(man, current), "n_bits": n_bits}
+        )
         _retire_and_promote(staging, path, current)
     return _serve_retry(spark, path).select(id_col, vec_col, "t", "bucket")
 
@@ -874,7 +876,7 @@ def refresh_srp_index(
         return load_or_build_srp_index(
             spark, sf_dir, dim, n_tables, n_bits, id_col, vec_col
         )
-    added, changed, removed = _diff_files(man["files"], current)
+    added, changed, removed = _manifest_diff(man, current)
     if removed:
         return load_or_build_srp_index(
             spark, sf_dir, dim, n_tables, n_bits, id_col, vec_col
@@ -888,7 +890,7 @@ def refresh_srp_index(
         write_sorted_partitioned(
             b, path, _SRC, ["t", "bucket"], files=4, dynamic=True
         )
-        _write_manifest(path, {"files": current, "n_bits": n_bits})
+        _write_manifest(path, {**_compact_manifest(man, current), "n_bits": n_bits})
     return _serve_retry(spark, path).select(id_col, vec_col, "t", "bucket")
 
 
@@ -921,7 +923,7 @@ def _build_ivf(spark, sf_dir, num_centroids, id_col, vec_col, path, current):
     _write_manifest(
         staging,
         {
-            "files": current,
+            **_compact_manifest(_read_manifest(path), current),
             "num_centroids": num_centroids,
             "max_centroid_id": None if stats[0] is None else int(stats[0]),
             "n_centroids_built": int(stats[1]),
@@ -948,10 +950,8 @@ def load_or_build_ivf_index(
     cpath = os.path.join(path, "centroids")
     current = _corpus_files(sf_dir)
     man = _read_manifest(path)
-    if (
-        man is None
-        or man.get("files") != current
-        or not (os.path.exists(apath) and os.path.exists(cpath))
+    if not _manifest_is_current(man, current) or not (
+        os.path.exists(apath) and os.path.exists(cpath)
     ):
         _build_ivf(spark, sf_dir, num_centroids, id_col, vec_col, path, current)
     a = _serve_retry(spark, apath).select(id_col, vec_col, "centroid_id")
@@ -984,7 +984,7 @@ def refresh_ivf_index(
     current = _corpus_files(sf_dir)
     if man is None or not (os.path.exists(apath) and os.path.exists(cpath)):
         return load_or_build_ivf_index(spark, sf_dir, num_centroids, id_col, vec_col)
-    added, changed, removed = _diff_files(man["files"], current)
+    added, changed, removed = _manifest_diff(man, current)
     if changed or removed or man.get("n_centroids_built", 0) < num_centroids:
         return load_or_build_ivf_index(spark, sf_dir, num_centroids, id_col, vec_col)
     if added:
@@ -1004,6 +1004,6 @@ def refresh_ivf_index(
         write_sorted_partitioned(
             assigned, apath, _SRC, ["centroid_id"], files=4, dynamic=True
         )
-        _write_manifest(path, {**man, "files": current})
+        _write_manifest(path, {**man, **_compact_manifest(man, current)})
     a = _serve_retry(spark, apath).select(id_col, vec_col, "centroid_id")
     return a, spark.read.parquet(cpath)
