@@ -1,4 +1,4 @@
-"""Baseline JPEG codec (stdlib + numpy, no codec library).
+"""JPEG codec — baseline AND progressive (stdlib + numpy, no codec library).
 
 Sequential baseline JPEG (SOF0/SOF1) is mechanically decodable without
 libjpeg: marker walk → quant/Huffman table state → per-MCU canonical-Huffman
@@ -8,13 +8,23 @@ multimodal extension, BASELINE.json north star); the pixel math here follows
 the public JPEG specification (ITU-T T.81) the way ``png_decode`` follows
 the PNG spec.
 
+Progressive JPEG (SOF2, T.81 Annex G) decodes through the same Huffman/IDCT
+machinery with a per-component coefficient accumulator: each scan deposits
+one (spectral band × successive-approximation bit) slice — DC first/refine,
+AC first with EOB runs, AC refinement with correction bits — and the pixels
+materialize in ONE dequantize+IDCT pass after the last scan.  The control
+flow mirrors the published T.81 G.2 decoding procedures (the same ones
+libjpeg's phuff decoder implements).
+
 Decoder scope (anything else returns ``None`` and the caller falls back,
 same contract as :func:`multimodal.png_decode`):
 
-- SOF0/SOF1, 8-bit precision, 1 (grayscale) or 3 (YCbCr) components;
+- SOF0/SOF1 (sequential) and SOF2 (progressive), 8-bit precision, 1
+  (grayscale) or 3 (YCbCr) components;
 - sampling factors 1–2 per axis (4:4:4, 4:2:2, 4:4:0, 4:2:0), restart
-  markers, 8/16-bit quant tables;
-- progressive (SOF2+), arithmetic coding, 12-bit, and CMYK are refused.
+  markers, 8/16-bit quant tables, per-scan Huffman redefinition;
+- lossless (SOF3+), arithmetic coding, 12-bit, hierarchical, and CMYK are
+  refused.
 
 Untrusted-payload posture mirrors the PNG/GIF paths: a declared-dimension
 ceiling before any allocation (``_JPEG_MAX_PIXELS`` — also bounds the
@@ -208,16 +218,23 @@ def _jpeg_decode(b: bytes) -> tuple[int, int, int, bytearray] | None:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}  # (class, id)
     frame = None  # (H, W, [(comp_id, h, v, tq)])
     restart_interval = 0
+    progressive = False
+    coefs: list[np.ndarray] | None = None  # per-comp (by, bx, 64) zigzag ints
+    nscans = 0
     i = 2
-    while i + 4 <= len(b):
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             return None
         marker = b[i + 1]
-        if marker == 0xD9:  # EOI before any scan
-            return None
+        if marker == 0xD9:  # EOI
+            if progressive and nscans:
+                return _progressive_finish(frame, qt, coefs)
+            return None  # EOI before any (complete) image
         if 0xD0 <= marker <= 0xD8:  # RST/SOI stray: no length field
             i += 2
             continue
+        if i + 4 > len(b):
+            return None
         ln = int.from_bytes(b[i + 2 : i + 4], "big")
         if ln < 2 or i + 2 + ln > len(b):
             return None
@@ -255,7 +272,7 @@ def _jpeg_decode(b: bytes) -> tuple[int, int, int, bytearray] | None:
                 p += 17 + total
             if p != len(seg):
                 return None
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended-seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog
             if frame is not None or len(seg) < 6 or seg[0] != 8:
                 return None
             height = int.from_bytes(seg[1:3], "big")
@@ -273,8 +290,9 @@ def _jpeg_decode(b: bytes) -> tuple[int, int, int, bytearray] | None:
                     return None
                 comps.append((cid, h, v, tq))
             frame = (height, width, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # lossless / arithmetic / hierarchical
         elif marker == 0xDD:  # DRI
             if len(seg) != 2:
                 return None
@@ -282,10 +300,18 @@ def _jpeg_decode(b: bytes) -> tuple[int, int, int, bytearray] | None:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
-            return _decode_scan(b, i + 2 + ln, seg, frame, qt, huff, restart_interval)
+            if not progressive:
+                return _decode_scan(b, i + 2 + ln, seg, frame, qt, huff, restart_interval)
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            i = _progressive_scan(
+                b, i + 2 + ln, seg, frame, huff, restart_interval, coefs
+            )
+            nscans += 1
+            continue
         # APPn / COM / others: skip
         i += 2 + ln
-    return None
+    return None  # ran out of data without EOI: truncated file
 
 
 def _decode_scan(
@@ -341,11 +367,23 @@ def _decode_scan(
                         x0 = (mx * h + bx) * 8
                         plane[y0 : y0 + 8, x0 : x0 + 8] = block
             since_restart += 1
+    return _to_pixels(
+        [(h, v, plane) for (h, v, _, _, _, plane) in meta], width, height, hmax, vmax
+    )
+
+
+def _to_pixels(
+    planes: list[tuple[int, int, np.ndarray]],
+    width: int,
+    height: int,
+    hmax: int,
+    vmax: int,
+) -> tuple[int, int, int, bytearray]:
+    """Shared decode tail: per-component upsample (nearest) + JFIF
+    YCbCr→RGB, identical for the sequential and progressive paths."""
     ys = np.arange(height)
     xs = np.arange(width)
-    full = []
-    for (h, v, _, _, _, plane) in meta:
-        full.append(plane[np.ix_(ys * v // vmax, xs * h // hmax)])
+    full = [plane[np.ix_(ys * v // vmax, xs * h // hmax)] for (h, v, plane) in planes]
     if len(full) == 1:
         out = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
         return (width, height, 1, bytearray(out.tobytes()))
@@ -355,6 +393,242 @@ def _decode_scan(
     )
     out = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     return (width, height, 3, bytearray(out.tobytes()))
+
+
+# --------------------------------------------------------------------------
+# Progressive decode (T.81 Annex G.2): scans accumulate QUANTIZED zigzag
+# coefficients per block; dequantize + IDCT happen once at EOI.
+
+
+def _grid_dims(frame) -> tuple[int, int, int, int]:
+    height, width, comps = frame
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    return -(-width // (8 * hmax)), -(-height // (8 * vmax)), hmax, vmax
+
+
+def _alloc_coefs(frame) -> list[np.ndarray]:
+    """Per-component coefficient store at the MCU-padded block grid (the
+    grid interleaved DC scans cover); non-interleaved scans address the
+    true-dimension prefix of it."""
+    mcus_x, mcus_y, _, _ = _grid_dims(frame)
+    return [
+        np.zeros((mcus_y * v, mcus_x * h, 64), dtype=np.int32)
+        for (_, h, v, _) in frame[2]
+    ]
+
+
+def _comp_blocks(frame, ci: int) -> tuple[int, int]:
+    """True (non-interleaved) block-grid dims of component ``ci``."""
+    height, width, comps = frame
+    _, _, hmax, vmax = _grid_dims(frame)
+    _, h, v, _ = comps[ci]
+    comp_w = -(-width * h // hmax)
+    comp_h = -(-height * v // vmax)
+    return -(-comp_w // 8), -(-comp_h // 8)
+
+
+def _dec_dc_prog(bits, dct, zz, preds, ci: int, ah: int, al: int) -> None:
+    if ah == 0:  # first DC scan: Huffman diff of the point-transformed DC
+        s = _huffdecode(bits, dct)
+        if s > 11:
+            raise _JpegError("DC category out of range")
+        diff = _extend(bits.receive(s), s) if s else 0
+        preds[ci] += diff
+        zz[0] = preds[ci] << al
+    else:  # refinement: one raw bit appends bit Al (two's-complement OR)
+        if bits.read_bit():
+            zz[0] = int(zz[0]) | (1 << al)
+
+
+def _dec_ac_first(bits, act, zz, ss: int, se: int, al: int, state: dict) -> None:
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huffdecode(bits, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eob = 1 << r
+            if r:
+                eob += bits.receive(r)
+            state["eobrun"] = eob - 1  # current block is run member #1
+            return
+        k += r
+        if k > se:
+            raise _JpegError("AC run past band end")
+        if s > 10:
+            raise _JpegError("AC size out of range")
+        zz[k] = _extend(bits.receive(s), s) << al
+        k += 1
+
+
+def _dec_ac_refine(bits, act, zz, ss: int, se: int, al: int, state: dict) -> None:
+    """T.81 G.2 AC successive-approximation refinement (the libjpeg
+    decode_mcu_AC_refine control flow): new ±1<<Al significances interleave
+    with one correction bit per already-nonzero coefficient passed over,
+    and EOB runs carry correction bits for every remaining nonzero."""
+    p1 = 1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _huffdecode(bits, act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eob = 1 << r
+                    if r:
+                        eob += bits.receive(r)
+                    state["eobrun"] = eob
+                    break  # rest of block handled by the EOB logic below
+                # r == 15: run of 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise _JpegError("refinement size must be 1")
+                val = p1 if bits.read_bit() else -p1
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if bits.read_bit() and (abs(c) & p1) == 0:
+                        zz[k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise _JpegError("refinement run past band end")
+                zz[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:  # tail corrections for this EOB-run member
+            c = int(zz[k])
+            if c != 0:
+                if bits.read_bit() and (abs(c) & p1) == 0:
+                    zz[k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _progressive_scan(
+    b: bytes,
+    pos: int,
+    seg: bytes,
+    frame,
+    huff: dict,
+    restart_interval: int,
+    coefs: list[np.ndarray],
+) -> int:
+    """Consume one progressive scan, mutating ``coefs``; returns the byte
+    offset of the next marker."""
+    height, width, comps = frame
+    ns = seg[0]
+    if not 1 <= ns <= len(comps) or len(seg) != 1 + 2 * ns + 3:
+        raise _JpegError("bad scan header")
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+    dc_scan = ss == 0
+    if se > 63 or (not dc_scan and se < ss) or al > 13 or ah > 13:
+        raise _JpegError("bad spectral/approximation params")
+    if dc_scan and se != 0:
+        raise _JpegError("DC scan must have Se=0")
+    if not dc_scan and ns != 1:
+        raise _JpegError("AC scans are single-component")
+    if ah and ah != al + 1:
+        raise _JpegError("successive approximation must step by one bit")
+    cindex = {cid: k for k, (cid, _, _, _) in enumerate(comps)}
+    scan_comps = []  # (ci, dc_table | None, ac_table | None)
+    for c in range(ns):
+        cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+        if cs not in cindex:
+            raise _JpegError("scan names unknown component")
+        ci = cindex[cs]
+        if dc_scan:
+            dct = huff.get((0, tt >> 4))
+            if ah == 0 and dct is None:
+                raise _JpegError("missing DC table")
+            scan_comps.append((ci, dct, None))
+        else:
+            act = huff.get((1, tt & 0x0F))
+            if act is None:
+                raise _JpegError("missing AC table")
+            scan_comps.append((ci, None, act))
+    mcus_x, mcus_y, _, _ = _grid_dims(frame)
+    bits = _BitReader(b, pos)
+    preds = [0] * len(comps)
+    state = {"eobrun": 0}
+    since = 0
+    if ns > 1:  # interleaved (DC only): full MCU-padded grid
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and since == restart_interval:
+                    bits.restart()
+                    preds = [0] * len(comps)
+                    state["eobrun"] = 0
+                    since = 0
+                for ci, dct, _ in scan_comps:
+                    _, h, v, _ = comps[ci]
+                    for by in range(v):
+                        for bx in range(h):
+                            zz = coefs[ci][my * v + by, mx * h + bx]
+                            _dec_dc_prog(bits, dct, zz, preds, ci, ah, al)
+                since += 1
+    else:  # non-interleaved: the component's true block grid
+        ci, dct, act = scan_comps[0]
+        bw, bh = _comp_blocks(frame, ci)
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and since == restart_interval:
+                    bits.restart()
+                    preds = [0] * len(comps)
+                    state["eobrun"] = 0
+                    since = 0
+                zz = coefs[ci][by, bx]
+                if dc_scan:
+                    _dec_dc_prog(bits, dct, zz, preds, ci, ah, al)
+                elif ah == 0:
+                    _dec_ac_first(bits, act, zz, ss, se, al, state)
+                else:
+                    _dec_ac_refine(bits, act, zz, ss, se, al, state)
+                since += 1
+    # skip entropy padding to the next marker (stray RSTn consumed)
+    pos = bits.pos
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF and b[pos + 1] != 0x00:
+            if 0xD0 <= b[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise _JpegError("no marker after scan")
+
+
+def _progressive_finish(
+    frame, qt: dict[int, np.ndarray], coefs: list[np.ndarray]
+) -> tuple[int, int, int, bytearray]:
+    """One vectorized dequantize + IDCT pass over the accumulated
+    coefficients, then the shared upsample/color tail."""
+    height, width, comps = frame
+    _, _, hmax, vmax = _grid_dims(frame)
+    zig = np.array(ZIGZAG)
+    planes = []
+    for (cid, h, v, tq), cf in zip(comps, coefs):
+        if tq not in qt:
+            raise _JpegError("missing quant table")
+        quant = qt[tq]  # raster order
+        raster = np.zeros(cf.shape, dtype=np.float64)
+        raster[..., zig] = cf.astype(np.float64) * quant[zig]
+        by, bx = cf.shape[0], cf.shape[1]
+        blocks = raster.reshape(by, bx, 8, 8)
+        pix = np.einsum("xu,abuv,yv->abxy", _M, blocks, _M) + 128.0
+        planes.append((h, v, pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)))
+    return _to_pixels(planes, width, height, hmax, vmax)
 
 
 # --------------------------------------------------------------------------
@@ -370,6 +644,17 @@ _AC_SYMBOLS = bytes([0x00] + [(r << 4) | s for r in range(16) for s in range(1, 
 _AC_COUNTS = [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8
 _DC_CODES = {sym: (4, code) for code, sym in enumerate(_DC_SYMBOLS)}
 _AC_CODES = {sym: (8, code) for code, sym in enumerate(_AC_SYMBOLS)}
+
+# Progressive AC alphabet: the sequential run/size symbols plus EOBn
+# (r<<4 for r=0..14 — end-of-band runs of 2^r..2^{r+1}-1 blocks).
+# 176 codes, all 8 bits — canonical by construction.
+_ACP_SYMBOLS = bytes(
+    [r << 4 for r in range(15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [0xF0]
+)
+_ACP_COUNTS = [0, 0, 0, 0, 0, 0, 0, 176] + [0] * 8
+_ACP_CODES = {sym: (8, code) for code, sym in enumerate(_ACP_SYMBOLS)}
 
 
 class _BitWriter:
@@ -443,23 +728,20 @@ def _pad_to_blocks(plane: np.ndarray, bw: int, bh: int) -> np.ndarray:
     return np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
 
 
-def jpeg_encode(
+def _quantized_grids(
     pixels: bytes,
     width: int,
     height: int,
     channels: int,
-    quant: int = 1,
-    subsample: tuple[int, int] = (1, 1),
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode raw row-major 8-bit pixels as a valid baseline JPEG (SOF0).
-
-    ``quant`` fills a flat quantization table (1 = near-lossless up to DCT
-    rounding); ``subsample=(2, 2)`` writes 4:2:0 chroma (box-average
-    downsample), ``(1, 1)`` writes 4:4:4.  Grayscale input (channels=1)
-    writes a single-component frame.  Inverse of :func:`jpeg_decode` up to
-    quantization error.
-    """
+    quant: int,
+    subsample: tuple[int, int],
+) -> tuple[list[tuple[int, int]], list[np.ndarray], int, int]:
+    """Shared encoder front half: color convert, subsample, pad, FDCT,
+    quantize.  Returns (samp, grids, mcus_x, mcus_y) with ``grids[ci]`` a
+    (by, bx, 64) int array of ZIGZAG-order quantized coefficients at the
+    MCU-padded block grid — the single coefficient source both the baseline
+    and progressive writers entropy-code, which is what makes their decodes
+    bit-identical."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
     if not 1 <= quant <= 255:
@@ -490,16 +772,47 @@ def jpeg_encode(
     vmax = max(v for _, v in samp)
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
-    qraster = np.full(64, float(quant))
-    padded = [
-        _pad_to_blocks(c, mcus_x * 8 * h, mcus_y * 8 * v)
-        for c, (h, v) in zip(comps, samp)
-    ]
+    zig = np.array(ZIGZAG)
+    grids = []
+    for c, (h, v) in zip(comps, samp):
+        plane = _pad_to_blocks(c, mcus_x * 8 * h, mcus_y * 8 * v)
+        by, bx = mcus_y * v, mcus_x * h
+        blocks = (
+            plane.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coeff = np.einsum("xu,abxy,yv->abuv", _M, blocks, _M)  # Mᵀ B M
+        cq = np.clip(np.rint(coeff / float(quant)), -1023, 1023).astype(np.int32)
+        grids.append(cq.reshape(by, bx, 64)[..., zig])
+    return samp, grids, mcus_x, mcus_y
 
+
+def jpeg_encode(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    quant: int = 1,
+    subsample: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode raw row-major 8-bit pixels as a valid baseline JPEG (SOF0).
+
+    ``quant`` fills a flat quantization table (1 = near-lossless up to DCT
+    rounding); ``subsample=(2, 2)`` writes 4:2:0 chroma (box-average
+    downsample), ``(1, 1)`` writes 4:4:4.  Grayscale input (channels=1)
+    writes a single-component frame.  Inverse of :func:`jpeg_decode` up to
+    quantization error.
+    """
+    samp, grids, mcus_x, mcus_y = _quantized_grids(
+        pixels, width, height, channels, quant, subsample
+    )
+    comps = samp
     w = _BitWriter()
     preds = [0] * len(comps)
     since_restart = 0
     n_restarts = 0
+    zig_inv = np.zeros(64, dtype=np.int64)
+    zig_inv[np.array(ZIGZAG)] = np.arange(64)
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and since_restart == restart_interval:
@@ -509,20 +822,15 @@ def jpeg_encode(
                 since_restart = 0
                 preds = [0] * len(comps)
             since_restart += 1
-            for ci, ((h, v), plane) in enumerate(zip(samp, padded)):
+            for ci, ((h, v), grid) in enumerate(zip(samp, grids)):
                 for by in range(v):
                     for bx in range(h):
-                        y0 = (my * v + by) * 8
-                        x0 = (mx * h + bx) * 8
-                        block = plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        coeff = _M.T @ block @ _M
-                        cq = np.rint(coeff / qraster.reshape(8, 8))
-                        cq = np.clip(cq, -1023, 1023)  # baseline AC size <= 10
-                        preds[ci] = _encode_block(w, cq.reshape(64), preds[ci])
+                        zz = grid[my * v + by, mx * h + bx]
+                        preds[ci] = _encode_block(w, zz[zig_inv], preds[ci])
     w.flush()
 
     dqt = bytes([0x00]) + bytes([quant] * 64)
-    ncomp = len(comps)
+    ncomp = len(samp)
     sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
     sos = bytes([ncomp])
     for ci, (h, v) in enumerate(samp):
@@ -544,3 +852,205 @@ def jpeg_encode(
         + bytes(w.out)
         + b"\xff\xd9"
     )
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder (T.81 Annex G.1, the jcphuff control flow): entropy-
+# codes the SAME quantized coefficient grids as the baseline writer across a
+# spectral-selection + successive-approximation scan script, so
+# ``jpeg_decode(jpeg_encode_progressive(px)) ==
+# jpeg_decode(jpeg_encode(px))`` exactly — the equivalence the round-trip
+# tests pin (two completely different bitstream paths, one pixel answer).
+
+
+def _emit_bits_val(w: _BitWriter, v: int, s: int) -> None:
+    w.write(v if v >= 0 else v + (1 << s) - 1, s)
+
+
+def _emit_eobrun(w: _BitWriter, st: dict) -> None:
+    """Flush a pending EOBn: symbol, run-length extra bits, then every
+    buffered correction bit of the run's member blocks (in order)."""
+    n = st["eobrun"]
+    if n <= 0:
+        return
+    nbits = n.bit_length() - 1
+    ln, code = _ACP_CODES[nbits << 4]
+    w.write(code, ln)
+    if nbits:
+        w.write(n & ((1 << nbits) - 1), nbits)
+    for bit in st["be"]:
+        w.write(bit, 1)
+    st["eobrun"] = 0
+    st["be"] = []
+
+
+def _enc_dc_scan(w, samp, grids, mcus_x, mcus_y, ah: int, al: int) -> None:
+    """Interleaved DC scan: first pass Huffman-codes diffs of dc>>Al;
+    refinement emits one raw bit (bit Al) per block."""
+    preds = [0] * len(grids)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, ((h, v), grid) in enumerate(zip(samp, grids)):
+                for by in range(v):
+                    for bx in range(h):
+                        dc = int(grid[my * v + by, mx * h + bx][0])
+                        if ah == 0:
+                            t = dc >> al
+                            diff = t - preds[ci]
+                            preds[ci] = t
+                            s = _category(diff)
+                            ln, code = _DC_CODES[s]
+                            w.write(code, ln)
+                            if s:
+                                _emit_bits_val(w, diff, s)
+                        else:
+                            w.write((dc >> al) & 1, 1)
+
+
+def _enc_ac_first_scan(w, grid, bw: int, bh: int, ss: int, se: int, al: int) -> None:
+    st = {"eobrun": 0, "be": []}
+    for by in range(bh):
+        for bx in range(bw):
+            zz = grid[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al  # point transform: magnitude shift
+                if t == 0:
+                    r += 1
+                    continue
+                _emit_eobrun(w, st)
+                while r > 15:
+                    ln, code = _ACP_CODES[0xF0]
+                    w.write(code, ln)
+                    r -= 16
+                s = t.bit_length()
+                ln, code = _ACP_CODES[(r << 4) | s]
+                w.write(code, ln)
+                _emit_bits_val(w, t if v >= 0 else -t, s)
+                r = 0
+            if r > 0:  # trailing zeros fold into the EOB run
+                st["eobrun"] += 1
+                if st["eobrun"] == 0x7FFF:
+                    _emit_eobrun(w, st)
+    _emit_eobrun(w, st)
+
+
+def _enc_ac_refine_scan(w, grid, bw: int, bh: int, ss: int, se: int, al: int) -> None:
+    """AC successive-approximation refinement (jcphuff encode_mcu_AC_refine
+    flow): ±1 significances Huffman-coded, one buffered correction bit per
+    already-nonzero coefficient, EOB runs carrying the buffered bits."""
+    st = {"eobrun": 0, "be": []}
+    for by in range(bh):
+        for bx in range(bw):
+            zz = grid[by, bx]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eobpos = -1  # last newly-significant position (relative)
+            for idx, t in enumerate(absv):
+                if t == 1:
+                    eobpos = idx
+            r = 0
+            br: list[int] = []
+            for idx, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and idx <= eobpos:
+                    _emit_eobrun(w, st)
+                    ln, code = _ACP_CODES[0xF0]
+                    w.write(code, ln)
+                    r -= 16
+                    for bit in br:
+                        w.write(bit, 1)
+                    br = []
+                if t > 1:  # already significant: buffer its correction bit
+                    br.append(t & 1)
+                    continue
+                _emit_eobrun(w, st)
+                ln, code = _ACP_CODES[(r << 4) | 1]
+                w.write(code, ln)
+                w.write(0 if int(zz[ss + idx]) < 0 else 1, 1)
+                for bit in br:
+                    w.write(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                st["eobrun"] += 1
+                st["be"].extend(br)
+                if st["eobrun"] == 0x7FFF or len(st["be"]) > 900:
+                    _emit_eobrun(w, st)
+    _emit_eobrun(w, st)
+
+
+def jpeg_encode_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    quant: int = 1,
+    subsample: tuple[int, int] = (1, 1),
+) -> bytes:
+    """Encode raw row-major 8-bit pixels as a valid progressive JPEG (SOF2).
+
+    Scan script (the classic spectral-selection + one-bit successive
+    approximation): interleaved DC at Al=1 → per-component AC bands (1–5,
+    6–63) at Al=1 → DC refinement → per-component AC band refinements.
+    Exercises every progressive decode path: DC first/refine, AC first with
+    ZRL + EOBn runs, AC refinement with correction bits.
+    """
+    samp, grids, mcus_x, mcus_y = _quantized_grids(
+        pixels, width, height, channels, quant, subsample
+    )
+    ncomp = len(samp)
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+
+    def true_dims(ci: int) -> tuple[int, int]:
+        h, v = samp[ci]
+        comp_w = -(-width * h // hmax)
+        comp_h = -(-height * v // vmax)
+        return -(-comp_w // 8), -(-comp_h // 8)
+
+    def sos(comp_list: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        p = bytes([len(comp_list)])
+        for cid in comp_list:
+            p += bytes([cid, 0x00])  # DC table 0 / AC table 0 throughout
+        return p + bytes([ss, se, (ah << 4) | al])
+
+    bands = [(1, 5), (6, 63)]
+    scans: list[tuple[bytes, bytes]] = []
+    w = _BitWriter()
+    _enc_dc_scan(w, samp, grids, mcus_x, mcus_y, 0, 1)
+    w.flush()
+    scans.append((sos(list(range(1, ncomp + 1)), 0, 0, 0, 1), bytes(w.out)))
+    for ci in range(ncomp):
+        bw, bh = true_dims(ci)
+        for ss, se in bands:
+            w = _BitWriter()
+            _enc_ac_first_scan(w, grids[ci], bw, bh, ss, se, 1)
+            w.flush()
+            scans.append((sos([ci + 1], ss, se, 0, 1), bytes(w.out)))
+    w = _BitWriter()
+    _enc_dc_scan(w, samp, grids, mcus_x, mcus_y, 1, 0)
+    w.flush()
+    scans.append((sos(list(range(1, ncomp + 1)), 0, 0, 1, 0), bytes(w.out)))
+    for ci in range(ncomp):
+        bw, bh = true_dims(ci)
+        for ss, se in bands:
+            w = _BitWriter()
+            _enc_ac_refine_scan(w, grids[ci], bw, bh, ss, se, 0)
+            w.flush()
+            scans.append((sos([ci + 1], ss, se, 1, 0), bytes(w.out)))
+
+    dqt = bytes([0x00]) + bytes([quant] * 64)
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
+    for ci, (h, v) in enumerate(samp):
+        sof += bytes([ci + 1, (h << 4) | v, 0])
+    dht = (
+        bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS
+        + bytes([0x10]) + bytes(_ACP_COUNTS) + _ACP_SYMBOLS
+    )
+    out = b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof) + _seg(0xC4, dht)
+    for hdr, data in scans:
+        out += _seg(0xDA, hdr) + data
+    return out + b"\xff\xd9"

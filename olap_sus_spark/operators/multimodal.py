@@ -502,15 +502,16 @@ RESIZED_SCHEMA = StructType(
 def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Resize image payloads to (width, height) via Arrow-batched mapInPandas.
 
-    PNG, (non-interlaced) GIF and baseline JPEG payloads take the REAL
-    pixel path: :func:`png_decode` (zlib + full filter-set unfiltering) /
-    :func:`gif_decode` (stdlib LZW + palette mapping) /
-    :func:`olap_sus_spark.operators.jpeg.jpeg_decode` (canonical Huffman +
-    IDCT + chroma upsample) → :func:`nearest_resize` → :func:`png_encode` —
-    no codec library involved, verified against known pixel values in
+    PNG, (non-interlaced) GIF and JPEG payloads — baseline AND progressive
+    (round 6) — take the REAL pixel path: :func:`png_decode` (zlib + full
+    filter-set unfiltering) / :func:`gif_decode` (stdlib LZW + palette
+    mapping) / :func:`olap_sus_spark.operators.jpeg.jpeg_decode` (canonical
+    Huffman + IDCT + chroma upsample; SOF2 multi-scan coefficient
+    accumulation) → :func:`nearest_resize` → :func:`png_encode` — no codec
+    library involved, verified against known pixel values in
     tests/test_band_and_multimodal.py.  Decoded frames re-encode as PNG
     regardless of input container (pipelines normalize formats at the
-    resize step).  Anything undecodable (progressive JPEG, video,
+    resize step).  Anything undecodable (lossless/arithmetic JPEG, video,
     over-ceiling images) falls back to a deterministic digest-derived fake
     inside the same batch loop, so swapping in Pillow touches one branch.
     """
