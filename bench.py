@@ -204,6 +204,13 @@ def main() -> None:
             lambda: _hist.order_hist_path(sf_dir),
             lambda: _hist.load_or_build_order_hist(spark, sf_dir),
         ),
+        (
+            # Per-day user KMV cells over events: kmv_active_users_served's
+            # maintained table (DAU/WAU/MAU cube).
+            "user_kmv_partials",
+            lambda: _sk.user_kmv_path(sf_dir),
+            lambda: _sk.load_or_build_user_kmv(spark, sf_dir),
+        ),
     ]:
         shutil.rmtree(path_fn(), ignore_errors=True)
         t0 = time.perf_counter()
@@ -347,6 +354,15 @@ def main() -> None:
         t0 = time.perf_counter()
         refresh(one_day)
         index_build[tag] = round(time.perf_counter() - t0, 4)
+
+    # user cube's refresh runs on an EVENTS day (different day domain)
+    user_day = str(
+        _qs.load_or_build_user_kmv(spark, sf_dir)
+        .select("dia").orderBy("dia").first()[0]
+    )
+    t0 = time.perf_counter()
+    _qs.refresh_user_kmv(spark, sf_dir, [user_day])
+    index_build["user_kmv_refresh_1d"] = round(time.perf_counter() - t0, 4)
 
     # N measured executions per query (default 2), report the fastest
     # (steady state): the first run pays one-time whole-stage-codegen
