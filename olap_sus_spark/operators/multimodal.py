@@ -222,22 +222,86 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
 _PNG_MAX_PIXELS = 1 << 22
 
 
-def png_decode(payload: bytes | None) -> tuple[int, int, int, bytearray] | None:
-    """Decode an 8-bit, non-interlaced, non-palette PNG to raw pixels.
+# Adam7 pass grid: (x-start, y-start, x-step, y-step), PNG spec §8.2.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Returns (width, height, channels, row-major pixel bytes) or None for
-    anything that isn't such a PNG (palette/16-bit/Adam7 → None; callers
-    fall back to their non-PNG path).  Implements the full filter set
-    (None/Sub/Up/Average/Paeth) per the PNG spec §9.
+
+def _unfilter(raw: bytes, base: int, height: int, stride: int, bpp: int) -> bytearray | None:
+    """Undo the PNG §9 per-row filter over one (sub-)image: ``height`` rows
+    of ``stride`` bytes each, 1 filter byte per row, ``bpp`` filter-unit
+    bytes (max(1, bytes per pixel) — sub-byte palette depths filter at the
+    byte level with bpp=1).  Returns the raw bytes or None on a bad filter
+    id."""
+    out = bytearray(height * stride)
+    prev_start = -stride  # row above; first row's "above" reads as 0
+    for y in range(height):
+        rowpos = base + y * (stride + 1)
+        f = raw[rowpos]
+        line = raw[rowpos + 1 : rowpos + 1 + stride]
+        o = y * stride
+        if f == 0:  # None
+            out[o : o + stride] = line
+        elif f == 1:  # Sub
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                out[o + x] = (line[x] + left) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                up = out[o + prev_start + x] if y > 0 else 0
+                out[o + x] = (line[x] + up) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                up = out[o + prev_start + x] if y > 0 else 0
+                out[o + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = out[o + x - bpp] if x >= bpp else 0
+                up = out[o + prev_start + x] if y > 0 else 0
+                ul = out[o + prev_start + x - bpp] if (y > 0 and x >= bpp) else 0
+                out[o + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            return None
+    return out
+
+
+def _unpack_indices(row: bytes, depth: int, n: int) -> "object":
+    """Sub-byte palette samples: MSB-first within each byte (PNG §7.2)."""
+    import numpy as np
+
+    if depth == 8:
+        return np.frombuffer(row[:n], dtype=np.uint8)
+    bits = np.unpackbits(np.frombuffer(row, dtype=np.uint8))
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = (bits[: (len(bits) // depth) * depth].reshape(-1, depth) * weights).sum(axis=1)
+    return vals[:n].astype(np.uint8)
+
+
+def png_decode(payload: bytes | None) -> tuple[int, int, int, bytearray] | None:
+    """Decode a PNG to raw pixels: 8-bit gray/RGB/gray+alpha/RGBA plus
+    indexed-palette (color type 3, bit depth 1/2/4/8), both sequential and
+    Adam7-interlaced (each of the 7 passes is an independently filtered
+    sub-image scattered onto the pixel grid).
+
+    Returns (width, height, channels, row-major pixel bytes) — palette
+    images come back as RGB — or None for anything else (16-bit → None;
+    callers fall back to their non-PNG path).  Implements the full filter
+    set (None/Sub/Up/Average/Paeth) per the PNG spec §9.
     """
     import zlib
+
+    import numpy as np
 
     if payload is None:
         return None
     b = bytes(payload)
     if b[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    pos, width, height, channels, idat = 8, None, None, None, b""
+    pos, width, height, idat, plte = 8, None, None, b"", None
+    depth = color = interlace = None
     while pos + 8 <= len(b):
         ln = int.from_bytes(b[pos : pos + 4], "big")
         typ = b[pos + 4 : pos + 8]
@@ -248,20 +312,45 @@ def png_decode(payload: bytes | None) -> tuple[int, int, int, bytearray] | None:
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
             depth, color, interlace = data[8], data[9], data[12]
-            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+            if interlace not in (0, 1):
                 return None
-            channels = _PNG_CHANNELS[color]
+            if color == 3:
+                if depth not in (1, 2, 4, 8):
+                    return None
+            elif color not in _PNG_CHANNELS or depth != 8:
+                return None
+        elif typ == b"PLTE":
+            if len(data) % 3 or len(data) > 768:
+                return None
+            plte = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
             break
         pos += 12 + ln
-    if not (width and height and channels and idat):
+    if not (width and height and idat) or color is None:
         return None
     if width * height > _PNG_MAX_PIXELS:
         return None
-    stride = width * channels
-    expected = height * (stride + 1)
+    if color == 3 and not plte:
+        return None
+    cn = 1 if color == 3 else _PNG_CHANNELS[color]
+    bits_pp = depth * cn
+    bpp = max(1, bits_pp // 8)
+
+    def stride_of(w: int) -> int:
+        return (w * bits_pp + 7) // 8
+
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, width, height)]
+    else:
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                passes.append((x0, y0, dx, dy, pw, ph))
+    expected = sum(ph * (1 + stride_of(pw)) for (_, _, _, _, pw, ph) in passes)
     # Bounded decompress: output can never exceed what the DECLARED
     # dimensions call for (+1 byte to detect overrun), so a crafted deflate
     # bomb (~1000:1) cannot balloon to gigabytes inside an executor — an
@@ -274,37 +363,35 @@ def png_decode(payload: bytes | None) -> tuple[int, int, int, bytearray] | None:
         return None
     if len(raw) != expected:
         return None
-    out = bytearray(height * stride)
-    prev_start = -stride  # row above; first row's "above" reads as 0
-    for y in range(height):
-        rowpos = y * (stride + 1)
-        f = raw[rowpos]
-        line = raw[rowpos + 1 : rowpos + 1 + stride]
-        o = y * stride
-        if f == 0:  # None
-            out[o : o + stride] = line
-        elif f == 1:  # Sub
-            for x in range(stride):
-                left = out[o + x - channels] if x >= channels else 0
-                out[o + x] = (line[x] + left) & 0xFF
-        elif f == 2:  # Up
-            for x in range(stride):
-                up = out[o + prev_start + x] if y > 0 else 0
-                out[o + x] = (line[x] + up) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = out[o + x - channels] if x >= channels else 0
-                up = out[o + prev_start + x] if y > 0 else 0
-                out[o + x] = (line[x] + ((left + up) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                left = out[o + x - channels] if x >= channels else 0
-                up = out[o + prev_start + x] if y > 0 else 0
-                ul = out[o + prev_start + x - channels] if (y > 0 and x >= channels) else 0
-                out[o + x] = (line[x] + _paeth(left, up, ul)) & 0xFF
-        else:
+    if color == 3:
+        grid = np.zeros((height, width), dtype=np.uint8)
+    else:
+        grid = np.zeros((height, width, cn), dtype=np.uint8)
+    base = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        st = stride_of(pw)
+        sub = _unfilter(raw, base, ph, st, bpp)
+        if sub is None:
             return None
-    return (width, height, channels, out)
+        base += ph * (st + 1)
+        if color == 3:
+            rows = np.stack(
+                [
+                    _unpack_indices(bytes(sub[y * st : (y + 1) * st]), depth, pw)
+                    for y in range(ph)
+                ]
+            )
+            grid[y0::dy, x0::dx] = rows
+        else:
+            arr = np.frombuffer(bytes(sub), dtype=np.uint8).reshape(ph, pw, cn)
+            grid[y0::dy, x0::dx] = arr
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(grid.max(initial=0)) >= len(pal):
+            return None  # index past the palette: malformed
+        rgb = pal[grid]  # (H, W, 3)
+        return (width, height, 3, bytearray(rgb.tobytes()))
+    return (width, height, cn, bytearray(grid.tobytes()))
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearray | None:
@@ -361,10 +448,10 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytearr
 
 
 def gif_decode(payload: bytes | None) -> tuple[int, int, int, bytearray] | None:
-    """Decode the FIRST frame of a non-interlaced GIF87a/89a to RGB pixels
-    via stdlib-only LZW (:func:`_gif_lzw_decode`).  Returns
-    (width, height, 3, row-major RGB bytes) or None for anything else
-    (interlaced/malformed/no palette → None; callers fall back).  Same
+    """Decode the FIRST frame of a GIF87a/89a (sequential or 4-pass
+    interlaced) to RGB pixels via stdlib-only LZW (:func:`_gif_lzw_decode`).
+    Returns (width, height, 3, row-major RGB bytes) or None for anything
+    else (malformed/no palette/offset sub-frame → None; callers fall back).  Same
     untrusted-payload posture as :func:`png_decode`: pixel ceiling before
     decode, LZW output bounded by the declared frame area."""
     if payload is None:
@@ -396,14 +483,12 @@ def gif_decode(payload: bytes | None) -> tuple[int, int, int, bytearray] | None:
                 ih = int.from_bytes(b[pos + 7 : pos + 9], "little")
                 ipacked = b[pos + 9]
                 pos += 10
-                if ipacked & 0x40:  # interlaced: not supported
-                    return None
                 if (left, top) != (0, 0) or (iw, ih) != (screen_w, screen_h):
                     # A frame positioned inside a larger logical screen
                     # needs compositing to match what a real decoder (and
                     # parse_image_dimensions' screen size) would report —
-                    # refuse like the interlace case so the caller's
-                    # fallback stays consistent with a future codec swap.
+                    # refuse so the caller's fallback stays consistent
+                    # with a future codec swap.
                     return None
                 ct = gct
                 if ipacked & 0x80:
@@ -423,6 +508,17 @@ def gif_decode(payload: bytes | None) -> tuple[int, int, int, bytearray] | None:
                 idx = _gif_lzw_decode(bytes(data), mcs, iw * ih)
                 if idx is None or len(idx) < iw * ih:
                     return None
+                if ipacked & 0x40:  # interlaced: 4-pass row order -> raster
+                    order = (
+                        list(range(0, ih, 8))
+                        + list(range(4, ih, 8))
+                        + list(range(2, ih, 4))
+                        + list(range(1, ih, 2))
+                    )
+                    deinter = bytearray(iw * ih)
+                    for src, y in enumerate(order):
+                        deinter[y * iw : (y + 1) * iw] = idx[src * iw : (src + 1) * iw]
+                    idx = deinter
                 pix = bytearray(iw * ih * 3)
                 for i in range(iw * ih):
                     c = 3 * idx[i]
@@ -439,35 +535,108 @@ def gif_decode(payload: bytes | None) -> tuple[int, int, int, bytearray] | None:
     return None
 
 
-def png_encode(pixels: bytes, width: int, height: int, channels: int) -> bytes:
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + zlib.crc32(typ + data).to_bytes(4, "big")
+    )
+
+
+def png_encode(
+    pixels: bytes, width: int, height: int, channels: int, interlace: bool = False
+) -> bytes:
     """Encode raw row-major 8-bit pixels as a minimal valid PNG
-    (filter 0 rows, one zlib IDAT).  Inverse of :func:`png_decode`."""
+    (filter 0 rows, one zlib IDAT).  ``interlace=True`` writes Adam7 pass
+    order (each pass its own filtered sub-image) — same pixels, second
+    on-disk layout, which is what the decoder equivalence tests pin.
+    Inverse of :func:`png_decode`."""
     import zlib
 
     color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    # IHDR layout: depth, color, compression, filter, interlace
     ihdr = (
         width.to_bytes(4, "big")
         + height.to_bytes(4, "big")
-        + bytes([8, color, 0, 0, 0])
+        + bytes([8, color, 0, 0, 1 if interlace else 0])
     )
     stride = width * channels
-    raw = b"".join(
-        b"\x00" + bytes(pixels[y * stride : (y + 1) * stride]) for y in range(height)
-    )
-
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (
-            len(data).to_bytes(4, "big")
-            + typ
-            + data
-            + zlib.crc32(typ + data).to_bytes(4, "big")
+    if not interlace:
+        raw = b"".join(
+            b"\x00" + bytes(pixels[y * stride : (y + 1) * stride])
+            for y in range(height)
         )
-
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            for y in range(y0, height, dy):
+                row = bytearray()
+                for x in range(x0, width, dx):
+                    p = (y * width + x) * channels
+                    row += bytes(pixels[p : p + channels])
+                if row:
+                    parts.append(b"\x00" + bytes(row))
+        raw = b"".join(parts)
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_encode_palette(
+    indices: bytes,
+    width: int,
+    height: int,
+    palette: bytes,
+    depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    """Encode palette indices as an indexed-color PNG (color type 3) at bit
+    depth 1/2/4/8, sequential or Adam7 — the writer the palette/interlace
+    decode tests verify against."""
+    import zlib
+
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("palette depth must be 1/2/4/8")
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes([depth, 3, 0, 0, 1 if interlace else 0])
+    )
+
+    def pack_row(vals: bytes) -> bytes:
+        if depth == 8:
+            return bytes(vals)
+        out = bytearray()
+        acc = nb = 0
+        for v in vals:
+            acc = (acc << depth) | (v & ((1 << depth) - 1))
+            nb += depth
+            if nb == 8:
+                out.append(acc)
+                acc = nb = 0
+        if nb:
+            out.append(acc << (8 - nb))
+        return bytes(out)
+
+    parts = []
+    passes = [(0, 0, 1, 1)] if not interlace else list(_ADAM7)
+    for x0, y0, dx, dy in passes:
+        for y in range(y0, height, dy):
+            vals = bytes(indices[y * width + x] for x in range(x0, width, dx))
+            if vals:
+                parts.append(b"\x00" + pack_row(vals))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", bytes(palette))
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -502,10 +671,12 @@ RESIZED_SCHEMA = StructType(
 def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Resize image payloads to (width, height) via Arrow-batched mapInPandas.
 
-    PNG, (non-interlaced) GIF and JPEG payloads — baseline AND progressive
-    (round 6) — take the REAL pixel path: :func:`png_decode` (zlib + full
-    filter-set unfiltering) / :func:`gif_decode` (stdlib LZW + palette
-    mapping) / :func:`olap_sus_spark.operators.jpeg.jpeg_decode` (canonical
+    PNG (sequential + Adam7, truecolor + indexed-palette), GIF (sequential
+    + interlaced) and JPEG (baseline + progressive) payloads all take the
+    REAL pixel path: :func:`png_decode` (zlib + full filter-set
+    unfiltering, per-pass for Adam7) / :func:`gif_decode` (stdlib LZW +
+    palette mapping + de-interlace) /
+    :func:`olap_sus_spark.operators.jpeg.jpeg_decode` (canonical
     Huffman + IDCT + chroma upsample; SOF2 multi-scan coefficient
     accumulation) → :func:`nearest_resize` → :func:`png_encode` — no codec
     library involved, verified against known pixel values in

@@ -192,10 +192,77 @@ def test_png_decode_all_filter_types():
     # round-trip through the operator's own encoder
     again = mm.png_decode(mm.png_encode(pix, w, h, ch))
     assert again is not None and bytes(again[3]) == bytes(pix)
-    # non-PNG / palette / truncated inputs refuse cleanly
+    # non-PNG / truncated inputs refuse cleanly
     assert mm.png_decode(b"GIF89a\x00\x00") is None
     assert mm.png_decode(payload[:40]) is None
     assert mm.png_decode(None) is None
+
+
+def test_png_adam7_decodes_identical_to_sequential():
+    """Round 6: Adam7 interlace is a second on-disk layout of the same
+    pixels (7 independently-filtered sub-images scattered on the grid) —
+    the decode must be bit-identical to the sequential decode, for every
+    channel count and ragged dims (empty passes included)."""
+    import numpy as np
+
+    from olap_sus_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    for w, h, ch in [(16, 16, 3), (17, 13, 3), (1, 1, 1), (7, 3, 4), (9, 21, 2), (2, 9, 3)]:
+        pix = bytes(rng.integers(0, 256, w * h * ch, dtype=np.uint8))
+        seq = mm.png_decode(mm.png_encode(pix, w, h, ch))
+        adam = mm.png_decode(mm.png_encode(pix, w, h, ch, interlace=True))
+        assert seq is not None and adam is not None, (w, h, ch)
+        assert bytes(seq[3]) == pix and bytes(adam[3]) == pix, (w, h, ch)
+
+
+def test_png_palette_all_depths_and_interlace():
+    """Indexed-color PNG (type 3) at depths 1/2/4/8, sequential and Adam7:
+    decodes to exactly the palette colors; out-of-range indices refuse."""
+    import numpy as np
+
+    from olap_sus_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(13)
+    for depth in (1, 2, 4, 8):
+        ncol = 1 << depth
+        pal = bytes(rng.integers(0, 256, ncol * 3, dtype=np.uint8))
+        for w, h in [(10, 7), (16, 16), (3, 1), (23, 9)]:
+            idx = bytes(rng.integers(0, ncol, w * h, dtype=np.uint8))
+            expected = b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+            for inter in (False, True):
+                dec = mm.png_decode(
+                    mm.png_encode_palette(idx, w, h, pal, depth=depth, interlace=inter)
+                )
+                assert dec is not None, (depth, w, h, inter)
+                assert (dec[0], dec[1], dec[2]) == (w, h, 3)
+                assert bytes(dec[3]) == expected, (depth, w, h, inter)
+    # hostile: an index past the palette end must refuse, not wrap
+    short_pal = bytes(rng.integers(0, 256, 2 * 3, dtype=np.uint8))  # 2 colors
+    bad = mm.png_encode_palette(bytes([0, 1, 3, 1]), 2, 2, short_pal, depth=8)
+    assert mm.png_decode(bad) is None
+    # palette image with no PLTE chunk at all refuses
+    import zlib as _z
+
+    no_plte = mm.png_encode_palette(bytes([0, 1, 1, 0]), 2, 2, short_pal)
+    plte_at = no_plte.index(b"PLTE") - 4
+    plte_len = int.from_bytes(no_plte[plte_at : plte_at + 4], "big")
+    stripped = no_plte[:plte_at] + no_plte[plte_at + 12 + plte_len :]
+    assert mm.png_decode(stripped) is None
+
+
+def test_gif_interlaced_decodes_identical_to_sequential():
+    """GIF 4-pass interlacing is a row permutation; the decoder must undo
+    it exactly (including odd heights where late passes dominate)."""
+    from olap_sus_spark.operators import multimodal as mm
+
+    R, G, B, Y = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)
+    for w, h in [(4, 4), (5, 9), (3, 1), (8, 13), (2, 2)]:
+        idx = [(x * 3 + y * 7) % 4 for y in range(h) for x in range(w)]
+        plain = mm.gif_decode(_hand_gif(w, h, [R, G, B, Y], idx))
+        inter = mm.gif_decode(_hand_gif(w, h, [R, G, B, Y], idx, interlace=True))
+        assert plain is not None and inter is not None, (w, h)
+        assert bytes(plain[3]) == bytes(inter[3]), (w, h)
 
 
 def test_png_decode_bounded_against_hostile_payloads():
@@ -262,11 +329,20 @@ def test_resize_real_png_known_pixels(spark):
     assert bytes(pix) == bytes(TL) + bytes(TR) + bytes(BL) + bytes(BR)
 
 
-def _hand_gif(width, height, palette, indices, min_code_size=2):
+def _hand_gif(width, height, palette, indices, min_code_size=2, interlace=False):
     """Independent GIF writer for fixtures ("uncompressed"-style LZW: every
     pixel emitted as a literal code, CLEAR inserted before the code width
     would ever need to grow — decodes through any conformant LZW decoder
-    but shares no code with the operator's decoder)."""
+    but shares no code with the operator's decoder).  ``interlace=True``
+    stores rows in the GIF 4-pass order."""
+    if interlace:
+        order = (
+            list(range(0, height, 8))
+            + list(range(4, height, 8))
+            + list(range(2, height, 4))
+            + list(range(1, height, 2))
+        )
+        indices = [indices[y * width + x] for y in order for x in range(width)]
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     width_bits = min_code_size + 1
 
@@ -307,7 +383,7 @@ def _hand_gif(width, height, palette, indices, min_code_size=2):
     out += pal
     out += b"\x2c" + b"\x00\x00\x00\x00"
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
-    out += b"\x00"  # no LCT, not interlaced
+    out += bytes([0x40 if interlace else 0x00])  # no LCT; interlace flag
     out += bytes([min_code_size])
     for i in range(0, len(data), 255):
         chunk = data[i : i + 255]
@@ -379,11 +455,7 @@ def test_gif_decode_rejects_hostile():
     assert mm.gif_decode(None) is None
     assert mm.gif_decode(b"NOTAGIF") is None
     assert mm.gif_decode(ok[:20]) is None  # truncated mid-structure
-    # interlace flag set -> unsupported -> None
-    bad = bytearray(ok)
-    desc = bad.index(b"\x2c")
-    bad[desc + 9] |= 0x40
-    assert mm.gif_decode(bytes(bad)) is None
+    desc = ok.index(b"\x2c")
     # declared dimensions past the pixel ceiling refuse before LZW work
     huge = bytearray(ok)
     huge[6:8] = (60000).to_bytes(2, "little")
