@@ -229,13 +229,15 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_partkey").agg(
         F.sum(dec("l_extendedprice")).alias("receita_dec")
     )
-    tot = rev.agg(F.sum("receita_dec").alias("total_dec"))
     cum = running_total(
         rev,
         [F.col("receita_dec").desc(), F.col("l_partkey")],
         "receita_dec",
         "_cum_dec",
     )
+    # grand total folded off the CHECKPOINTED prefix output (same exact
+    # decimal sum) — a separate rev.agg() branch would scan lineitem twice
+    tot = cum.agg(F.sum("receita_dec").alias("total_dec"))
     acum = cum.join(F.broadcast(tot)).withColumn(
         "parcela_acum",
         F.col("_cum_dec").cast("double") / F.col("total_dec").cast("double"),
