@@ -91,6 +91,7 @@ HEADLINE = [
     "snapshot_diff",
     # maintained incremental aggregate (serves from day-grain partials)
     "incremental_revenue_by_month",
+    "zorder_box_revenue",  # 2-D box aggregate off the maintained z-ordered layout
     "kmv_distinct_orders",  # grouped KMV distinct sketch straight off the facts
     "kmv_distinct_orders_served",  # same sketch served from maintained day partials
     "kmv_trailing_quarter_distinct_served",  # sliding-window re-fold of the same cube
@@ -142,6 +143,7 @@ def main() -> None:
     from olap_sus_spark.queries import sketches as _sk
     from olap_sus_spark.queries import cms as _cms
     from olap_sus_spark.queries import hist as _hist
+    from olap_sus_spark.sources import zorder as _zo
 
     _dedup_bits = _sim.auto_bits(_corpus_rows(sf_dir), target_bucket=8)
 
@@ -210,6 +212,15 @@ def main() -> None:
             "user_kmv_partials",
             lambda: _sk.user_kmv_path(sf_dir),
             lambda: _sk.load_or_build_user_kmv(spark, sf_dir),
+        ),
+        (
+            # Morton-clustered lineitem copy: zorder_box_revenue's layout
+            # (written once at compaction in production; amortized here).
+            "zorder_layout",
+            lambda: _zo.zorder_layout_path(sf_dir, "lineitem", "l_partkey", "l_suppkey"),
+            lambda: _zo.load_or_build_zorder(
+                spark, sf_dir, "lineitem", "l_partkey", "l_suppkey"
+            ),
         ),
     ]:
         shutil.rmtree(path_fn(), ignore_errors=True)

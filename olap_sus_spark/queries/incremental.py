@@ -182,3 +182,40 @@ def trailing_28d_revenue_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("valor").over(w).cast("double").alias("receita_28d"),
         F.sum("n").over(w).cast("bigint").alias("itens_28d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout serving — a selective 2-D box aggregate probed against the
+# MAINTAINED Morton-clustered copy of lineitem (sources/zorder.py).  The
+# layout is answer-invariant (the oracle runs the same box on the raw
+# table); what it buys is row-group skipping on BOTH box dimensions at
+# once, which a single-column sort cannot (tests/test_zorder.py measures
+# the touched-row-group ratio from the parquet footers).  At 100 TB the
+# z-write happens once per ingested partition at compaction; every
+# selective scan after that reads only the intersecting rectangles.
+# ---------------------------------------------------------------------------
+_ZORDER_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_linhas,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS receita
+FROM lineitem
+WHERE l_partkey BETWEEN 20 AND 80 AND l_suppkey BETWEEN 2 AND 7
+"""
+
+
+@register("zorder_box_revenue", oracle=_ZORDER_ORACLE)
+def zorder_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-predicate aggregate over the maintained z-ordered lineitem copy
+    (build amortized off the serving path, stamp-marker staleness).  Both
+    range predicates push down to the parquet scan, where the Morton
+    clustering makes the footer min/max selective in both dimensions."""
+    from olap_sus_spark.sources.zorder import load_or_build_zorder
+
+    zl = load_or_build_zorder(spark, sf_dir, "lineitem", "l_partkey", "l_suppkey")
+    return zl.filter(
+        F.col("l_partkey").between(20, 80) & F.col("l_suppkey").between(2, 7)
+    ).agg(
+        F.count(F.lit(1)).alias("n_linhas"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("receita"),
+    )

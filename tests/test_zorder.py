@@ -1,0 +1,137 @@
+"""Z-order layout (sources/zorder.py): Morton-value correctness, the
+measured row-group-skipping win over a single-column sort, maintained-copy
+contract, and oracle-exact serving."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from olap_sus_spark.catalog import load_table
+from olap_sus_spark.sources import zorder as zo
+from tests.conftest import SF_DIR
+
+
+def _py_interleave(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_z_value_matches_reference(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (255, 1)]
+    df = spark.createDataFrame(rows, "x long, y long").withColumn(
+        "z", zo.z_value(F.col("x"), F.col("y"), 16)
+    )
+    for r in df.collect():
+        assert r.z == _py_interleave(r.x, r.y, 16), (r.x, r.y)
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """The measurable claim: for a box selective in the SECOND column, the
+    z-layout's footer stats intersect far fewer row groups than a layout
+    sorted on the first column only — same rows, same query answers, a
+    fraction of the I/O."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    zdir = str(tmp_path / "zorder")
+    ldir = str(tmp_path / "linear")
+    zo.zorder_frame(li, "l_partkey", "l_suppkey", files=32).write.parquet(zdir)
+    (
+        li.repartitionByRange(32, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.parquet(ldir)
+    )
+    # box on the SECOND dimension only — the 1-D layout can't skip on it
+    smax = li.agg(F.max("l_suppkey")).first()[0]
+    box = {"l_suppkey": (1, max(1, smax // 16))}
+    zt, ztot = zo.row_groups_touched(zdir, box)
+    lt, ltot = zo.row_groups_touched(ldir, box)
+    assert ztot >= 16 and ltot >= 16  # enough granularity to mean anything
+    z_frac, l_frac = zt / ztot, lt / ltot
+    assert l_frac > 0.9, (lt, ltot)  # 1-D sort: stats useless for dim 2
+    assert z_frac < 0.6 * l_frac, (zt, ztot, lt, ltot)
+    # and a 2-D box prunes on both dimensions at once
+    pmax = li.agg(F.max("l_partkey")).first()[0]
+    box2 = {"l_partkey": (1, max(1, pmax // 8)), "l_suppkey": (1, max(1, smax // 8))}
+    zt2, _ = zo.row_groups_touched(zdir, box2)
+    assert zt2 / ztot < 0.5, (zt2, ztot)
+    # layout is answer-invariant
+    q = lambda d: (
+        spark.read.parquet(d)
+        .filter(F.col("l_suppkey") <= box["l_suppkey"][1])
+        .agg(F.count(F.lit(1)), F.sum("l_quantity"))
+        .first()
+    )
+    assert q(zdir) == q(ldir)
+
+
+def test_zorder_box_filters_reach_scan(spark, tmp_path, monkeypatch):
+    """Serving plan: both box predicates push to the z-layout parquet scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.registry import QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    df = QUERIES["zorder_box_revenue"](spark, SF_DIR)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "GreaterThanOrEqual(l_partkey,20)" in ln and "LessThanOrEqual(l_suppkey,7)" in ln
+        for ln in pushed
+    ), pushed
+
+
+def test_zorder_maintained_copy_is_cached_and_stale_safe(spark, tmp_path, monkeypatch):
+    import shutil
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    # stage a corpus we can mutate
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in ("lineitem",):
+        shutil.copy(
+            os.path.join(SF_DIR, f"{t}.parquet"), os.path.join(sf, f"{t}.parquet")
+        )
+    first = zo.load_or_build_zorder(spark, sf, "lineitem", "l_partkey", "l_suppkey")
+    n1 = first.count()
+    path = zo.zorder_layout_path(sf, "lineitem", "l_partkey", "l_suppkey")
+    stamps = {
+        f: os.path.getmtime(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    again = zo.load_or_build_zorder(spark, sf, "lineitem", "l_partkey", "l_suppkey")
+    assert again.count() == n1
+    for f, ts in stamps.items():  # served, not rebuilt
+        assert os.path.getmtime(os.path.join(path, f)) == ts
+    # corpus change -> stale marker -> safe full rebuild with the new rows
+    src = os.path.join(SF_DIR, "lineitem.parquet")
+    dst = os.path.join(sf, "lineitem.parquet")
+    os.utime(dst)  # identity (mtime) change = new corpus stamp
+    rebuilt = zo.load_or_build_zorder(spark, sf, "lineitem", "l_partkey", "l_suppkey")
+    assert rebuilt.count() == n1
+    assert src  # silence lint
+
+
+def test_zorder_row_order_is_full_permutation(spark, tmp_path):
+    """The layout must be a permutation — every row exactly once."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    z = zo.zorder_frame(li, "l_partkey", "l_suppkey", files=8)
+    assert z.count() == li.count()
+    assert (
+        z.select("l_orderkey", "l_linenumber")
+        .exceptAll(li.select("l_orderkey", "l_linenumber"))
+        .count()
+        == 0
+    )
