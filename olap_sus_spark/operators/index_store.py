@@ -137,7 +137,7 @@ def diff_files(
 # signed into the index it almost never changes again, so old rows are
 # rolled into sealed EPOCHS — each a sorted name list plus one hash over the
 # members' identities.  The live ``files`` map stays bounded
-# (≤ _EPOCH_KEEP + one epoch of slack); staleness and diff checks treat a
+# (≤ EPOCH_KEEP + one epoch of headroom); staleness and diff checks treat a
 # sealed epoch as one unit: hash matches → all members unchanged (O(1) rows
 # in the manifest), hash broken → every surviving member conservatively
 # re-signed (O(epoch), still never O(corpus)).  Purge/RTBF rewrites of an
