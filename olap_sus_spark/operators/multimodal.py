@@ -12,12 +12,13 @@ header parser (PNG IHDR / GIF logical screen / JPEG SOF marker walk, see
 headers.  Pixel decode is REAL for the three dominant image containers:
 PNG (zlib + full filter set, here), GIF (stdlib LZW, here), and baseline
 JPEG (Huffman + IDCT, :mod:`olap_sus_spark.operators.jpeg`); video demux
-is REAL for MJPG-AVI (RIFF walk, :mod:`olap_sus_spark.operators.avi`) with
-per-frame JPEG decode, and feature extraction is REAL (pixel grid
-statistics) for any decodable image.  Codec-bound paths that genuinely
-need absent libraries (MP4/MKV demux, learned embedding models) fall back
-to deterministic fakes inside the same Spark plumbing, so swapping in
-PyAV or an ONNX encoder touches one function body each.
+is REAL for MJPG-AVI (RIFF walk, :mod:`olap_sus_spark.operators.avi`),
+MP4 (sample-table walk, :mod:`operators.mp4`) and Matroska/WebM (EBML
+walk, :mod:`operators.mkv`) with per-frame JPEG decode, and feature
+extraction is REAL (pixel grid statistics) for any decodable image.  The
+one path that genuinely needs an absent library (learned embedding
+models) falls back to a deterministic fake inside the same Spark
+plumbing, so swapping in an ONNX encoder touches one function body.
 
 Scale notes: mapInPandas streams Arrow batches, so payloads never
 materialize on the driver; per-batch work is embarrassingly parallel with
@@ -796,11 +797,13 @@ def video_metadata(assets: DataFrame) -> DataFrame:
     """Container-level video metadata WITHOUT decoding any samples —
     the triage pass a 100 TB video pipeline runs before deciding what to
     demux: MP4/ISO-BMFF via :func:`operators.mp4.parse_mp4_metadata` (box
-    walk), AVI via :func:`operators.avi.avi_metadata` (hdrl walk).
+    walk), AVI via :func:`operators.avi.avi_metadata` (hdrl walk),
+    Matroska/WebM via :func:`operators.mkv.mkv_metadata` (EBML walk).
     Unrecognized containers yield NULL columns (operator stays total).
     Same Arrow-batched, shuffle-free mapInPandas shape as
     :func:`extract_metadata`."""
     from olap_sus_spark.operators.avi import avi_metadata
+    from olap_sus_spark.operators.mkv import mkv_metadata
     from olap_sus_spark.operators.mp4 import parse_mp4_metadata
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -814,6 +817,9 @@ def video_metadata(assets: DataFrame) -> DataFrame:
                 if m is None:
                     m = avi_metadata(payload)
                     container = "avi" if m else None
+                if m is None:
+                    m = mkv_metadata(payload)
+                    container = "mkv" if m else None
                 if m is None:
                     rows.append((asset_id, None, None, None, None, None, None, None))
                     continue
@@ -856,12 +862,15 @@ def sample_frames(assets: DataFrame, every_nth: int = 30) -> DataFrame:
     slices sample bytes straight out of mdat — a true demux with zero
     codec work (the scale point: the sample table is KBs of moov however
     large mdat is, so Nth-frame sampling never streams the whole asset).
-    Remaining containers (MKV — codec-bound) keep the deterministic fake
-    slicer so the operator stays total; ``frame_index`` is the frame's
-    position in the source stream in all paths.  One-to-many FRAME_SCHEMA
-    output, repartitioned by asset so frames of one video stay together.
+    Matroska/WebM is real too (round 6): :func:`operators.mkv.mkv_demux`
+    walks the EBML tree and emits the first video track's unlaced blocks.
+    Only unrecognized containers keep the deterministic fake slicer so the
+    operator stays total; ``frame_index`` is the frame's position in the
+    source stream in all paths.  One-to-many FRAME_SCHEMA output,
+    repartitioned by asset so frames of one video stay together.
     """
     from olap_sus_spark.operators.avi import avi_demux
+    from olap_sus_spark.operators.mkv import mkv_demux
     from olap_sus_spark.operators.mp4 import extract_samples
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -882,7 +891,12 @@ def sample_frames(assets: DataFrame, every_nth: int = 30) -> DataFrame:
                     for i, _dts_ms, data in mp4_samples:
                         rows.append((asset_id, i, data))
                     continue
-                # Fake slicer for codec-bound containers (documented above).
+                mkv_frames = mkv_demux(payload)
+                if mkv_frames is not None:
+                    for i in range(0, len(mkv_frames), every_nth):
+                        rows.append((asset_id, i, mkv_frames[i]))
+                    continue
+                # Fake slicer for unrecognized containers (documented above).
                 n_slices = max(1, len(payload) // 64)
                 for i in range(0, n_slices, every_nth):
                     rows.append((asset_id, i, bytes(payload[i * 64 : (i + 1) * 64])))

@@ -826,6 +826,75 @@ def test_sample_frames_real_avi(spark):
         assert jpeg.jpeg_decode(bytes(r.frame)) is not None
 
 
+def test_mkv_mux_demux_roundtrip_and_frame_decode():
+    """Round 6: the EBML walk is a real demux — byte-exact unlaced block
+    extraction in stream order, every frame a decodable baseline JPEG."""
+    from olap_sus_spark.operators import jpeg, mkv
+
+    frames = [
+        jpeg.jpeg_encode(bytes([(k * 40 + i) % 256 for i in range(16 * 16 * 3)]), 16, 16, 3)
+        for k in range(7)
+    ]
+    payload = mkv.mkv_mux(frames, 16, 16, fps=10)
+    out = mkv.mkv_demux(payload)
+    assert out == frames
+    for f in out:
+        d = jpeg.jpeg_decode(f)
+        assert d is not None and (d[0], d[1], d[2]) == (16, 16, 3)
+
+
+def test_mkv_metadata_fields():
+    from olap_sus_spark.operators import jpeg, mkv
+
+    frames = [jpeg.jpeg_encode(bytes(192), 8, 8, 3)] * 4
+    m = mkv.mkv_metadata(mkv.mkv_mux(frames, 8, 8, fps=10))
+    assert m is not None
+    assert m["brand"] == "matroska"
+    assert m["n_tracks"] == 1 and m["codecs"] == ["V_MJPEG"]
+    assert (m["width"], m["height"]) == (8, 8)
+    assert m["duration_ms"] == 4 * 100  # 4 frames at 10 fps
+
+
+def test_mkv_demux_rejects_hostile():
+    from olap_sus_spark.operators import jpeg, mkv
+
+    frame = jpeg.jpeg_encode(bytes(192), 8, 8, 3)
+    ok = mkv.mkv_mux([frame], 8, 8)
+    assert mkv.mkv_demux(ok) is not None
+    assert mkv.mkv_demux(None) is None
+    assert mkv.mkv_demux(b"notmkv") is None
+    assert mkv.mkv_demux(ok[:30]) is None  # truncated inside the header
+    assert mkv.mkv_demux(ok[:-10]) is None  # block overruns truncated parent
+    # laced block flag: unsupported -> whole stream refused (caller falls back)
+    laced = bytearray(ok)
+    laced[laced.find(frame) - 1] |= 0x06  # flags byte directly precedes frame
+    assert mkv.mkv_demux(bytes(laced)) is None
+
+
+def test_sample_frames_and_metadata_real_mkv(spark):
+    """sample_frames and video_metadata both take the real EBML path."""
+    from olap_sus_spark.operators import jpeg, mkv
+    from olap_sus_spark.operators import multimodal as mm
+
+    frames = [
+        jpeg.jpeg_encode(bytes([k * 9 % 256] * (8 * 8 * 3)), 8, 8, 3) for k in range(10)
+    ]
+    payload = mkv.mkv_mux(frames, 8, 8)
+    assets = spark.createDataFrame(
+        [(5, bytearray(payload), "video/x-matroska")], mm.ASSET_SCHEMA
+    )
+    rows = sorted(
+        mm.sample_frames(assets, every_nth=4).collect(), key=lambda r: r.frame_index
+    )
+    assert [r.frame_index for r in rows] == [0, 4, 8]
+    for r in rows:
+        assert bytes(r.frame) == frames[r.frame_index]
+        assert jpeg.jpeg_decode(bytes(r.frame)) is not None
+    meta = mm.video_metadata(assets).collect()[0]
+    assert meta.container == "mkv" and meta.codecs == "V_MJPEG"
+    assert (meta.width, meta.height) == (8, 8)
+
+
 def test_extract_features_real_pixels(spark):
     """Decodable payloads produce REAL grid-mean features; undecodable
     payloads keep the digest fake (operator stays total)."""
