@@ -329,6 +329,37 @@ def test_resize_real_png_known_pixels(spark):
     assert bytes(pix) == bytes(TL) + bytes(TR) + bytes(BL) + bytes(BR)
 
 
+def test_resize_progressive_jpeg_and_interlaced_formats(spark):
+    """Round 6: resize_images takes the REAL pixel path for progressive
+    JPEG, Adam7 PNG, and interlaced GIF — none fall to the digest fake
+    (a fake payload is not a decodable PNG, which is the discriminator)."""
+    from olap_sus_spark.operators import jpeg
+    from olap_sus_spark.operators import multimodal as mm
+
+    flat = bytes([120, 200, 64]) * (16 * 16)
+    prog = jpeg.jpeg_encode_progressive(flat, 16, 16, 3)
+    adam = mm.png_encode(flat, 16, 16, 3, interlace=True)
+    R = (255, 0, 0)
+    gif = _hand_gif(8, 8, [R, R, R, R], [0] * 64, interlace=True)
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(prog), "image/jpeg"),
+            (2, bytearray(adam), "image/png"),
+            (3, bytearray(gif), "image/gif"),
+        ],
+        mm.ASSET_SCHEMA,
+    )
+    out = {r.asset_id: r for r in mm.resize_images(assets, 4, 4).collect()}
+    for aid, want in [(1, (120, 200, 64)), (2, (120, 200, 64)), (3, R)]:
+        dec = mm.png_decode(bytes(out[aid].payload))
+        assert dec is not None, aid  # real path: output is a valid PNG
+        w, h, ch, pix = dec
+        assert (w, h, ch) == (4, 4, 3), aid
+        assert all(
+            abs(pix[3 * i + c] - want[c]) <= 1 for i in range(16) for c in range(3)
+        ), aid
+
+
 def _hand_gif(width, height, palette, indices, min_code_size=2, interlace=False):
     """Independent GIF writer for fixtures ("uncompressed"-style LZW: every
     pixel emitted as a literal code, CLEAR inserted before the code width
