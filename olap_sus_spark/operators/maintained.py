@@ -183,7 +183,14 @@ def refresh_partials(
     mid-scan of that month would hit FileNotFound outside the bounded
     whole-path retry in :func:`load_or_build_partials`.  With the swap the
     vulnerable window is the same two-renames-per-month microsecond window
-    every index family already runs (and the race probes cover)."""
+    every index family already runs.  Cross-process READERS of that window
+    may still see one transient FileNotFound mid-action; the contract is
+    retry-the-action (never partial or merged data — each month is whole
+    before and after the swap).  Concurrent refreshers are safe: the race
+    loser's month rename fails on the existing destination and its
+    equivalent copy is discarded (tools/race_probe_refresh.py races two
+    drivers through refresh+serve loops and pins raced == fresh-rebuild
+    with zero debris)."""
     import shutil
 
     from olap_sus_spark.operators.index_store import (
