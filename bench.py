@@ -58,6 +58,7 @@ HEADLINE = [
     "ann_ivf_probe_topk",  # serving path over a maintained IVF index
     "ann_lsh_probe_topk",  # serving path over a maintained SRP bucket index
     "ann_lsh_auto_topk",  # same, with corpus-sized signature width (auto_bits)
+    "ann_lsh_multiprobe_topk",  # Hamming-1 bucket neighborhood: recall up, index unchanged
     "ann_lsh_filtered_topk",  # pre-filtered ANN: metadata semi-join on the candidate stream
     "ann_mmr_diverse_topk",  # MMR diversity rerank over the candidate pool
     "mutual_nn_pairs",  # reciprocal rank-1 pairs (duplicate-account signal)
@@ -85,6 +86,7 @@ HEADLINE = [
     "document_chunking",
     "corpus_source_mixing",
     "weighted_corpus_sample",  # exactly-N weight-proportional sample (E-S bottom-N)
+    "grouped_reservoir_sample",  # exact k-per-source balanced sample (WindowGroupLimit)
     "boilerplate_segment_scrub",  # C4/RefinedWeb repeated-segment filter
     # time-series + reconciliation
     "rolling_active_users",

@@ -578,6 +578,7 @@ def lsh_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     allowed: DataFrame | None = None,
+    multiprobe_bits: int | None = None,
 ) -> DataFrame:
     """Query-path half of SRP-LSH: given the bucket table ``b`` =
     (id, vec, t, bucket) rows (from :func:`srp_buckets`, live or loaded from
@@ -591,10 +592,30 @@ def lsh_probe(
     stream BEFORE the exact-cosine rerank — pre-filtering, so the top-k is
     taken over allowed candidates only (post-filtering a plain top-k would
     silently return fewer than k).  The filter is applied after the bucket
-    collision, so the index itself stays predicate-agnostic."""
+    collision, so the index itself stays predicate-agnostic.
+
+    ``multiprobe_bits=H`` turns on MULTI-PROBE: each query additionally
+    probes every bucket at Hamming distance 1 from its signature (flip
+    each of the H bits) in every table — (H+1)× the probe keys for recall
+    that would otherwise cost more tables, with the INDEX unchanged.  Only
+    the tiny broadcast query side expands; the corpus-sized bucket table
+    is joined exactly as before."""
     qb = b.filter(F.col(id_col) < n_query).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), "t", "bucket"
     )
+    if multiprobe_bits:
+        flips = F.explode(
+            F.array(F.lit(-1), *[F.lit(i) for i in range(multiprobe_bits)])
+        ).alias("f")
+        qb = qb.select("query_id", "qvec", "t", "bucket", flips).select(
+            "query_id",
+            "qvec",
+            "t",
+            F.when(F.col("f") < 0, F.col("bucket"))
+            .otherwise(F.expr("bucket ^ shiftleft(1, f)"))
+            .cast("int")
+            .alias("bucket"),
+        )
     cands = b.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "t", "bucket"
     )

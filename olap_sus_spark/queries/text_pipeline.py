@@ -1402,3 +1402,42 @@ def weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sample_key", "doc_id")
         .limit(_WS_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# Balanced per-group sampling — exactly k documents per source in ONE pass,
+# the per-class balancing step of corpus construction (complement of the
+# global weighted sample above).  "Random" order is a portable
+# content-independent hash of the id (both engines replay the md5 ordering
+# bit-for-bit, so the sampled SET is deterministic and auditable — the
+# reproducibility a training pipeline actually needs from its sampler).
+# Scale shape: one shuffle on the group key; the rank ≤ k filter compiles
+# to WindowGroupLimit, so each map task keeps only its local top-k before
+# the exchange — output is ≤ k·|groups| rows however large the corpus.
+# ---------------------------------------------------------------------------
+_RSV_K = 25
+
+_RSV_ORACLE = f"""
+SELECT source, doc_id, posicao FROM (
+    SELECT source, doc_id,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id
+           ) AS INT) AS posicao
+    FROM documents
+) WHERE posicao <= {_RSV_K}
+"""
+
+
+@register("grouped_reservoir_sample", oracle=_RSV_ORACLE)
+def grouped_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hkey = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15)
+    w = Window.partitionBy("source").orderBy(hkey.asc(), F.col("doc_id"))
+    return docs.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w).cast("int").alias("posicao"),
+    ).filter(F.col("posicao") <= _RSV_K)

@@ -289,6 +289,71 @@ def ann_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_probe(b, n_query=_NQ, k=_K)
 
 
+# Multi-probe SRP serving variant: each query probes its own bucket PLUS
+# every bucket at Hamming distance 1 (flip each of the H signature bits) in
+# every table — the classic multi-probe LSH recall upgrade (Lv et al.,
+# VLDB'07): (H+1)× the probe keys without touching the index, where the
+# same recall via more tables would grow the INDEX (H+1)×.  Only the
+# broadcast query side expands; the corpus-sized bucket join is unchanged.
+# The oracle replays the identical neighborhood with a probe CTE (f = -1 is
+# the home bucket; CASE keeps the shift lazy for that row).
+_LSH_MP_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+    SELECT t.t, h.h,
+           list_transform(range(0, {_DIM}), j ->
+               CASE WHEN CAST(concat('0x', substr(md5(
+                        concat(t.t, '_', h.h, '_', j)), 1, 15)) AS BIGINT) % 2 = 0
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+           ) AS plane
+    FROM range({_LSH_T}) t(t) CROSS JOIN range({_LSH_H}) h(h)
+),
+bits AS (
+    SELECT x.vec_id, p.t, p.h,
+           CASE WHEN ({_DOT.format(a='x.v', b='p.plane')}) >= 0
+                THEN 1 ELSE 0 END AS bit
+    FROM v x CROSS JOIN planes p
+),
+buckets AS (
+    SELECT vec_id, t, CAST(SUM(bit * (1 << h)) AS INT) AS bucket
+    FROM bits GROUP BY vec_id, t
+),
+probe AS (
+    SELECT q.vec_id, q.t,
+           CAST(CASE WHEN f.f < 0 THEN q.bucket
+                     ELSE xor(q.bucket, (1 << f.f)) END AS INT) AS bucket
+    FROM buckets q CROSS JOIN range(-1, {_LSH_H}) f(f)
+    WHERE q.vec_id < {_NQ}
+),
+cand AS (
+    SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS cand_id
+    FROM probe p
+    JOIN buckets c ON c.t = p.t AND c.bucket = p.bucket
+    WHERE p.vec_id != c.vec_id
+),
+scored AS (
+    SELECT cand.query_id, cand.cand_id, {_cos('a.v', 'b.v')} AS cosine
+    FROM cand
+    JOIN v a ON a.vec_id = cand.query_id
+    JOIN v b ON b.vec_id = cand.cand_id
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+    FROM scored
+)
+SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register("ann_lsh_multiprobe_topk", oracle=_LSH_MP_ORACLE)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = sim.load_or_build_srp_index(
+        spark, sf_dir, dim=_DIM, n_tables=_LSH_T, n_bits=_LSH_H
+    )
+    return sim.lsh_probe(b, n_query=_NQ, k=_K, multiprobe_bits=_LSH_H)
+
+
 # Auto-sized SRP serving variant: n_bits is derived from the corpus row
 # count (auto_bits == ceil(log2(N / 256)) mathematically) so expected bucket
 # occupancy — and therefore probe candidate-set size — stays bounded as the

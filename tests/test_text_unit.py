@@ -145,6 +145,28 @@ def test_lsh_recall_vs_brute_force(spark):
     assert hit / total >= 0.5, f"recall@5 too low: {hit}/{total}"
 
 
+def test_multiprobe_lsh_recall_dominates_single_probe(spark, tmp_path, monkeypatch):
+    """Multi-probe (home bucket + every Hamming-1 neighbor) must recall at
+    least everything single-probe finds — its candidate set is a strict
+    superset — and lift recall@5 vs brute force, at unchanged index size."""
+    import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+
+    def pairs(name):
+        return {(r.query_id, r.cand_id) for r in QUERIES[name](spark, SF_DIR).collect()}
+
+    exact = pairs("ann_cosine_topk")
+    single = pairs("ann_lsh_probe_topk")
+    multi = pairs("ann_lsh_multiprobe_topk")
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single, (r_single, r_multi)
+    assert r_multi >= 0.6, r_multi
+
+
 def test_probe_queries_match_inline_variants(spark, tmp_path, monkeypatch):
     """The maintained-index probe path (build once → persist → probe) must
     return exactly the rows of the build-inline variants, and the second
