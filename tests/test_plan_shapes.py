@@ -602,6 +602,64 @@ def test_no_global_window_over_data_sized_grain(spark):
     )
 
 
+# ---------------------------------------------------------------------------
+# Registry-wide gate #2: no CartesianProduct anywhere, ever; and
+# BroadcastNestedLoopJoin only where an audited scalar/bounded broadcast
+# makes it the intended shape (a 1-row aggregate anchor, a ≤N_Q query
+# cross, a ≤16-row codebook).  An unlisted BNLJ is how an equi-join
+# silently degrades into an O(n·m) scan at scale — this gate catches the
+# class at test time.  Counts are exact: MORE nodes than audited fails.
+# ---------------------------------------------------------------------------
+SCALAR_BROADCAST_BNLJ = {
+    # 1-row aggregate anchor joined to the stream
+    "pareto_abc_parts": 1,           # grand-total decimal
+    "approx_aggregates": 1,          # n/countDistinct/sketch stats row
+    "tfidf_top_terms": 1,            # corpus doc count
+    "chisq_drift_orders": 2,         # the two period totals
+    "bm25_search_topk": 2,           # corpus stats (N, S) + query-term anchor
+    "bm25_search_indexed": 2,        # same anchors over the maintained index
+    "corpus_source_mixing": 1,       # Σ size fold for the rates
+    "corpus_temperature_mixing": 1,  # Σ √size fold for the rates
+    "rfm_segmentation": 1,           # reference-date anchor
+    "important_stock_parts": 1,      # global revenue threshold
+    "skyline_parts": 1,              # dominance working set (bounded frontier)
+    "tpch_q22_dormant_customers": 1,  # scalar avg-balance threshold
+    "salted_join_rollup": 1,         # salt-replication of the broadcast dim
+    "kmv_segment_overlap": 1,        # two ≤k-row sketches crossed
+    "kmv_segment_overlap_served": 1,  # same over the maintained cube
+    "cms_trailing_quarter_heavy_hitters": 1,  # month-list × candidate dim
+    # bounded query-side / codebook crosses (documented ANN shapes)
+    "ann_cosine_topk": 1,            # ≤N_Q queries × corpus scan (the exact baseline)
+    "ann_ivf_topk": 1,               # ≤N_Q queries × ≤16-row codebook
+    "ann_ivf_probe_topk": 1,         # same, over the maintained index
+    # faithful theta-band variant (the binned rewrite is the scale path)
+    "band_join_theta": 1,
+}
+
+
+def test_no_cartesian_and_only_audited_nested_loops(spark):
+    """Every registered query: zero CartesianProduct nodes, and exactly the
+    audited number of BroadcastNestedLoopJoin nodes (default zero)."""
+    import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    bad = []
+    for name in sorted(QUERIES):
+        plan = plan_of(QUERIES[name](spark, SF_DIR))
+        if n_nodes(plan, "CartesianProduct"):
+            bad.append(f"{name}: CartesianProduct")
+        got = n_nodes(plan, "BroadcastNestedLoopJoin")
+        want = SCALAR_BROADCAST_BNLJ.get(name, 0)
+        if got > want:
+            bad.append(f"{name}: {got} BNLJ nodes (audited: {want})")
+    assert not bad, (
+        "unaudited quadratic join shapes:\n" + "\n".join(bad)
+        + "\nrewrite as an equi/range join, or (only for a genuinely "
+        "scalar/bounded broadcast) add an audited SCALAR_BROADCAST_BNLJ entry"
+    )
+
+
 def test_decayed_popularity_plan_shape(spark):
     """decayed_brand_popularity: the 8-week recency filter must reach the
     lineitem scan as a range predicate (pushdown → partition pruning on a
