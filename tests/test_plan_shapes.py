@@ -660,6 +660,30 @@ def test_no_cartesian_and_only_audited_nested_loops(spark):
     )
 
 
+def test_no_row_at_a_time_udfs():
+    """The hot path stays JVM-side: no row-at-a-time Python UDFs anywhere
+    in the package (Arrow-batched mapInPandas / applyInPandasWithState are
+    the only sanctioned Python escapes — ~10-100× the throughput).  A grep
+    gate, so the property can't erode one convenience UDF at a time."""
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..", "olap_sus_spark")
+    offenders = []
+    # Arrow-batched pandas_udf would also be acceptable — only the
+    # row-at-a-time forms are banned.
+    pat = re.compile(r"F\.udf\(|@udf\b|functions\.udf\(")
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            p = os.path.join(dirpath, f)
+            for i, ln in enumerate(open(p), 1):
+                if pat.search(ln):
+                    offenders.append(f"{p}:{i}: {ln.strip()}")
+    assert not offenders, "row-at-a-time / scalar UDFs found:\n" + "\n".join(offenders)
+
+
 def test_decayed_popularity_plan_shape(spark):
     """decayed_brand_popularity: the 8-week recency filter must reach the
     lineitem scan as a range predicate (pushdown → partition pruning on a
