@@ -744,6 +744,38 @@ def test_jpeg_progressive_rejects_hostile_payloads():
     assert out is None or (out[0], out[1], out[2]) == (8, 8, 3)
 
 
+def test_jpeg_progressive_midstream_dht_redefinition():
+    """T.81 allows DHT segments between scans; the multi-scan walk must
+    pick up tables defined AFTER earlier scans.  Surgery on the writer's
+    output: split the combined DHT into DC-only up front and re-emit the
+    AC table just before the first AC scan — decode must be identical;
+    with the AC table never defined, the first AC scan fails closed."""
+    import re
+
+    from olap_sus_spark.operators import jpeg
+
+    px = bytes([(i * 7) % 256 for i in range(16 * 16 * 3)])
+    enc = jpeg.jpeg_encode_progressive(px, 16, 16, 3)
+    ref = jpeg.jpeg_decode(enc)
+    b = bytearray(enc)
+    dht_at = b.find(b"\xff\xc4")
+    ln = int.from_bytes(b[dht_at + 2 : dht_at + 4], "big")
+    seg = bytes(b[dht_at + 4 : dht_at + 2 + ln])
+    dc_len = 1 + 16 + 12  # [class|id][16 counts][12 DC symbols]
+    dc_seg, ac_seg = seg[:dc_len], seg[dc_len:]
+
+    def mkseg(payload):
+        return b"\xff\xc4" + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    rest = bytes(b[dht_at + 2 + ln :])
+    head = bytes(b[:dht_at]) + mkseg(dc_seg)
+    sos = [m.start() for m in re.finditer(b"\xff\xda", rest)]
+    patched = head + rest[: sos[1]] + mkseg(ac_seg) + rest[sos[1] :]
+    out = jpeg.jpeg_decode(patched)
+    assert out is not None and bytes(out[3]) == bytes(ref[3])
+    assert jpeg.jpeg_decode(head + rest) is None  # AC table never defined
+
+
 def test_jpeg_dimension_probe_agrees_with_decoder():
     """parse_image_dimensions (header walk) and jpeg_decode (full decode)
     must report the same geometry on the same payload."""
