@@ -884,12 +884,24 @@ def _emit_eobrun(w: _BitWriter, st: dict) -> None:
     st["be"] = []
 
 
-def _enc_dc_scan(w, samp, grids, mcus_x, mcus_y, ah: int, al: int) -> None:
+def _enc_dc_scan(
+    w, samp, grids, mcus_x, mcus_y, ah: int, al: int, restart_interval: int = 0
+) -> None:
     """Interleaved DC scan: first pass Huffman-codes diffs of dc>>Al;
-    refinement emits one raw bit (bit Al) per block."""
+    refinement emits one raw bit (bit Al) per block.  ``restart_interval``
+    emits RSTn every that many MCUs (byte-aligned, predictors reset) —
+    the per-scan restart machinery progressive decoders must handle."""
     preds = [0] * len(grids)
+    since = n_rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and since == restart_interval:
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                n_rst += 1
+                since = 0
+                preds = [0] * len(grids)
+            since += 1
             for ci, ((h, v), grid) in enumerate(zip(samp, grids)):
                 for by in range(v):
                     for bx in range(h):
@@ -989,6 +1001,7 @@ def jpeg_encode_progressive(
     channels: int,
     quant: int = 1,
     subsample: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode raw row-major 8-bit pixels as a valid progressive JPEG (SOF2).
 
@@ -997,6 +1010,8 @@ def jpeg_encode_progressive(
     6–63) at Al=1 → DC refinement → per-component AC band refinements.
     Exercises every progressive decode path: DC first/refine, AC first with
     ZRL + EOBn runs, AC refinement with correction bits.
+    ``restart_interval`` adds DRI + RSTn markers to the two DC scans (then
+    DRI=0 before the AC scans — DRI is re-definable per scan, T.81 B.2.4.4).
     """
     samp, grids, mcus_x, mcus_y = _quantized_grids(
         pixels, width, height, channels, quant, subsample
@@ -1018,29 +1033,37 @@ def jpeg_encode_progressive(
         return p + bytes([ss, se, (ah << 4) | al])
 
     bands = [(1, 5), (6, 63)]
-    scans: list[tuple[bytes, bytes]] = []
+    # (pre-SOS sibling segments, SOS header payload, entropy data) — the
+    # DRI toggles between DC scans (restarts on) and AC scans (off);
+    # per-scan DRI redefinition is T.81 B.2.4.4.
+    scans: list[tuple[bytes, bytes, bytes]] = []
+    dri_on = _seg(0xDD, restart_interval.to_bytes(2, "big")) if restart_interval else b""
+    dri_off = _seg(0xDD, (0).to_bytes(2, "big")) if restart_interval else b""
     w = _BitWriter()
-    _enc_dc_scan(w, samp, grids, mcus_x, mcus_y, 0, 1)
+    _enc_dc_scan(w, samp, grids, mcus_x, mcus_y, 0, 1, restart_interval)
     w.flush()
-    scans.append((sos(list(range(1, ncomp + 1)), 0, 0, 0, 1), bytes(w.out)))
+    scans.append((dri_on, sos(list(range(1, ncomp + 1)), 0, 0, 0, 1), bytes(w.out)))
     for ci in range(ncomp):
         bw, bh = true_dims(ci)
         for ss, se in bands:
             w = _BitWriter()
             _enc_ac_first_scan(w, grids[ci], bw, bh, ss, se, 1)
             w.flush()
-            scans.append((sos([ci + 1], ss, se, 0, 1), bytes(w.out)))
+            scans.append((dri_off, sos([ci + 1], ss, se, 0, 1), bytes(w.out)))
+            dri_off = b""  # later AC scans inherit DRI=0
     w = _BitWriter()
-    _enc_dc_scan(w, samp, grids, mcus_x, mcus_y, 1, 0)
+    _enc_dc_scan(w, samp, grids, mcus_x, mcus_y, 1, 0, restart_interval)
     w.flush()
-    scans.append((sos(list(range(1, ncomp + 1)), 0, 0, 1, 0), bytes(w.out)))
+    scans.append((dri_on, sos(list(range(1, ncomp + 1)), 0, 0, 1, 0), bytes(w.out)))
+    dri_off2 = _seg(0xDD, (0).to_bytes(2, "big")) if restart_interval else b""
     for ci in range(ncomp):
         bw, bh = true_dims(ci)
         for ss, se in bands:
             w = _BitWriter()
             _enc_ac_refine_scan(w, grids[ci], bw, bh, ss, se, 0)
             w.flush()
-            scans.append((sos([ci + 1], ss, se, 1, 0), bytes(w.out)))
+            scans.append((dri_off2, sos([ci + 1], ss, se, 1, 0), bytes(w.out)))
+            dri_off2 = b""
 
     dqt = bytes([0x00]) + bytes([quant] * 64)
     sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") + bytes([ncomp])
@@ -1051,6 +1074,6 @@ def jpeg_encode_progressive(
         + bytes([0x10]) + bytes(_ACP_COUNTS) + _ACP_SYMBOLS
     )
     out = b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC2, sof) + _seg(0xC4, dht)
-    for hdr, data in scans:
-        out += _seg(0xDA, hdr) + data
+    for pre, hdr, data in scans:
+        out += pre + _seg(0xDA, hdr) + data
     return out + b"\xff\xd9"

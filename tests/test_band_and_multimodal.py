@@ -744,6 +744,30 @@ def test_jpeg_progressive_rejects_hostile_payloads():
     assert out is None or (out[0], out[1], out[2]) == (8, 8, 3)
 
 
+def test_jpeg_progressive_restart_markers():
+    """Progressive DC scans with DRI/RSTn (predictors reset, byte-aligned,
+    per-scan DRI redefinition turning restarts off for the AC scans):
+    decode must still be bit-identical to baseline; a corrupted RSTn fails
+    closed."""
+    import numpy as np
+
+    from olap_sus_spark.operators import jpeg
+
+    rng = np.random.default_rng(19)
+    for w, h, ch, sub, ri in [(48, 33, 3, (1, 1), 2), (17, 13, 3, (2, 2), 1)]:
+        px = bytes(rng.integers(0, 256, w * h * ch, dtype=np.uint8))
+        base = jpeg.jpeg_decode(jpeg.jpeg_encode(px, w, h, ch, subsample=sub))
+        prog = jpeg.jpeg_encode_progressive(
+            px, w, h, ch, subsample=sub, restart_interval=ri
+        )
+        assert b"\xff\xd0" in prog
+        dec = jpeg.jpeg_decode(prog)
+        assert dec is not None and bytes(dec[3]) == bytes(base[3]), (w, h, ch)
+    bad = bytearray(prog)
+    bad[prog.find(b"\xff\xd0") + 1] = 0xD9
+    assert jpeg.jpeg_decode(bytes(bad)) is None
+
+
 def test_jpeg_progressive_midstream_dht_redefinition():
     """T.81 allows DHT segments between scans; the multi-scan walk must
     pick up tables defined AFTER earlier scans.  Surgery on the writer's
