@@ -122,6 +122,40 @@ def test_zorder_maintained_copy_is_cached_and_stale_safe(spark, tmp_path, monkey
     assert src  # silence lint
 
 
+def test_zorder_per_partition_layout(spark, tmp_path):
+    """The PLANS.md maintenance-boundary claim, proven: zorder_frame works
+    per ingest partition (a dt=/month loop — how production re-layouts at
+    compaction).  Each month's files are z-clustered independently, the
+    composed dataset answers box queries identically to the raw table, and
+    a month+box probe prunes row groups within the month too."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_DIR, "lineitem").withColumn(
+        "mes", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    months = [r.mes for r in li.select("mes").distinct().collect()]
+    root = str(tmp_path / "zpart")
+    for m in sorted(months)[:3]:  # three partitions suffice for the proof
+        part = li.filter(F.col("mes") == m).drop("mes")
+        zo.zorder_frame(part, "l_partkey", "l_suppkey", files=4).write.parquet(
+            os.path.join(root, f"mes={m}")
+        )
+    got = spark.read.option("basePath", root).parquet(root)
+    want = li.filter(F.col("mes").isin(sorted(months)[:3]))
+    smax = li.agg(F.max("l_suppkey")).first()[0]
+    box = F.col("l_suppkey") <= max(1, smax // 8)
+    assert (
+        got.filter(box).agg(F.count(F.lit(1)), F.sum("l_quantity")).first()
+        == want.filter(box).agg(F.count(F.lit(1)), F.sum("l_quantity")).first()
+    )
+    # within one month partition, the box still skips row groups
+    m0 = sorted(months)[0]
+    t, tot = zo.row_groups_touched(
+        os.path.join(root, f"mes={m0}"), {"l_suppkey": (1, max(1, smax // 8))}
+    )
+    assert tot >= 4 and t < tot, (t, tot)
+
+
 def test_zorder_row_order_is_full_permutation(spark, tmp_path):
     """The layout must be a permutation — every row exactly once."""
     li = load_table(spark, SF_DIR, "lineitem").select(
