@@ -74,8 +74,11 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the cross-engine interpolation-order hazard of continuous quantiles.
 _HLL_RSD = 0.02
 _HLL_BOUND = 0.06  # 3·rsd — ~3σ of the HLL estimator's relative error
-_PCTL_ACC = 10000
-_PCTL_BOUND = 0.02  # rank error ≤ n/accuracy ⇒ tiny relative value error
+# rank error ≤ n/accuracy: 2500 gives 0.04% rank error against a 2% value
+# bound — 50× headroom.  (10000 added ~10 s/run of GK-summary merge cost at
+# sf0.1 for precision the verification surface never used.)
+_PCTL_ACC = 2500
+_PCTL_BOUND = 0.02
 
 _APPROX_ORACLE = f"""
 WITH s AS (
