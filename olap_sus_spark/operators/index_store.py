@@ -163,13 +163,27 @@ def compact_manifest(man: dict | None, current: dict[str, list[int]]) -> dict:
     top.  A manifest without epochs reads/writes exactly as before."""
     epochs = []
     for e in (man or {}).get("epochs", []):
-        if all(n in current for n in e["names"]) and _epoch_hash(
-            e["names"], current
-        ) == e.get("h"):
-            epochs.append({"names": sorted(e["names"]), "h": e["h"]})
+        try:
+            if all(n in current for n in e["names"]) and _epoch_hash(
+                e["names"], current
+            ) == e.get("h"):
+                epochs.append({"names": sorted(e["names"]), "h": e["h"]})
+        except (TypeError, KeyError, AttributeError):
+            # legacy / hand-edited epoch entry with an unexpected shape:
+            # treat it as broken (members re-loosen) instead of raising out
+            # of the compaction path
+            continue
     covered = {n for e in epochs for n in e["names"]}
     loose = {n: list(v) for n, v in current.items() if n not in covered}
-    order = sorted(loose, key=lambda n: (loose[n][1], n))  # oldest first
+    order = sorted(  # oldest first; tolerate odd value shapes (sort last)
+        loose,
+        key=lambda n: (
+            loose[n][1]
+            if isinstance(loose[n], (list, tuple)) and len(loose[n]) > 1
+            else float("inf"),
+            n,
+        ),
+    )
     while len(loose) > EPOCH_KEEP:
         chunk = order[: min(EPOCH_SIZE, len(loose) - EPOCH_KEEP)]
         order = order[len(chunk):]
@@ -183,19 +197,25 @@ def compact_manifest(man: dict | None, current: dict[str, list[int]]) -> dict:
 
 def manifest_is_current(man: dict | None, current: dict[str, list[int]]) -> bool:
     """Epoch-aware staleness test: every sealed epoch intact AND the loose
-    map exactly covers the remaining current files."""
+    map exactly covers the remaining current files.  A manifest whose shape
+    doesn't parse (legacy / hand-edited 'files' or 'epochs' values) is
+    STALE, not an exception — same degrade-to-rebuild rule as unparseable
+    JSON in :func:`read_manifest`."""
     if man is None:
         return False
-    covered: set[str] = set()
-    for e in man.get("epochs", []):
-        if any(n not in current for n in e["names"]):
-            return False
-        if _epoch_hash(e["names"], current) != e.get("h"):
-            return False
-        covered.update(e["names"])
-    loose_cur = {n: list(v) for n, v in current.items() if n not in covered}
-    files = {n: list(v) for n, v in man.get("files", {}).items()}
-    return files == loose_cur
+    try:
+        covered: set[str] = set()
+        for e in man.get("epochs", []):
+            if any(n not in current for n in e["names"]):
+                return False
+            if _epoch_hash(e["names"], current) != e.get("h"):
+                return False
+            covered.update(e["names"])
+        loose_cur = {n: list(v) for n, v in current.items() if n not in covered}
+        files = {n: list(v) for n, v in man.get("files", {}).items()}
+        return files == loose_cur
+    except (TypeError, KeyError, AttributeError):
+        return False
 
 
 def manifest_diff(

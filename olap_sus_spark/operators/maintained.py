@@ -115,8 +115,15 @@ def load_or_build_partials(
     path: str,
     stamp: str,
     build: Callable[[list[str] | None], DataFrame],
+    layout: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
-    """Serve the partial table, rebuilding first if absent or stale."""
+    """Serve the partial table, rebuilding first if absent or stale.
+
+    ``layout`` replaces the default pre-write shaping
+    (:func:`_one_file_per_month`, right for TINY per-day partials) for
+    maintained tables whose months are data-sized — e.g. the z-ordered
+    fact layout, which needs a range exchange on (mes_dt, morton) so each
+    month is written by MANY ordered tasks, not funneled into one."""
     import shutil
     import time
 
@@ -131,7 +138,7 @@ def load_or_build_partials(
         sweep_stale_staging()
         os.makedirs(index_root(), exist_ok=True)
         staging = staging_path(path)
-        _one_file_per_month(build(None)).write.partitionBy("mes_dt").mode(
+        (layout or _one_file_per_month)(build(None)).write.partitionBy("mes_dt").mode(
             "overwrite"
         ).parquet(staging)
         write_marker(staging, stamp)
@@ -170,6 +177,7 @@ def refresh_partials(
     stamp: str,
     build: Callable[[list[str] | None], DataFrame],
     days: list[str],
+    layout: Callable[[DataFrame], DataFrame] | None = None,
 ) -> None:
     """Re-derive ONLY the months containing ``days`` (yyyy-MM-dd) and swap
     the refreshed month partitions in — O(day), never the fact history.
@@ -200,11 +208,11 @@ def refresh_partials(
 
     months = sorted({d[:7] for d in days})
     if not os.path.exists(path):
-        load_or_build_partials(spark, path, stamp, build)
+        load_or_build_partials(spark, path, stamp, build, layout=layout)
         return
     sweep_stale_staging()
     staging = staging_path(path)
-    _one_file_per_month(build(months)).write.partitionBy("mes_dt").mode(
+    (layout or _one_file_per_month)(build(months)).write.partitionBy("mes_dt").mode(
         "overwrite"
     ).parquet(staging)
     try:
@@ -227,7 +235,16 @@ def refresh_partials(
                 # between our retire and promote — keep the live one
                 pass
             if tomb is not None:
-                shutil.rmtree(tomb, ignore_errors=True)
+                if os.path.exists(live):
+                    shutil.rmtree(tomb, ignore_errors=True)
+                else:
+                    # The promote rename failed for a reason OTHER than a
+                    # concurrent winner (ENOENT on staging, permissions…)
+                    # AFTER we retired the live month: deleting the tomb
+                    # here would silently lose the partition.  Restore the
+                    # retired copy instead — the refresh degrades to a
+                    # no-op for this month rather than data loss.
+                    os.rename(tomb, live)
         write_marker(path, stamp)
     finally:
         shutil.rmtree(staging, ignore_errors=True)

@@ -47,14 +47,29 @@ def running_total(
     value: Column | str,
     out: str,
     num_ranges: int | None = None,
+    durable: bool = False,
 ) -> DataFrame:
     """Add column ``out`` = sum of ``value`` over all rows ≤ current row in
-    the TOTAL order given by ``order`` (callers must include a tiebreak
-    key).  Two-phase: per-range-partition local cumsum + broadcast offset
-    shift — never a single-partition pass over the data.
+    the TOTAL order given by ``order`` (callers MUST include a tiebreak
+    key — without one the range boundaries between equal keys are
+    sampler-dependent and the two consuming branches could disagree).
+    Two-phase: per-range-partition local cumsum + broadcast offset shift —
+    never a single-partition pass over the data.
 
     ``num_ranges`` defaults to the cluster parallelism so phase 1 uses
     every core; correctness is independent of the choice.
+
+    Barrier durability: the default consistency barrier is
+    ``localCheckpoint`` — its blocks are NOT recomputable, so on a real
+    cluster losing an executor mid-query turns a task retry into a job
+    failure (acceptable on local[*] and for short queries; the query is a
+    pure function, so the retry is "re-run it").  Pass ``durable=True``
+    for long cluster jobs: the barrier becomes a replicated
+    ``persist(MEMORY_AND_DISK_2)``, which survives a single executor loss.
+    A persisted plan is an equally valid barrier here because the range
+    exchange's partitioner (the sampled boundaries) is fixed in the
+    physical plan before either branch runs; a recomputed block re-reads
+    the same shuffle output with the same boundaries.
     """
     value_col = F.col(value) if isinstance(value, str) else value
     if num_ranges is None:
@@ -66,11 +81,15 @@ def running_total(
     # _pfx_pid values per branch (offsets would then shift the wrong rows);
     # (b) it computes the upstream (scan + aggregate) once instead of per
     # branch.
-    ranked = (
-        df.repartitionByRange(num_ranges, *order)
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    ranked = df.repartitionByRange(num_ranges, *order).withColumn(
+        _PID, F.spark_partition_id()
     )
+    if durable:
+        from pyspark import StorageLevel
+
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK_2)
+    else:
+        ranked = ranked.localCheckpoint(eager=False)
     w_in = (
         Window.partitionBy(_PID)
         .orderBy(*order)

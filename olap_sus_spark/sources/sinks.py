@@ -142,6 +142,18 @@ def append_exactly_once(
         os.link(os.path.join(staging, parts[0]), dst)
     except FileExistsError:
         pass  # a concurrent replayer committed first — keep its copy
+    except OSError as exc:
+        # Filesystems without hard-link support (some FUSE/object-store
+        # mounts) raise EPERM/EXDEV/ENOTSUP from link() where the plain
+        # rename commit used to work.  Fall back to the exists-check +
+        # rename commit there; link() stays the primary path because it is
+        # the one that makes first-commit-wins DETECTABLE.
+        import errno
+
+        if exc.errno not in (errno.EPERM, errno.EXDEV, errno.ENOTSUP, errno.EACCES):
+            raise
+        if not os.path.exists(dst):
+            os.rename(os.path.join(staging, parts[0]), dst)
     shutil.rmtree(staging, ignore_errors=True)
 
 
