@@ -736,18 +736,28 @@ def grid_features(pixels: bytes, w: int, h: int, ch: int, dim: int) -> list[floa
 
 
 def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
-    """Payload → float vector via Arrow-batched mapInPandas.
+    """Payload → learned-style embedding via Arrow-batched mapInPandas.
 
-    Payloads that decode (PNG/GIF/baseline JPEG) get REAL features:
-    :func:`grid_features` over the decoded pixels (per-channel grid means —
-    classical statistics, not a learned encoder; an ONNX/torch model would
-    slot into that one function).  Undecodable payloads keep the
-    deterministic digest-derived fake so the operator stays total.  The
-    shape that matters at scale — ``asset_id, embedding array<float>``,
-    batch-wise vectorization, no shuffle — is identical either way.
+    End-to-end honest since round 7 — no digest fakes on ANY branch:
+
+    - decodable payloads (PNG/GIF/baseline+progressive JPEG): pixels →
+      :func:`grid_features` patch-statistic stem → the in-repo seeded MLP
+      (:mod:`olap_sus_spark.operators.encoder`) → L2-unit ``dim`` vector;
+    - undecodable payloads: byte-histogram stem
+      (:func:`encoder.byte_histogram_stem`, a real content statistic of
+      the raw bytes) through the SAME model, so the operator stays total
+      and similar payloads still land near each other.
+
+    The scale shape: decode + stem per row inside the batch loop (pure
+    Python per payload, exactly like a real decoder), then ONE vectorized
+    ``(N, F) @ (F, H)`` matmul per Arrow batch for the model — the
+    function an ONNX/torch encoder would replace is
+    :func:`encoder.embed_batch` alone.  No shuffle; output is
+    ``asset_id, embedding array<float>``.
     """
     from pyspark.sql.types import ArrayType, FloatType
 
+    from olap_sus_spark.operators import encoder
     from olap_sus_spark.operators.jpeg import jpeg_decode
 
     schema = StructType(
@@ -758,22 +768,28 @@ def extract_features(assets: DataFrame, dim: int = 16) -> DataFrame:
     )
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in it:
-            out = []
+            ids, stems, null_ids = [], [], []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 if payload is None:
-                    out.append((asset_id, None))
+                    null_ids.append(asset_id)
                     continue
                 decoded = png_decode(payload) or gif_decode(payload) or jpeg_decode(payload)
                 if decoded is not None:
                     w, h, ch, pix = decoded
-                    out.append((asset_id, grid_features(pix, w, h, ch, dim)))
-                    continue
-                d = hashlib.md5(bytes(payload)).digest()
-                vec = [(d[i % 16]) / 255.0 for i in range(dim)]
-                out.append((asset_id, vec))
+                    stems.append(grid_features(pix, w, h, ch, encoder.STEM_DIM))
+                else:
+                    stems.append(encoder.byte_histogram_stem(payload))
+                ids.append(asset_id)
+            out = [(i, None) for i in null_ids]
+            if ids:
+                vecs = encoder.embed_batch(np.asarray(stems), dim)
+                out.extend(
+                    (i, [float(v) for v in vec]) for i, vec in zip(ids, vecs)
+                )
             yield pd.DataFrame(out, columns=["asset_id", "embedding"])
 
     return assets.mapInPandas(batches, schema)

@@ -105,7 +105,11 @@ def test_resize_and_features_batch_shapes(spark):
     feats = {r.asset_id: r.embedding for r in mm.extract_features(assets, dim=8).collect()}
     assert feats[2] is None
     assert len(feats[1]) == 8
-    assert all(0.0 <= v <= 1.0 for v in feats[1])
+    # model output: L2-unit, deterministic, distinct payloads -> distinct vectors
+    assert abs(sum(v * v for v in feats[1]) - 1.0) < 1e-5
+    again = {r.asset_id: r.embedding for r in mm.extract_features(assets, dim=8).collect()}
+    assert list(again[1]) == list(feats[1])
+    assert list(feats[1]) != list(feats[3])
 
 
 def test_parse_image_dimensions_edge_cases():
@@ -983,23 +987,52 @@ def test_sample_frames_and_metadata_real_mkv(spark):
 
 
 def test_extract_features_real_pixels(spark):
-    """Decodable payloads produce REAL grid-mean features; undecodable
-    payloads keep the digest fake (operator stays total)."""
-    from olap_sus_spark.operators import jpeg
+    """Decodable payloads run pixels → grid stem → the in-repo seeded MLP;
+    undecodable payloads run the byte-histogram stem through the SAME
+    model (operator total, no digest fakes on any branch)."""
+    import numpy as np
+
+    from olap_sus_spark.operators import encoder, jpeg
     from olap_sus_spark.operators import multimodal as mm
 
     flat = bytes([255, 0, 128]) * (16 * 16)
     payload = jpeg.jpeg_encode(flat, 16, 16, 3)
+    junk = b"\x00\x01undecodable"
     assets = spark.createDataFrame(
-        [(1, bytearray(payload), "image/jpeg"), (2, b"\x00\x01undecodable", "application/octet-stream")],
+        [(1, bytearray(payload), "image/jpeg"), (2, junk, "application/octet-stream")],
         mm.ASSET_SCHEMA,
     )
     out = {r.asset_id: list(r.embedding) for r in mm.extract_features(assets, dim=12).collect()}
-    # grid means of a flat image = the flat color (up to codec rounding)
-    expect = [1.0, 0.0, 128 / 255.0]
-    for i, v in enumerate(out[1]):
-        assert abs(v - expect[i % 3]) < 0.02, (i, v)
-    assert len(out[2]) == 12 and all(0.0 <= v <= 1.0 for v in out[2])
+    # decodable branch == encoder over the decoded-pixel grid stem
+    w, h, ch, pix = jpeg.jpeg_decode(payload)
+    stem = mm.grid_features(pix, w, h, ch, encoder.STEM_DIM)
+    expect = encoder.embed_batch(np.asarray(stem), 12)[0]
+    assert out[1] == [float(v) for v in expect]
+    # undecodable branch == encoder over the byte-histogram stem
+    expect2 = encoder.embed_batch(encoder.byte_histogram_stem(junk), 12)[0]
+    assert out[2] == [float(v) for v in expect2]
+    for vec in out.values():
+        assert abs(sum(v * v for v in vec) - 1.0) < 1e-5  # L2-unit rows
+
+
+def test_encoder_known_vector():
+    """The seeded MLP is pinned to literal outputs: any change to the
+    weights' derivation (seed, shapes, init scaling, activation) breaks
+    this test — the 'weights file' is effectively these 8 floats."""
+    import numpy as np
+
+    from olap_sus_spark.operators import encoder
+
+    stem = np.linspace(0.0, 1.0, encoder.STEM_DIM)
+    got = [round(float(v), 6) for v in encoder.embed_batch(stem, 8)[0]]
+    assert got == [
+        0.741951, 0.147632, -0.516922, 0.190396,
+        0.266416, -0.00734, -0.039179, -0.227349,
+    ]
+    # unit-norm invariant and batch shape
+    batch = encoder.embed_batch(np.vstack([stem, stem * 0.5]), 16)
+    assert batch.shape == (2, 16) and batch.dtype == np.float32
+    assert np.allclose(np.linalg.norm(batch, axis=1), 1.0, atol=1e-5)
 
 
 def test_mp4_metadata_parse_and_reject():
