@@ -354,6 +354,22 @@ def main() -> None:
     _inc.refresh_daily_revenue(spark, sf_dir, [one_day])
     index_build["daily_revenue_refresh_1d"] = round(time.perf_counter() - t0, 4)
 
+    # Fact-lake z-layout: full month-partitioned build vs 1-day (1-month)
+    # incremental re-layout — the round-7 replacement for the global
+    # rebuild-on-change z-copy.
+    from olap_sus_spark.sources import zorder as _zo
+
+    t0 = time.perf_counter()
+    _zo.load_or_build_zorder_monthly(
+        spark, sf_dir, "lineitem", "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    index_build["zorder_monthly_full"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    _zo.refresh_zorder_monthly(
+        spark, sf_dir, "lineitem", "l_partkey", "l_suppkey", "l_shipdate", [one_day]
+    )
+    index_build["zorder_refresh_1d"] = round(time.perf_counter() - t0, 4)
+
     # Same refresh-vs-full evidence for the other maintained summaries
     # (their full builds are the kmv/cms/hist_partials entries above).
     from olap_sus_spark.queries import hist as _qh

@@ -33,12 +33,24 @@ def refresh_fact_summaries(
     from olap_sus_spark.queries.hist import refresh_order_hist
     from olap_sus_spark.queries.incremental import refresh_daily_revenue
     from olap_sus_spark.queries.sketches import refresh_orderkey_kmv
+    from olap_sus_spark.sources.zorder import refresh_zorder_monthly
 
     refresh_daily_revenue(spark, sf_dir, days)
     refresh_orderkey_kmv(spark, sf_dir, days)
     refresh_supplier_cms(spark, sf_dir, days)
     refresh_order_hist(spark, sf_dir, days)
-    return ["daily_revenue", "orderkey_kmv", "supplier_cms", "order_hist"]
+    # the fact lake's default layout: re-z-order ONLY the touched months
+    # (round 7 — the global z-copy rebuilt the whole table on any change)
+    refresh_zorder_monthly(
+        spark, sf_dir, "lineitem", "l_partkey", "l_suppkey", "l_shipdate", days
+    )
+    return [
+        "daily_revenue",
+        "orderkey_kmv",
+        "supplier_cms",
+        "order_hist",
+        "zorder_lineitem",
+    ]
 
 
 def refresh_event_summaries(

@@ -51,10 +51,17 @@ def scale_to_bits(col: Column, mn: int, mx: int, bits: int) -> Column:
     precision past 2^53 through the double division).  Wide ranges keep
     their top ``bits`` bits; narrow ranges shift UP so both dimensions
     spend the full bit budget (that is what keeps the Morton bands sharp
-    when one column has a small domain)."""
+    when one column has a small domain).  Values outside [mn, mx] CLAMP
+    to the edges: the monthly maintained layout reuses the full-build
+    domain on refresh (that is what keeps refresh O(month)), so a drifted
+    key must degrade pruning for its own rows only, never corrupt the
+    interleave with a negative shift."""
     span = max(1, mx - mn)
     sb = span.bit_length()
-    base = col.cast("long") - F.lit(mn)
+    base = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(col.cast("long") - F.lit(mn), F.lit(span).cast("long")),
+    )
     if sb >= bits:
         return F.shiftright(base, sb - bits)
     return F.shiftleft(base, bits - sb)
@@ -156,6 +163,188 @@ def load_or_build_zorder(
                 raise
             time.sleep(0.05)
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Monthly-maintained z-layout — the fact-lake default (round 7).
+#
+# The global layout above rebuilds the WHOLE copy when the corpus changes;
+# commit d60a0d3 proved month-scoped Morton layouts compose, prune, and
+# answer identically, so the maintained fact layout is now month-
+# partitioned under the shared maintained-partials contract: a dated
+# ingest refreshes ONLY the touched months (O(month), staged + atomically
+# swapped), exactly how production lakehouses run OPTIMIZE ZORDER BY per
+# partition.  Two deliberate deviations from the tiny-partials default:
+#
+# - the pre-write shaping is a range exchange on (mes_dt, _z), NOT
+#   _one_file_per_month: a fact month is data-sized, so each month must be
+#   written by many tasks as contiguous z-runs (the partitioned write then
+#   emits per-month files that are disjoint z-ranges with ordered row
+#   groups inside — the same footer-stats geometry as the global layout);
+# - the Morton domain (per-column min/max) is computed ONCE at the first
+#   full build and persisted in the layout dir (`_zdomain.json`), then
+#   REUSED on refresh — re-deriving it would scan history and silently
+#   turn refresh O(corpus).  Key domains are stable dimensions; a key
+#   outside the stored domain clamps (scale_to_bits), degrading pruning
+#   for its own rows only.  Dropping the layout dir re-derives everything.
+# ---------------------------------------------------------------------------
+_DOMAIN_FILE = "_zdomain.json"  # leading "_": invisible to Spark's FileIndex
+
+
+def _read_domain(path: str) -> list[int] | None:
+    import json
+
+    try:
+        with open(os.path.join(path, _DOMAIN_FILE)) as f:
+            d = json.load(f)
+        return [int(v) for v in d["bounds"]]
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _write_domain(path: str, bounds: list[int]) -> None:
+    import json
+
+    try:
+        with open(os.path.join(path, _DOMAIN_FILE), "w") as f:
+            json.dump({"bounds": bounds}, f)
+    except OSError:
+        pass  # absent file ⇒ next refresh re-derives (full scan, correct)
+
+
+def _month_z_layout(df: DataFrame) -> DataFrame:
+    """Pre-write shaping for the partitioned z-layout: range exchange on
+    (month, morton) so every output task owns a contiguous z-run of one
+    (or a few) months, in-partition sort for ordered row groups, helper
+    column dropped (the layout IS the output)."""
+    return (
+        df.repartitionByRange("mes_dt", "_z")
+        .sortWithinPartitions("mes_dt", "_z")
+        .drop("_z")
+    )
+
+
+def zorder_monthly_path(
+    sf_dir: str, table: str, colx: str, coly: str, date_col: str
+) -> str:
+    from olap_sus_spark.operators.index_store import index_path
+
+    return index_path(
+        "zorderm",
+        f"v1|{os.path.abspath(sf_dir)}|{table}|{colx}|{coly}|{date_col}",
+    )
+
+
+def _monthly_build_fn(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    colx: str,
+    coly: str,
+    date_col: str,
+    bits: int,
+    bounds: list[int],
+):
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.operators.maintained import month_range_cond
+
+    def build(months: list[str] | None) -> DataFrame:
+        df = load_table(spark, sf_dir, table)
+        if months is not None:
+            df = df.filter(month_range_cond(date_col, months))
+        z = z_value(
+            scale_to_bits(F.col(colx), bounds[0], bounds[1], bits),
+            scale_to_bits(F.col(coly), bounds[2], bounds[3], bits),
+            bits,
+        )
+        return df.withColumn(
+            "mes_dt", F.date_format(date_col, "yyyy-MM")
+        ).withColumn("_z", z)
+
+    return build
+
+
+def _monthly_domain(
+    spark: SparkSession, sf_dir: str, table: str, colx: str, coly: str, path: str
+) -> list[int]:
+    bounds = _read_domain(path)
+    if bounds is not None:
+        return bounds
+    from olap_sus_spark.catalog import load_table
+
+    stats = (
+        load_table(spark, sf_dir, table)
+        .agg(
+            F.min(colx).cast("long"),
+            F.max(colx).cast("long"),
+            F.min(coly).cast("long"),
+            F.max(coly).cast("long"),
+        )
+        .first()
+    )
+    return [int(v) for v in stats]
+
+
+def load_or_build_zorder_monthly(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    colx: str,
+    coly: str,
+    date_col: str,
+    bits: int = 16,
+) -> DataFrame:
+    """Serve the month-partitioned maintained z-layout of ``table``
+    clustered on (colx, coly) — full staged build on first use / stale
+    stamp, O(month) dated refresh via :func:`refresh_zorder_monthly`."""
+    from olap_sus_spark.operators.maintained import load_or_build_partials
+    from olap_sus_spark.operators.index_store import corpus_stamp
+
+    path = zorder_monthly_path(sf_dir, table, colx, coly, date_col)
+    stamp = corpus_stamp(sf_dir, table)
+    bounds = _monthly_domain(spark, sf_dir, table, colx, coly, path)
+    out = load_or_build_partials(
+        spark,
+        path,
+        stamp,
+        _monthly_build_fn(spark, sf_dir, table, colx, coly, date_col, bits, bounds),
+        layout=_month_z_layout,
+    )
+    if _read_domain(path) is None:
+        _write_domain(path, bounds)
+    return out
+
+
+def refresh_zorder_monthly(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    colx: str,
+    coly: str,
+    date_col: str,
+    days: list[str],
+    bits: int = 16,
+) -> None:
+    """Re-layout ONLY the months containing ``days`` — the incremental
+    maintenance path a dated fact ingest calls after appending.  Reuses
+    the stored Morton domain, so cost is O(touched months), never
+    O(history)."""
+    from olap_sus_spark.operators.maintained import refresh_partials
+    from olap_sus_spark.operators.index_store import corpus_stamp
+
+    path = zorder_monthly_path(sf_dir, table, colx, coly, date_col)
+    stamp = corpus_stamp(sf_dir, table)
+    bounds = _monthly_domain(spark, sf_dir, table, colx, coly, path)
+    refresh_partials(
+        spark,
+        path,
+        stamp,
+        _monthly_build_fn(spark, sf_dir, table, colx, coly, date_col, bits, bounds),
+        days,
+        layout=_month_z_layout,
+    )
+    if _read_domain(path) is None:
+        _write_domain(path, bounds)
 
 
 def row_groups_touched(path: str, boxes: dict[str, tuple[int, int]]) -> tuple[int, int]:

@@ -106,6 +106,7 @@ def test_daily_close_refreshes_every_summary(spark, tmp_path, monkeypatch):
         lambda s, d: qsk.kmv_monthly_distinct_served(s, d),
         lambda s, d: qcms.cms_supplier_counts_served(s, d),
         lambda s, d: qhist.hist_order_value_served(s, d),
+        lambda s, d: qinc.zorder_box_revenue(s, d),
     ]
     for serve in serves:  # build everything against the original corpus
         assert serve(spark, sf).count() > 0
@@ -131,6 +132,7 @@ def test_daily_close_refreshes_every_summary(spark, tmp_path, monkeypatch):
         "orderkey_kmv",
         "supplier_cms",
         "order_hist",
+        "zorder_lineitem",
     ]
     served = [sorted(tuple(r) for r in serve(spark, sf).collect()) for serve in serves]
     monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))

@@ -169,3 +169,102 @@ def test_zorder_row_order_is_full_permutation(spark, tmp_path):
         .count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly MAINTAINED z-layout (round 7): the fact lake's default layout.
+# ---------------------------------------------------------------------------
+def _multiset(df):
+    """Order-insensitive content signature over the fact columns."""
+    cols = sorted(c for c in df.columns if c != "mes_dt")
+    return df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+    ).first()
+
+
+def test_zorder_monthly_is_a_permutation_of_the_facts(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ix"))
+    zl = zo.load_or_build_zorder_monthly(
+        spark, SF_DIR, "lineitem", "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert "mes_dt" in zl.columns and "_z" not in zl.columns
+    assert _multiset(zl) == _multiset(li)
+    # box answers are layout-invariant
+    box = F.col("l_partkey").between(20, 80) & F.col("l_suppkey").between(2, 7)
+    q = lambda d: d.filter(box).agg(F.count(F.lit(1)), F.sum("l_quantity")).first()
+    assert q(zl) == q(li)
+    # the Morton domain is persisted next to the layout for O(month) refresh
+    path = zo.zorder_monthly_path(SF_DIR, "lineitem", "l_partkey", "l_suppkey", "l_shipdate")
+    assert zo._read_domain(path) is not None
+
+
+def test_zorder_monthly_refresh_is_month_scoped_and_equals_rebuild(
+    spark, tmp_path, monkeypatch
+):
+    import shutil
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ix"))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copy(
+        os.path.join(SF_DIR, "lineitem.parquet"), os.path.join(sf, "lineitem.parquet")
+    )
+    zo.load_or_build_zorder_monthly(
+        spark, sf, "lineitem", "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    path = zo.zorder_monthly_path(sf, "lineitem", "l_partkey", "l_suppkey", "l_shipdate")
+    dom0 = zo._read_domain(path)
+    before = {}  # per-month file identities — refresh must not touch other months
+    for entry in os.listdir(path):
+        if entry.startswith("mes_dt="):
+            d = os.path.join(path, entry)
+            before[entry] = {
+                (f, os.path.getmtime(os.path.join(d, f)), os.stat(os.path.join(d, f)).st_ino)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            }
+
+    # append one day of rows with an OUT-OF-DOMAIN partkey (clamps, never corrupts)
+    li = load_table(spark, sf, "lineitem")
+    day = str(li.select(F.to_date("l_shipdate").alias("d")).orderBy("d").first()[0])
+    extra = li.filter(F.to_date("l_shipdate") == day).withColumn(
+        "l_partkey", F.col("l_partkey") + F.lit(int(dom0[1]) + 1000)
+    )
+    staged = str(tmp_path / "new.parquet")
+    li.unionByName(extra).write.mode("overwrite").parquet(staged)
+    trash = os.path.join(sf, "lineitem.parquet.trash")
+    shutil.move(os.path.join(sf, "lineitem.parquet"), trash)
+    shutil.move(staged, os.path.join(sf, "lineitem.parquet"))
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(trash):
+        os.remove(trash)
+
+    zo.refresh_zorder_monthly(
+        spark, sf, "lineitem", "l_partkey", "l_suppkey", "l_shipdate", [day]
+    )
+    # domain reused (NOT re-derived from the grown corpus) → refresh O(month)
+    assert zo._read_domain(path) == dom0
+    month = day[:7]
+    for entry, files in before.items():
+        d = os.path.join(path, entry)
+        now = {
+            (f, os.path.getmtime(os.path.join(d, f)), os.stat(os.path.join(d, f)).st_ino)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+        if entry == f"mes_dt={month}":
+            assert now != files  # the touched month WAS rewritten
+        else:
+            assert now == files, entry  # every other month untouched
+
+    served = zo.load_or_build_zorder_monthly(
+        spark, sf, "lineitem", "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ix_fresh"))
+    fresh = zo.load_or_build_zorder_monthly(
+        spark, sf, "lineitem", "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    assert _multiset(served) == _multiset(fresh)
+    assert _multiset(served) == _multiset(load_table(spark, sf, "lineitem"))
