@@ -137,3 +137,38 @@ def test_running_total_durable_barrier_matches(spark):
     durable = running_total(df, order, F.col("v"), "rt", durable=True)
     assert _rows(durable) == base
     durable.unpersist()
+
+
+def test_running_total_exact_under_massive_ties(spark):
+    """The tiebreak-key requirement, asserted (VERDICT r06 #5): with 90 %
+    identical order values, a tiebreak column in ``order`` makes the total
+    order unambiguous and running_total must equal the single-partition
+    window oracle EXACTLY — and the range exchange must not funnel the tied
+    mass into one task (no partition > 2× the mean)."""
+    from pyspark.sql import Window
+
+    from olap_sus_spark.operators.prefix import running_total
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 == 0, (F.col("id") % 97).cast("double"))
+        .otherwise(F.lit(5.0))
+        .alias("v"),
+        F.col("id").alias("k"),
+    )
+    order = [F.col("v").desc(), F.col("k")]
+    got = running_total(df, order, F.col("v"), "rt", num_ranges=32)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = df.withColumn("rt", F.sum("v").over(w))
+    assert _rows(got) == _rows(want)
+    # range-partition balance under the tie flood: the sampler can only
+    # split ties because the tiebreak key is part of the boundary tuple
+    sizes = [
+        r[1]
+        for r in df.repartitionByRange(32, *order)
+        .groupBy(F.spark_partition_id())
+        .count()
+        .collect()
+    ]
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) <= 2 * mean, (max(sizes), mean, len(sizes))
