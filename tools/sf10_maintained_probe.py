@@ -94,6 +94,25 @@ def probe(spark, sf_dir: str, tag: str) -> dict[str, float]:
         "trailing_28d_revenue_served",
     ):
         t(f"{served}", lambda: QUERIES[served](spark, sf_dir).collect())
+
+    # fact-lake z-layout (round 7): build is O(history) BY DESIGN (it is a
+    # full re-layout of the facts), the dated refresh must stay O(month)
+    # and the served box aggregate O(selectivity) — the separation the
+    # monthly maintenance exists to buy.
+    from pyspark.sql import functions as F
+
+    from olap_sus_spark.sources import zorder as zo
+
+    zargs = (sf_dir, "lineitem", "l_partkey", "l_suppkey", "l_shipdate")
+    shutil.rmtree(zo.zorder_monthly_path(*zargs), ignore_errors=True)
+    t("zorder_build", lambda: zo.load_or_build_zorder_monthly(spark, *zargs))
+    zl = zo.load_or_build_zorder_monthly(spark, *zargs)
+    zday = str(
+        zl.select(F.to_date("l_shipdate").alias("d")).orderBy("d").first()[0]
+    )
+    t("zorder_refresh_1d", lambda: zo.refresh_zorder_monthly(spark, *zargs, [zday]))
+    t("zorder_serve", lambda: QUERIES["zorder_box_revenue"](spark, sf_dir).collect())
+    t("zorder_serve2", lambda: QUERIES["zorder_box_revenue"](spark, sf_dir).collect())
     return out
 
 
