@@ -282,6 +282,14 @@ def test_maintained_index_serving_plan_shapes(spark, tmp_path, monkeypatch):
     assert n_nodes(km, "BroadcastNestedLoopJoin") <= 1
     assert "SortMergeJoin" not in km
 
+    # monthly z-layout (round 7): serving probes the MAINTAINED layout —
+    # the raw fact table must not appear in the plan (one parquet scan,
+    # the zorderm_* dir), and the build never leaks into the query
+    zb = plan_of(QUERIES["zorder_box_revenue"](spark, SF_DIR))
+    assert "lineitem" not in zb
+    assert n_nodes(zb, "Scan parquet") == 1
+    assert "zorderm_" in zb
+
 
 def test_tpch_multijoin_plan_shapes(spark):
     """Q3/Q5/Q10 analogues: every filter pushed to its scan, every join a
