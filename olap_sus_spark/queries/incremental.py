@@ -225,3 +225,36 @@ def zorder_box_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("receita"),
     )
+
+
+# The same maintained monthly z-layout family applied to the BEHAVIOR fact
+# (events): audit/RTBF-shaped probes slice a user-id range crossed with an
+# ingest-sequence (event_id) range — a 2-D box no single-column sort can
+# serve without touching most row groups.  Proves the family is
+# table-generic (any fact + two cluster keys + a date column); events'
+# TIMESTAMP(NANOS) quirk rides through catalog.load_table like everywhere
+# else.  Measures are integer-exact (count + distinct users) — no float
+# reassociation between engines.
+_ZORDER_EVENTS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_eventos,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS usuarios
+FROM events
+WHERE user_id BETWEEN 10 AND 60 AND event_id BETWEEN 50 AND 5000
+"""
+
+
+@register("zorder_events_box", oracle=_ZORDER_EVENTS_ORACLE)
+def zorder_events_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-range × id-range box over the maintained z-ordered events copy
+    (month-partitioned on ts, clustered on user_id × event_id)."""
+    from olap_sus_spark.sources.zorder import load_or_build_zorder_monthly
+
+    zl = load_or_build_zorder_monthly(
+        spark, sf_dir, "events", "user_id", "event_id", "ts"
+    )
+    return zl.filter(
+        F.col("user_id").between(10, 60) & F.col("event_id").between(50, 5000)
+    ).agg(
+        F.count(F.lit(1)).alias("n_eventos"),
+        F.countDistinct("user_id").cast("bigint").alias("usuarios"),
+    )
