@@ -15,10 +15,12 @@ JPEG (Huffman + IDCT, :mod:`olap_sus_spark.operators.jpeg`); video demux
 is REAL for MJPG-AVI (RIFF walk, :mod:`olap_sus_spark.operators.avi`),
 MP4 (sample-table walk, :mod:`operators.mp4`) and Matroska/WebM (EBML
 walk, :mod:`operators.mkv`) with per-frame JPEG decode, and feature
-extraction is REAL (pixel grid statistics) for any decodable image.  The
-one path that genuinely needs an absent library (learned embedding
-models) falls back to a deterministic fake inside the same Spark
-plumbing, so swapping in an ONNX encoder touches one function body.
+extraction is REAL end-to-end (round 7): pixel grid statistics — or a
+byte-histogram stem for undecodable payloads — through the in-repo
+deterministic seeded MLP (:mod:`olap_sus_spark.operators.encoder`); a
+production ONNX/torch encoder replaces ``encoder.embed_batch`` alone.
+No operator in this module fabricates content: undecodable inputs
+resize to NULL (skip-marked) rather than to placeholder bytes.
 
 Scale notes: mapInPandas streams Arrow batches, so payloads never
 materialize on the driver; per-batch work is embarrassingly parallel with
@@ -684,15 +686,20 @@ def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> Dat
     tests/test_band_and_multimodal.py.  Decoded frames re-encode as PNG
     regardless of input container (pipelines normalize formats at the
     resize step).  Anything undecodable (lossless/arithmetic JPEG, video,
-    over-ceiling images) falls back to a deterministic digest-derived fake
-    inside the same batch loop, so swapping in Pillow touches one branch.
+    over-ceiling images) yields NULL output columns — the row survives
+    (operator stays total, downstream counts/filters the skips) but no
+    pseudo-pixels are ever fabricated: resized bytes of a non-image are
+    undefined, and emitting fakes here would feed garbage to whatever
+    trains on the resized corpus.  (Round 7: this branch previously
+    emitted a digest-derived placeholder; with it gone, no multimodal
+    operator fabricates content on any branch.)  Swapping in Pillow for
+    more codecs still touches only the decode expression.
     """
     from olap_sus_spark.operators.jpeg import jpeg_decode
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        size = max(1, width * height // 64)
         rows: list[tuple[int, int | None, int | None, bytes | None]] = []
         for pdf in it:
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
@@ -707,8 +714,7 @@ def resize_images(assets: DataFrame, width: int = 224, height: int = 224) -> Dat
                         (asset_id, width, height, png_encode(resized, width, height, ch))
                     )
                     continue
-                fake = (hashlib.md5(bytes(payload)).digest() * (size // 16 + 1))[:size]
-                rows.append((asset_id, width, height, fake))
+                rows.append((asset_id, None, None, None))  # undecodable: skip-marked
             yield pd.DataFrame(rows, columns=["asset_id", "width", "height", "payload"])
             rows = []
 
