@@ -94,6 +94,7 @@ HEADLINE = [
     # maintained incremental aggregate (serves from day-grain partials)
     "incremental_revenue_by_month",
     "zorder_box_revenue",  # 2-D box aggregate off the maintained z-ordered layout
+    "zorder_events_box",  # same family on the behavior fact (user x id box)
     "kmv_distinct_orders",  # grouped KMV distinct sketch straight off the facts
     "kmv_distinct_orders_served",  # same sketch served from maintained day partials
     "kmv_trailing_quarter_distinct_served",  # sliding-window re-fold of the same cube
