@@ -57,8 +57,11 @@ def refresh_event_summaries(
     spark: SparkSession, sf_dir: str, days: list[str]
 ) -> list[str]:
     """Events-side daily close: refresh the maintained summaries keyed on
-    the events table (the active-user sketch cube) for the ingested days."""
+    the events table (the active-user sketch cube and the behavior-fact
+    z-layout) for the ingested days."""
     from olap_sus_spark.queries.sketches import refresh_user_kmv
+    from olap_sus_spark.sources.zorder import refresh_zorder_monthly
 
     refresh_user_kmv(spark, sf_dir, days)
-    return ["user_kmv"]
+    refresh_zorder_monthly(spark, sf_dir, "events", "user_id", "event_id", "ts", days)
+    return ["user_kmv", "zorder_events"]

@@ -215,5 +215,8 @@ def test_user_kmv_refresh_equals_rebuild(spark, tmp_path, monkeypatch):
     day = str(sk.load_or_build_user_kmv(spark, SF_DIR).agg(F.min("dia")).first()[0])
     from olap_sus_spark.maintenance import refresh_event_summaries
 
-    assert refresh_event_summaries(spark, SF_DIR, [day]) == ["user_kmv"]
+    assert refresh_event_summaries(spark, SF_DIR, [day]) == [
+        "user_kmv",
+        "zorder_events",
+    ]
     assert _rows(sk.kmv_active_users_served(spark, SF_DIR)) == full
