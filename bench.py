@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_jaccard_pairs",
     "dedup_near_clusters",  # linear-output near-dup shape (the 100 TB path)
     "dedup_near_clusters_star",  # star-reduced edges: linear under mega-clusters
+    "dedup_near_clusters_star_served",  # same map served from the maintained cluster index
     "dedup_keep_best",  # kept-corpus output: best-quality doc per cluster
     "dedup_cluster_members",  # membership probe over the maintained cluster map
     "dedup_embedding_lsh",  # LSH-blocked embedding near-dup (ids-only collision join)
@@ -360,6 +361,13 @@ def main() -> None:
     # rebuild-on-change z-copy.
     from olap_sus_spark.sources import zorder as _zo
 
+    # The headline zorder_box_revenue query already built this layout —
+    # delete it first so the timing below measures the FULL build, not a
+    # warm marker-check + read (matching daily_revenue_full above).
+    shutil.rmtree(
+        _zo.zorder_monthly_path(sf_dir, "lineitem", "l_partkey", "l_suppkey", "l_shipdate"),
+        ignore_errors=True,
+    )
     t0 = time.perf_counter()
     _zo.load_or_build_zorder_monthly(
         spark, sf_dir, "lineitem", "l_partkey", "l_suppkey", "l_shipdate"

@@ -215,6 +215,7 @@ def refresh_partials(
     (layout or _one_file_per_month)(build(months)).write.partitionBy("mes_dt").mode(
         "overwrite"
     ).parquet(staging)
+    degraded = False
     try:
         for entry in sorted(os.listdir(staging)):
             if not entry.startswith("mes_dt="):
@@ -242,9 +243,26 @@ def refresh_partials(
                     # concurrent winner (ENOENT on staging, permissions…)
                     # AFTER we retired the live month: deleting the tomb
                     # here would silently lose the partition.  Restore the
-                    # retired copy instead — the refresh degrades to a
-                    # no-op for this month rather than data loss.
-                    os.rename(tomb, live)
-        write_marker(path, stamp)
+                    # retired copy instead — the refresh degrades for this
+                    # month rather than losing data — and SKIP the marker
+                    # write below, so the stale stamp forces the next load
+                    # to rebuild instead of serving pre-refresh data as
+                    # current indefinitely.
+                    try:
+                        os.rename(tomb, live)
+                        degraded = True
+                    except OSError:
+                        if os.path.exists(live):
+                            # a concurrent winner landed the month between
+                            # our exists-check and the restore — the live
+                            # copy IS current; our retired copy is debris
+                            shutil.rmtree(tomb, ignore_errors=True)
+                        else:
+                            # restore itself failed with the month missing:
+                            # leave the tomb on disk (it holds the only
+                            # copy) and force a rebuild via the stale stamp
+                            degraded = True
+        if not degraded:
+            write_marker(path, stamp)
     finally:
         shutil.rmtree(staging, ignore_errors=True)

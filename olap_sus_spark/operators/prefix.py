@@ -70,6 +70,12 @@ def running_total(
     exchange's partitioner (the sampled boundaries) is fixed in the
     physical plan before either branch runs; a recomputed block re-reads
     the same shuffle output with the same boundaries.
+
+    With ``durable=True`` the persisted plan is exposed on the result as
+    ``result.prefix_barrier`` — call ``result.prefix_barrier.unpersist()``
+    after the consuming action, or the replicated cached blocks live for
+    the app lifetime (calling ``.unpersist()`` on the RESULT is a no-op:
+    the returned join DataFrame was never itself persisted).
     """
     value_col = F.col(value) if isinstance(value, str) else value
     if num_ranges is None:
@@ -102,8 +108,11 @@ def running_total(
     offsets = totals.withColumn(
         _OFF, F.coalesce(F.sum(_TOT).over(w_off), F.lit(0))
     ).select(_PID, _OFF)
-    return (
+    result = (
         local.join(F.broadcast(offsets), _PID)
         .withColumn(out, F.col(_LOCAL) + F.col(_OFF))
         .drop(_PID, _LOCAL, _OFF)
     )
+    if durable:
+        result.prefix_barrier = ranked  # caller unpersists after consuming
+    return result

@@ -593,6 +593,22 @@ def dedup_near_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_clusters(edges, docs.select("doc_id"))
 
 
+@register("dedup_near_clusters_star_served", oracle=_NEAR_CLUSTERS_STAR_ORACLE)
+def dedup_near_clusters_star_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin of :func:`dedup_near_clusters_star`: the SAME cluster
+    map read from the MAINTAINED index table
+    (operators/dedup.py:load_or_build_cluster_index) instead of
+    re-shingling + re-verifying + re-running connected components per
+    call.  One parquet scan of a (doc_id, cluster_id) table — this is
+    what serving the dedup result looks like at 100 TB, where the star-CC
+    rebuild is a corpus-version-level batch job, not a query.  Oracle is
+    hash-identical to the from-scratch twin's, proving the index holds
+    exactly the star-CC map."""
+    docs = augmented_docs(spark, sf_dir)
+    idx = dd.load_or_build_cluster_index(spark, sf_dir, docs, threshold=0.5)
+    return idx.select("doc_id", "cluster_id")
+
+
 # The corpus-SELECTION output: one kept document per near-dup cluster,
 # chosen by quality (token count, ties → smallest doc_id).  This is what a
 # training pipeline actually writes out after dedup — not the pair list,

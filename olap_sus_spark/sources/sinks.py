@@ -152,8 +152,23 @@ def append_exactly_once(
 
         if exc.errno not in (errno.EPERM, errno.EXDEV, errno.ENOTSUP, errno.EACCES):
             raise
-        if not os.path.exists(dst):
-            os.rename(os.path.join(staging, parts[0]), dst)
+        # Emulate link()'s first-commit-wins: O_EXCL create is the atomic
+        # claim (a plain exists-check + rename is NOT — POSIX rename
+        # silently replaces, so two replayers racing through the TOCTOU
+        # window would both commit and the later would overwrite the
+        # earlier).  Trade-off vs link(): a committer crashing mid-copy
+        # leaves a truncated dst that replays then skip — recover by
+        # deleting the file; link() has no such window, which is why it
+        # stays the primary path.
+        try:
+            with open(dst, "xb") as out, open(
+                os.path.join(staging, parts[0]), "rb"
+            ) as src:
+                shutil.copyfileobj(src, out)
+                out.flush()
+                os.fsync(out.fileno())
+        except FileExistsError:
+            pass  # a concurrent replayer claimed the slot first
     shutil.rmtree(staging, ignore_errors=True)
 
 

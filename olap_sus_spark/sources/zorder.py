@@ -282,6 +282,11 @@ def _monthly_domain(
         )
         .first()
     )
+    if stats[0] is None:
+        # Empty table: a degenerate [0,0,0,0] domain keeps scale_to_bits
+        # well-defined (every later key clamps to 0 until a real full
+        # build re-derives the domain) instead of int(None) blowing up.
+        return [0, 0, 0, 0]
     return [int(v) for v in stats]
 
 

@@ -136,7 +136,11 @@ def test_running_total_durable_barrier_matches(spark):
     base = _rows(running_total(df, order, F.col("v"), "rt"))
     durable = running_total(df, order, F.col("v"), "rt", durable=True)
     assert _rows(durable) == base
-    durable.unpersist()
+    # the exposed handle is the plan that was ACTUALLY persisted — calling
+    # .unpersist() on the result itself is a no-op (it was never cached)
+    assert durable.prefix_barrier.storageLevel.useDisk
+    durable.prefix_barrier.unpersist()
+    assert not durable.prefix_barrier.storageLevel.useDisk
 
 
 def test_running_total_exact_under_massive_ties(spark):
