@@ -69,6 +69,34 @@ def test_parameterized_requests_drive_live_queries(spark, wh):
             assert False, "expected HTTPError"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # drill-across (dashboard/app.py:298 callback): all-regions vs a
+        # two-region restriction vs a region that doesn't exist.  The
+        # restriction must reach the query (row counts strictly shrink).
+        from pyspark.sql import functions as F
+
+        from olap_sus_spark.queries.warehouse import _t
+
+        # the busiest city's health region is guaranteed to have fact rows
+        region = (
+            _t(spark, wh, "dim_municipio")
+            .filter(F.col("nome_municipio") == city)
+            .select("regiao_saude")
+            .first()[0]
+        )
+        assert region, "fixture warehouse must map the busiest city to a region"
+        status, drill_all = _get(port, "/drill")
+        assert status == 200 and "all regions" in drill_all and "<table" in drill_all
+        status, drill_one = _get(
+            port, f"/drill?regions={urllib.parse.quote(region)}"
+        )
+        assert status == 200 and city in drill_one
+        assert 1 < drill_one.count("<tr>") <= drill_all.count("<tr>")
+        # a region that doesn't exist → header-only table, proving the
+        # restriction reaches the query rather than a cached page
+        status, drill_none = _get(port, "/drill?regions=__nope__")
+        assert status == 200
+        assert drill_none.count("<tr>") < drill_one.count("<tr>")
     finally:
         srv.shutdown()
         srv.server_close()

@@ -16,6 +16,9 @@ Routes:
   /report                 the full six-section static report
   /slice?city=..&y0=..&y1=..   slice & dice deaths (dashboard callback 3)
   /topk?k=..              top-k causes per occupation family (callback 1)
+  /drill?regions=a,b      drill-across births/deaths + natural growth,
+                          restricted to health regions (callback at
+                          dashboard/app.py:298; empty = all regions)
 
 Usage: python tools/dashboard_server.py <warehouse_dir> [port]
 """
@@ -50,6 +53,11 @@ _INDEX = """
 <h2>Top-k causes per occupation family</h2>
 <form action="/topk" method="get">
   k <input name="k" value="5" size="3"> <button>run</button>
+</form>
+<h2>Drill-across — natural growth by health region</h2>
+<form action="/drill" method="get">
+  regions (comma-separated, empty = all) <input name="regions" value="">
+  <button>run</button>
 </form>
 """
 
@@ -106,6 +114,23 @@ class DashboardHandler(BaseHTTPRequestHandler):
                     f"<h1>Top-{k} causes per family</h1>"
                     + _svg_bars(rows)
                     + _table(df, limit=200),
+                )
+            elif url.path == "/drill":
+                # regions arrive as a comma-separated list and are passed as
+                # Python VALUES into isin() — never interpolated into SQL
+                regions = [
+                    r.strip() for r in q.get("regions", "").split(",") if r.strip()
+                ]
+                df = W.drill_across_growth(spark, wh, health_regions=regions or None)
+                title = (
+                    ", ".join(html.escape(r) for r in regions)
+                    if regions
+                    else "all regions"
+                )
+                self._send(
+                    200,
+                    f"<h1>Natural growth — {title}</h1>"
+                    + _table(df, limit=200),  # already sorted (municipio, ano)
                 )
             else:
                 self._send(404, "<h1>not found</h1>")
