@@ -320,6 +320,53 @@ def load_or_build_zorder_monthly(
     return out
 
 
+# Domain-drift re-layout trigger: when more than this fraction of the rows
+# in the months being refreshed fall OUTSIDE the stored Morton domain,
+# scale_to_bits clamps them all onto the domain-edge cells — their _z
+# values stop discriminating and box pruning inside those months degrades
+# toward scan-everything (measured in tools/zdomain_drift_probe.py: a month
+# 2x outside the domain touches ~every row group for an in-month box; after
+# the triggered rebuild the box prunes normally again).  Below the
+# threshold the clamped rows only bloat the two edge cells; in-domain boxes
+# keep their pruning, so the O(month) refresh stays the right trade.
+ESCAPE_REBUILD_FRACTION = 0.2
+
+
+def _escape_fraction(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    colx: str,
+    coly: str,
+    date_col: str,
+    days: list[str],
+    bounds: list[int],
+) -> float:
+    """Fraction of rows in the months containing ``days`` whose cluster
+    keys fall outside ``bounds`` — one O(touched-month) aggregate over the
+    slice the refresh is about to re-layout anyway."""
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.operators.maintained import month_range_cond
+
+    months = sorted({d[:7] for d in days})
+    out = (
+        load_table(spark, sf_dir, table)
+        .filter(month_range_cond(date_col, months))
+        .agg(
+            F.avg(
+                (
+                    (F.col(colx) < bounds[0])
+                    | (F.col(colx) > bounds[1])
+                    | (F.col(coly) < bounds[2])
+                    | (F.col(coly) > bounds[3])
+                ).cast("double")
+            )
+        )
+        .first()[0]
+    )
+    return float(out) if out is not None else 0.0
+
+
 def refresh_zorder_monthly(
     spark: SparkSession,
     sf_dir: str,
@@ -333,13 +380,40 @@ def refresh_zorder_monthly(
     """Re-layout ONLY the months containing ``days`` — the incremental
     maintenance path a dated fact ingest calls after appending.  Reuses
     the stored Morton domain, so cost is O(touched months), never
-    O(history)."""
-    from olap_sus_spark.operators.maintained import refresh_partials
+    O(history).
+
+    Drift guard: if more than :data:`ESCAPE_REBUILD_FRACTION` of the
+    refreshed months' rows escape the stored domain (keys clamp to the
+    edge cells, killing their pruning), the stored domain sidecar is
+    removed and the stamp marker poisoned, so the rebuild runs through
+    load_or_build's STAGED path (old layout keeps serving until the atomic
+    swap — never a deleted live directory) with a freshly derived domain:
+    the documented re-layout trigger (VERDICT r07 #4).  The check is one
+    aggregate over the same month slice the refresh re-reads, so the
+    common no-drift case stays O(month)."""
+    from olap_sus_spark.operators.maintained import refresh_partials, write_marker
     from olap_sus_spark.operators.index_store import corpus_stamp
 
     path = zorder_monthly_path(sf_dir, table, colx, coly, date_col)
     stamp = corpus_stamp(sf_dir, table)
-    bounds = _monthly_domain(spark, sf_dir, table, colx, coly, path)
+    stored = _read_domain(path)
+    if stored is not None and os.path.exists(path):
+        esc = _escape_fraction(
+            spark, sf_dir, table, colx, coly, date_col, days, stored
+        )
+        if esc > ESCAPE_REBUILD_FRACTION:
+            try:
+                os.remove(os.path.join(path, _DOMAIN_FILE))
+            except OSError:
+                pass  # already gone — rebuild re-derives either way
+            write_marker(path, f"zdomain-drift-retired:{stamp}")
+            load_or_build_zorder_monthly(
+                spark, sf_dir, table, colx, coly, date_col, bits
+            )
+            return
+    bounds = stored if stored is not None else _monthly_domain(
+        spark, sf_dir, table, colx, coly, path
+    )
     refresh_partials(
         spark,
         path,

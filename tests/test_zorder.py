@@ -268,3 +268,105 @@ def test_zorder_monthly_refresh_is_month_scoped_and_equals_rebuild(
     )
     assert _multiset(served) == _multiset(fresh)
     assert _multiset(served) == _multiset(load_table(spark, sf, "lineitem"))
+
+
+def test_zorder_monthly_domain_drift_triggers_full_relayout(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r07 #4: when the refreshed months' keys have drifted OUTSIDE
+    the stored Morton domain (escape fraction > ESCAPE_REBUILD_FRACTION),
+    the refresh must retire the domain and rebuild the whole layout with a
+    freshly derived one — clamped keys all land on the edge cells, so the
+    old domain can no longer prune inside those months."""
+    import shutil
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ix"))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copy(
+        os.path.join(SF_DIR, "lineitem.parquet"), os.path.join(sf, "lineitem.parquet")
+    )
+    zo.load_or_build_zorder_monthly(
+        spark, sf, "lineitem", "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    path = zo.zorder_monthly_path(sf, "lineitem", "l_partkey", "l_suppkey", "l_shipdate")
+    dom0 = zo._read_domain(path)
+    assert dom0 is not None
+
+    # a WHOLE NEW MONTH lands 2x outside the stored domain in both keys
+    # (monotone id growth — the canonical drift shape): escape fraction of
+    # the refreshed month is 1.0, far past the trigger
+    li = load_table(spark, sf, "lineitem")
+    max_day = li.agg(F.max(F.to_date("l_shipdate"))).first()[0]
+    shift_x, shift_y = 2 * int(dom0[1]), 2 * int(dom0[3])
+    extra = (
+        li.limit(500)
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(shift_x))
+        .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(shift_y))
+        .withColumn("l_shipdate", F.lit(str(max_day)).cast("date") + F.expr("INTERVAL 60 DAYS"))
+    )
+    new_day = str(extra.select(F.to_date("l_shipdate").alias("d")).first()[0])
+    staged = str(tmp_path / "new.parquet")
+    li.unionByName(extra).write.mode("overwrite").parquet(staged)
+    os.remove(os.path.join(sf, "lineitem.parquet"))
+    shutil.move(staged, os.path.join(sf, "lineitem.parquet"))
+
+    zo.refresh_zorder_monthly(
+        spark, sf, "lineitem", "l_partkey", "l_suppkey", "l_shipdate", [new_day]
+    )
+    dom1 = zo._read_domain(path)
+    # the trigger fired: domain re-derived, now covering the drifted keys
+    assert dom1 != dom0
+    assert dom1[1] >= int(dom0[1]) + shift_x and dom1[3] >= int(dom0[3]) + shift_y
+    # the rebuilt layout is the full corpus and is stamped current
+    from olap_sus_spark.operators.index_store import corpus_stamp
+    from olap_sus_spark.operators.maintained import read_marker
+
+    assert read_marker(path) == corpus_stamp(sf, "lineitem")
+    served = zo.load_or_build_zorder_monthly(
+        spark, sf, "lineitem", "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    assert _multiset(served) == _multiset(load_table(spark, sf, "lineitem"))
+
+
+def test_zorder_monthly_small_escape_keeps_domain(spark, tmp_path, monkeypatch):
+    """Below the trigger the stored domain is REUSED (O(month) refresh):
+    a few clamped rows bloat the edge cells but in-domain boxes keep their
+    pruning — re-deriving per refresh would make every dated ingest pay a
+    full-table scan."""
+    import shutil
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "ix"))
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copy(
+        os.path.join(SF_DIR, "lineitem.parquet"), os.path.join(sf, "lineitem.parquet")
+    )
+    zo.load_or_build_zorder_monthly(
+        spark, sf, "lineitem", "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    path = zo.zorder_monthly_path(sf, "lineitem", "l_partkey", "l_suppkey", "l_shipdate")
+    dom0 = zo._read_domain(path)
+
+    li = load_table(spark, sf, "lineitem")
+    day = str(li.select(F.to_date("l_shipdate").alias("d")).orderBy("d").first()[0])
+    month_rows = li.filter(F.date_format("l_shipdate", "yyyy-MM") == day[:7]).count()
+    n_escape = max(1, int(month_rows * 0.05))  # 5% of the month escapes
+    extra = (
+        li.filter(F.to_date("l_shipdate") == day)
+        .limit(n_escape)
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(2 * int(dom0[1])))
+    )
+    staged = str(tmp_path / "new.parquet")
+    li.unionByName(extra).write.mode("overwrite").parquet(staged)
+    os.remove(os.path.join(sf, "lineitem.parquet"))
+    shutil.move(staged, os.path.join(sf, "lineitem.parquet"))
+
+    zo.refresh_zorder_monthly(
+        spark, sf, "lineitem", "l_partkey", "l_suppkey", "l_shipdate", [day]
+    )
+    assert zo._read_domain(path) == dom0  # domain kept: refresh stayed O(month)
+    served = zo.load_or_build_zorder_monthly(
+        spark, sf, "lineitem", "l_partkey", "l_suppkey", "l_shipdate"
+    )
+    assert _multiset(served) == _multiset(load_table(spark, sf, "lineitem"))
