@@ -29,6 +29,11 @@ SEED = 20260815  # the entire model, as one integer
 STEM_DIM = 48  # 4×4 grid × 3 channels worth of patch statistics
 HIDDEN = 64
 
+# Keyed by output dim; bounded LRU so a long-lived executor process that
+# serves many distinct dims (e.g. a multi-tenant embedding service) cannot
+# grow it without limit.  Weights are pure functions of (SEED, dim), so
+# eviction only costs a ~4k-param regeneration on the next call.
+_CACHE_MAX = 8
 _CACHE: dict[int, tuple] = {}
 
 
@@ -36,15 +41,19 @@ def weights(dim: int):
     """(w1, b1, w2, b2) for an output width of ``dim`` — deterministic in
     (SEED, dim); scaled 1/sqrt(fan_in) so activations stay in tanh's
     linear-ish range for [0, 1] stems."""
-    if dim not in _CACHE:
-        import numpy as np
+    if dim in _CACHE:
+        _CACHE[dim] = _CACHE.pop(dim)  # re-insert: mark most-recently-used
+        return _CACHE[dim]
+    import numpy as np
 
-        rng = np.random.default_rng([SEED, dim])
-        w1 = rng.standard_normal((STEM_DIM, HIDDEN)) / np.sqrt(STEM_DIM)
-        b1 = rng.standard_normal(HIDDEN) * 0.01
-        w2 = rng.standard_normal((HIDDEN, dim)) / np.sqrt(HIDDEN)
-        b2 = rng.standard_normal(dim) * 0.01
-        _CACHE[dim] = (w1, b1, w2, b2)
+    rng = np.random.default_rng([SEED, dim])
+    w1 = rng.standard_normal((STEM_DIM, HIDDEN)) / np.sqrt(STEM_DIM)
+    b1 = rng.standard_normal(HIDDEN) * 0.01
+    w2 = rng.standard_normal((HIDDEN, dim)) / np.sqrt(HIDDEN)
+    b2 = rng.standard_normal(dim) * 0.01
+    while len(_CACHE) >= _CACHE_MAX:
+        _CACHE.pop(next(iter(_CACHE)))  # dict preserves insertion order: LRU
+    _CACHE[dim] = (w1, b1, w2, b2)
     return _CACHE[dim]
 
 

@@ -1035,6 +1035,27 @@ def test_encoder_known_vector():
     assert np.allclose(np.linalg.norm(batch, axis=1), 1.0, atol=1e-5)
 
 
+def test_encoder_weight_cache_is_bounded_lru():
+    """The per-dim weight cache evicts LRU past _CACHE_MAX, and an evicted
+    dim regenerates bit-identical weights (pure function of (SEED, dim))."""
+    import numpy as np
+
+    from olap_sus_spark.operators import encoder
+
+    encoder._CACHE.clear()
+    first = encoder.weights(3)[0].copy()
+    for d in range(4, 4 + encoder._CACHE_MAX + 2):  # overflow the cache
+        encoder.weights(d)
+    assert len(encoder._CACHE) == encoder._CACHE_MAX
+    assert 3 not in encoder._CACHE  # oldest evicted
+    assert np.array_equal(encoder.weights(3)[0], first)  # regenerated identical
+    # touching an old entry protects it from the next eviction (LRU, not FIFO)
+    oldest = next(iter(encoder._CACHE))
+    encoder.weights(oldest)
+    encoder.weights(999)
+    assert oldest in encoder._CACHE
+
+
 def test_mp4_metadata_parse_and_reject():
     from olap_sus_spark.operators import mp4
 
