@@ -44,6 +44,9 @@ HEADLINE = [
     # data-pipeline heavyweights
     "dedup_minhash_lsh",
     "dedup_jaccard_pairs",
+    "dedup_cross_doc_ngrams",  # Lee-et-al-style cross-doc repeated 5-gram stats
+    "dedup_cross_doc_scrub",  # exact-substring scrub output (from-scratch frequency pass)
+    "dedup_cross_doc_scrub_served",  # same scrub served from the maintained gram-freq partials
     "dedup_near_clusters",  # linear-output near-dup shape (the 100 TB path)
     "dedup_near_clusters_star",  # star-reduced edges: linear under mega-clusters
     "dedup_near_clusters_star_served",  # same map served from the maintained cluster index
@@ -142,6 +145,7 @@ def main() -> None:
 
     # dedup-width SRP signatures (occupancy-8 target; the pair-generation
     # index, distinct from the ANN probe index's 4-bit key)
+    from olap_sus_spark.operators import gramfreq as _gf
     from olap_sus_spark.operators import inverted as _inv
     from olap_sus_spark.operators.index_store import corpus_rows as _corpus_rows
     from olap_sus_spark.queries import sketches as _sk
@@ -189,6 +193,13 @@ def main() -> None:
             "inverted",
             lambda: _inv.inverted_index_path(sf_dir),
             lambda: _inv.load_or_build_inverted_index(spark, sf_dir),
+        ),
+        (
+            # Gram-frequency partials: dedup_cross_doc_scrub_served's
+            # maintained table, amortized like the ANN indexes.
+            "gramfreq",
+            lambda: _gf.gram_freq_path(sf_dir),
+            lambda: _gf.load_or_build_gram_freq(spark, sf_dir),
         ),
         (
             # KMV day partials: kmv_distinct_orders_served's maintained
@@ -289,6 +300,7 @@ def main() -> None:
     _sim.load_or_build_ivf_index(spark, inc_sf, num_centroids=_NC)
     _dd.load_or_build_cluster_index(spark, inc_sf, docs_of(spark, None), threshold=0.5)
     _inv.load_or_build_inverted_index(spark, inc_sf)
+    _gf.load_or_build_gram_freq(spark, inc_sf)
     _append_part("embeddings", "vec_id", 100, 100_000_000)
     _append_part("documents", "doc_id", 100, 100_000_000)
     for name, fn in [
@@ -304,6 +316,7 @@ def main() -> None:
             lambda: _dd.refresh_cluster_index(spark, inc_sf, docs_of, threshold=0.5),
         ),
         ("inverted_refresh_1d", lambda: _inv.refresh_inverted_index(spark, inc_sf)),
+        ("gramfreq_refresh_1d", lambda: _gf.refresh_gram_freq(spark, inc_sf)),
     ]:
         t0 = time.perf_counter()
         fn()
@@ -334,6 +347,11 @@ def main() -> None:
             "inverted_full_rebuild",
             lambda: _inv.inverted_index_path(inc_sf),
             lambda: _inv.load_or_build_inverted_index(spark, inc_sf),
+        ),
+        (
+            "gramfreq_full_rebuild",
+            lambda: _gf.gram_freq_path(inc_sf),
+            lambda: _gf.load_or_build_gram_freq(spark, inc_sf),
         ),
     ]:
         shutil.rmtree(path_fn(), ignore_errors=True)

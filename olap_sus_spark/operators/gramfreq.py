@@ -1,0 +1,190 @@
+"""Maintained cross-document gram-frequency index — the serving structure
+behind ``dedup_cross_doc_scrub_served`` (queries/text_pipeline.py).
+
+The exact-substring-dedup family (Lee et al. 2022) needs, per token
+5-gram, the number of distinct documents containing it; the from-scratch
+queries (``dedup_cross_doc_ngrams`` / ``dedup_cross_doc_scrub``) pay a
+corpus-sized tokenize + hash + per-doc-distinct + global groupBy on every
+call.  At 100 TB that global gram-frequency pass is a corpus-version-level
+batch job, not a query — so it follows the same maintained-partials
+contract as the KMV/CMS/histogram tables (operators/index_store.py:
+corpus-manifest staleness, staged build + atomic promotion, per-``src``
+dynamic-partition-overwrite refresh):
+
+- ``grams/`` — per corpus part file: ``(src, gram, n_docs)`` where ``gram``
+  is the 60-bit md5 hash of a sliding token 5-gram over the AUGMENTED view
+  of that file's documents and ``n_docs`` the count of distinct docs in
+  the file containing it.  The augmentation (queries/text_pipeline._augment)
+  is row-local and every document lives wholly in one part file, so each
+  partition is a pure function of its part file — a refresh of the
+  ingested files is bit-identical to a full rebuild by construction.
+- Serving folds the partials: global document frequency of a gram is the
+  SUM of its per-src counts (``doc_id`` is the corpus primary key, unique
+  across part files — the same assumption the cluster index's id-order
+  guard rests on), and the scrub only needs the ``>= 2`` cut of that sum.
+
+No counterpart in the reference (tabular-only pipeline).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from olap_sus_spark.operators import index_store as ix
+from olap_sus_spark.operators import text as tx
+
+_ALGO_VERSION = "gramfreq-v1"
+_SRC = "src"
+NGRAM_N = 5  # must match queries/text_pipeline._CROSS_NGRAM_N
+
+
+def gram_freq_path(sf_dir: str, table: str = "documents") -> str:
+    return ix.index_path("gramfreq", f"{_ALGO_VERSION}|{sf_dir}|{table}|{NGRAM_N}")
+
+
+def _with_src(df: DataFrame) -> DataFrame:
+    # Evaluated at the scan, before any exchange (index_store contract).
+    return df.withColumn(_SRC, F.element_at(F.split(F.input_file_name(), "/"), -1))
+
+
+def _partials_frame(docs: DataFrame) -> DataFrame:
+    """(src, gram, n_docs) for a src-tagged, ALREADY-AUGMENTED documents
+    frame: distinct docs per 60-bit-hashed sliding 5-gram, within src."""
+    return (
+        docs.select(
+            _SRC,
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        tx.sliding_concat(tx.tokens(F.col("text")), NGRAM_N),
+                        tx.md5_int,
+                    )
+                )
+            ).alias("gram"),
+        )
+        .groupBy(_SRC, "gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def _augmented_with_src(spark: SparkSession, paths: list[str] | None, sf_dir: str) -> DataFrame:
+    from olap_sus_spark.catalog import load_table, spread_compute
+    from olap_sus_spark.queries.text_pipeline import _augment
+
+    if paths is None:
+        docs = _with_src(load_table(spark, sf_dir, "documents"))
+    else:
+        docs = _with_src(spark.read.parquet(*paths))
+    return _augment(spread_compute(docs))
+
+
+def load_or_build_gram_freq(
+    spark: SparkSession, sf_dir: str, table: str = "documents"
+) -> DataFrame:
+    """Return the ``(src, gram, n_docs)`` partials, building + persisting
+    on first use.  A manifest mismatch triggers the safe full staged
+    rebuild — never silently serves stale frequencies."""
+    path = gram_freq_path(sf_dir, table)
+    current = ix.corpus_files(sf_dir, table)
+    man = ix.read_manifest(path)
+    if not ix.manifest_is_current(man, current):
+        ix.sweep_stale_staging()
+        os.makedirs(ix.index_root(), exist_ok=True)
+        partials = _partials_frame(_augmented_with_src(spark, None, sf_dir))
+        staging = ix.staging_path(path)
+        from olap_sus_spark.sources.sinks import write_sorted_partitioned
+
+        write_sorted_partitioned(
+            partials, os.path.join(staging, "grams"), _SRC, ["gram"], files=4,
+            dynamic=False,
+        )
+        ix.write_manifest(staging, ix.compact_manifest(man, current))
+        _retire_and_promote(staging, path, current)
+    return _serve(spark, path)
+
+
+def refresh_gram_freq(
+    spark: SparkSession, sf_dir: str, table: str = "documents"
+) -> DataFrame:
+    """Incremental maintenance: re-gram ONLY the part files added or
+    rewritten since the last manifest and dynamic-partition-overwrite
+    their ``src=`` partitions — O(ingested files), never O(corpus).
+    Removed part files (or a never-built index) fall back to the full
+    staged build."""
+    path = gram_freq_path(sf_dir, table)
+    current = ix.corpus_files(sf_dir, table)
+    man = ix.read_manifest(path)
+    if man is None:
+        return load_or_build_gram_freq(spark, sf_dir, table)
+    added, changed, removed = ix.manifest_diff(man, current)
+    if removed:
+        return load_or_build_gram_freq(spark, sf_dir, table)
+    stale = sorted(added + changed)
+    if stale:
+        paths = ix.corpus_file_paths(sf_dir, table, stale)
+        partials = _partials_frame(_augmented_with_src(spark, paths, sf_dir))
+        from olap_sus_spark.sources.sinks import write_sorted_partitioned
+
+        write_sorted_partitioned(
+            partials, os.path.join(path, "grams"), _SRC, ["gram"], files=4,
+            dynamic=True,
+        )
+        ix.write_manifest(path, ix.compact_manifest(man, current))
+    return _serve(spark, path)
+
+
+def shared_grams(spark: SparkSession, sf_dir: str, table: str = "documents") -> DataFrame:
+    """Grams contained in >= 2 distinct documents corpus-wide, served from
+    the maintained partials: one fold over the index table, zero corpus
+    work."""
+    return (
+        load_or_build_gram_freq(spark, sf_dir, table)
+        .groupBy("gram")
+        .agg(F.sum("n_docs").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+
+
+def _serve(spark: SparkSession, path: str) -> DataFrame:
+    import time
+
+    for _ in range(100):
+        try:
+            return spark.read.parquet(os.path.join(path, "grams")).select(
+                "gram", F.col("n_docs").cast("bigint").alias("n_docs")
+            )
+        except Exception:
+            if os.path.exists(path):
+                raise
+            time.sleep(0.05)
+    raise FileNotFoundError(path)
+
+
+def _retire_and_promote(staging: str, path: str, current_files: dict | None = None) -> None:
+    """Retire→promote with the concurrent-winner check (same contract as
+    operators/inverted.py — see that docstring for the race reasoning)."""
+    import shutil
+
+    if current_files is not None and os.path.exists(path):
+        man = ix.read_manifest(path)
+        if ix.manifest_is_current(man, current_files) and os.path.exists(
+            os.path.join(path, "grams")
+        ):
+            shutil.rmtree(staging, ignore_errors=True)
+            return
+    if os.path.exists(path):
+        tomb = ix.staging_path(path) + ".stale"
+        try:
+            os.rename(path, tomb)
+        except OSError:
+            tomb = None
+        ix.promote(staging, path)
+        if tomb is not None:
+            shutil.rmtree(tomb, ignore_errors=True)
+    else:
+        ix.promote(staging, path)

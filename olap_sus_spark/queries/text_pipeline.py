@@ -943,6 +943,269 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-document repeated n-grams — the corpus-level counterpart of the
+# within-doc repetition ratio above, and the statistic behind exact
+# substring deduplication (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better": spans repeated verbatim across documents
+# are memorization fuel).  A full suffix array doesn't distribute; the
+# standard scale formulation is sliding token k-grams: a doc's k-gram that
+# also appears in ANY other doc marks a cross-doc repeated span.  Distinct
+# from boilerplate_segment_scrub (segment-granular, frequency-thresholded)
+# — this is token-window-granular and fires on a single other occurrence.
+#
+# Shape at 100 TB: grams are md5-hashed to 60-bit ints BEFORE the shuffle
+# (same trade as dedup_jaccard_pairs — 8-byte shuffle keys, collisions
+# ~n²/2^60), one groupBy(gram) for document frequency, one shuffle join
+# back (boilerplate-hot grams are exactly the AQE skew-split case), one
+# groupBy(doc).  No driver state, no all-pairs term anywhere.  No
+# counterpart in the reference (tabular-only pipeline).
+# ---------------------------------------------------------------------------
+_CROSS_NGRAM_N = 5
+
+
+def _cross_doc_ngrams_oracle() -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    grams = _ngrams_expr_sql("t", _CROSS_NGRAM_N)
+    return f"""
+WITH {_AUG_SQL},
+tk AS (SELECT doc_id, {toks} AS t FROM aug),
+dg AS (
+    SELECT doc_id,
+        unnest(list_distinct(list_transform({grams}, x -> {_md5_int_sql('x')})))
+            AS gram
+    FROM tk
+),
+gc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dg GROUP BY gram)
+SELECT dg.doc_id AS doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(SUM(CASE WHEN gc.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+    CAST(SUM(CASE WHEN gc.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+FROM dg JOIN gc USING (gram)
+GROUP BY dg.doc_id
+"""
+
+
+@register("dedup_cross_doc_ngrams", oracle=_cross_doc_ngrams_oracle())
+def dedup_cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: how many of its distinct token 5-grams also appear in
+    at least one OTHER document (a doc's +1M exact copy shares all of
+    them; the +2M near copy all but the last window).  Docs shorter than
+    5 tokens have no windows and no output row — they carry no repeatable
+    span."""
+    dg = augmented_docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    tx.token_ngrams(F.col("text"), _CROSS_NGRAM_N), tx.md5_int
+                )
+            )
+        ).alias("gram"),
+    )
+    gc = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        dg.join(gc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.col("n_shared").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+# The SCRUB output of the same statistic — what the pipeline actually
+# writes: each document re-emitted with every token position covered by a
+# cross-doc-repeated 5-gram window removed (Lee et al.'s ExactSubstr cut,
+# token-granular).  No interval-merge pass needed: the covered-position
+# SET (doc_id, pos) is the union of all repeated windows by construction —
+# explode each repeated window's 5 positions, distinct, anti-join the
+# token list.  Everything stays (doc, position)-keyed: the widest shuffle
+# is |tokens| rows of two ints, and reassembly is one groupBy(doc) with an
+# order-restoring struct sort (the boilerplate_segment_scrub trick).
+def _cross_doc_scrub_oracle() -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    grams = _ngrams_expr_sql("t", _CROSS_NGRAM_N)
+    n = _CROSS_NGRAM_N
+    return f"""
+WITH {_AUG_SQL},
+tk AS (SELECT doc_id, {toks} AS t FROM aug),
+g AS (SELECT doc_id, t, {grams} AS grams FROM tk),
+dg AS (
+    SELECT doc_id,
+        unnest(list_transform(grams, x -> {_md5_int_sql('x')})) AS gram,
+        generate_subscripts(grams, 1) AS pos
+    FROM g
+),
+gc AS (
+    SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM dg)
+    GROUP BY gram HAVING COUNT(*) >= 2
+),
+cov AS (
+    SELECT DISTINCT doc_id, cpos FROM (
+        SELECT dg.doc_id, unnest(range(dg.pos, dg.pos + {n})) AS cpos
+        FROM dg JOIN gc USING (gram)
+    )
+),
+tp AS (
+    SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p FROM tk
+),
+kept AS (
+    SELECT tp.doc_id, tp.tok, tp.p
+    FROM tp ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.cpos
+),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+           string_agg(tok, ' ' ORDER BY p) AS scrubbed
+    FROM kept GROUP BY doc_id
+)
+SELECT tk.doc_id AS doc_id,
+    CAST(len(tk.t) AS INT) AS n_tokens,
+    CAST(len(tk.t) - COALESCE(agg.n_kept, 0) AS INT) AS n_removed,
+    COALESCE(agg.scrubbed, '') AS scrubbed_text
+FROM tk LEFT JOIN agg USING (doc_id)
+"""
+
+
+@register("dedup_cross_doc_scrub", oracle=_cross_doc_scrub_oracle())
+def dedup_cross_doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document (fully-duplicated docs included, scrubbed to ''),
+    with tokens inside cross-doc-repeated 5-gram windows removed.
+    Positions are 1-based on both sides (DuckDB list indexing)."""
+    n = _CROSS_NGRAM_N
+    toks = augmented_docs(spark, sf_dir).select(
+        "doc_id", tx.tokens(F.col("text")).alias("t")
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(tx.sliding_concat(F.col("t"), n), tx.md5_int)
+            ).alias("pos0", "gram"),
+        )
+        .withColumn("pos", F.col("pos0") + 1)
+        .drop("pos0")
+    )
+    shared = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(shared, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("cpos"),
+        )
+        .distinct()
+    )
+    tokpos = (
+        toks.select("doc_id", F.posexplode("t").alias("p0", "tok"))
+        .withColumn("p", F.col("p0") + 1)
+        .drop("p0")
+    )
+    kept = tokpos.join(
+        covered,
+        (tokpos["doc_id"] == covered["doc_id"]) & (tokpos["p"] == covered["cpos"]),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda x: x["tok"]
+            ),
+        ).alias("scrubbed"),
+    )
+    return (
+        toks.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            (F.size("t") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed_text"),
+        )
+    )
+
+
+# Serving twin: the scrub with the global gram-frequency pass served from
+# the MAINTAINED per-src partials table (operators/gramfreq.py) instead of
+# recomputed per call.  At 100 TB the frequency table is maintained
+# O(ingest-day) by refresh_gram_freq; the scrub itself stays corpus-sized
+# because its OUTPUT is the corpus — the served win is skipping the
+# distinct+groupBy frequency pass over every gram occurrence.  Shares the
+# from-scratch twin's oracle: value-hash equality IS the proof the
+# maintained partials fold to exactly the recomputed frequencies.
+@register("dedup_cross_doc_scrub_served", oracle=_cross_doc_scrub_oracle())
+def dedup_cross_doc_scrub_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olap_sus_spark.operators import gramfreq
+
+    n = _CROSS_NGRAM_N
+    toks = augmented_docs(spark, sf_dir).select(
+        "doc_id", tx.tokens(F.col("text")).alias("t")
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(tx.sliding_concat(F.col("t"), n), tx.md5_int)
+            ).alias("pos0", "gram"),
+        )
+        .withColumn("pos", F.col("pos0") + 1)
+        .drop("pos0")
+    )
+    shared = gramfreq.shared_grams(spark, sf_dir)
+    covered = (
+        grams.join(shared, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("cpos"),
+        )
+        .distinct()
+    )
+    tokpos = (
+        toks.select("doc_id", F.posexplode("t").alias("p0", "tok"))
+        .withColumn("p", F.col("p0") + 1)
+        .drop("p0")
+    )
+    kept = tokpos.join(
+        covered,
+        (tokpos["doc_id"] == covered["doc_id"]) & (tokpos["p"] == covered["cpos"]),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda x: x["tok"]
+            ),
+        ).alias("scrubbed"),
+    )
+    return (
+        toks.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            (F.size("t") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing — assign documents to fixed token-budget training bins
 # by contiguous cumulative token count within each source partition (the
 # distributed-friendly variant of greedy packing: one shuffle on source,

@@ -381,3 +381,98 @@ def test_inverted_load_full_rebuilds_when_stale(spark, tmp_path, monkeypatch):
     p2, d2 = inv.load_or_build_inverted_index(spark, sf)
     assert p2.count() > n1
     assert d2.count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Gram-frequency partials (operators/gramfreq.py — the maintained table
+# behind dedup_cross_doc_scrub_served).
+# ---------------------------------------------------------------------------
+def test_gramfreq_refresh_equals_fresh_build(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.operators import gramfreq as gf
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    gf.load_or_build_gram_freq(spark, sf)
+
+    _append_documents(spark, sf, "part-01.parquet")
+    got = _rows(gf.refresh_gram_freq(spark, sf))
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = _rows(gf.load_or_build_gram_freq(spark, sf))
+    assert got == fresh and len(got) > 0
+
+
+def test_gramfreq_refresh_rewrites_only_new_src_partition(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.operators import gramfreq as gf
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    gf.load_or_build_gram_freq(spark, sf)
+    path = gf.gram_freq_path(sf)
+    base = os.path.join(path, "grams", "src=part-00.parquet")
+    stamps = {
+        f: os.path.getmtime(os.path.join(base, f))
+        for f in os.listdir(base)
+        if f.endswith(".parquet")
+    }
+    _append_documents(spark, sf, "part-01.parquet")
+    gf.refresh_gram_freq(spark, sf)
+    for f, ts in stamps.items():
+        assert os.path.getmtime(os.path.join(base, f)) == ts
+    assert os.path.isdir(os.path.join(path, "grams", "src=part-01.parquet"))
+
+
+def test_gramfreq_removed_file_falls_back_to_rebuild(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.operators import gramfreq as gf
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    _append_documents(spark, sf, "part-01.parquet")
+    gf.load_or_build_gram_freq(spark, sf)
+
+    os.remove(os.path.join(sf, "documents.parquet", "part-01.parquet"))
+    got = _rows(gf.refresh_gram_freq(spark, sf))
+    srcs = {
+        d
+        for d in os.listdir(os.path.join(gf.gram_freq_path(sf), "grams"))
+        if d.startswith("src=")
+    }
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = _rows(gf.load_or_build_gram_freq(spark, sf))
+    assert got == fresh
+    assert srcs == {"src=part-00.parquet"}  # no orphan partition survives
+
+
+def test_gramfreq_shared_grams_match_recomputed(spark, tmp_path, monkeypatch):
+    """The served >=2 cut equals the from-scratch global distinct-doc
+    frequency cut over the same augmented corpus."""
+    from olap_sus_spark.operators import gramfreq as gf
+    from olap_sus_spark.operators import text as tx
+    from olap_sus_spark.queries.text_pipeline import _augment, _CROSS_NGRAM_N
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    _append_documents(spark, sf, "part-01.parquet")
+    served = sorted(r[0] for r in gf.shared_grams(spark, sf).collect())
+
+    docs = _augment(spark.read.parquet(os.path.join(sf, "documents.parquet")))
+    dg = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    tx.sliding_concat(tx.tokens(F.col("text")), _CROSS_NGRAM_N),
+                    tx.md5_int,
+                )
+            )
+        ).alias("gram"),
+    )
+    recomputed = sorted(
+        r[0]
+        for r in dg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gram")
+        .collect()
+    )
+    assert served == recomputed and len(served) > 0
