@@ -51,8 +51,13 @@ def _with_src(df: DataFrame) -> DataFrame:
 
 
 def _partials_frame(docs: DataFrame) -> DataFrame:
-    """(src, gram, n_docs) for a src-tagged, ALREADY-AUGMENTED documents
-    frame: distinct docs per 60-bit-hashed sliding 5-gram, within src."""
+    """(src, gram, n_docs) for a documents frame in the caller's chosen
+    corpus view: distinct docs per 60-bit-hashed sliding 5-gram, within
+    src.  A frame without a ``src`` column (e.g. corpus_docs_of's
+    full-corpus branch) gets tagged here — still at the scan, before any
+    exchange, since nothing above this call shuffles."""
+    if _SRC not in docs.columns:
+        docs = _with_src(docs)
     return (
         docs.select(
             _SRC,
@@ -71,30 +76,41 @@ def _partials_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def _augmented_with_src(spark: SparkSession, paths: list[str] | None, sf_dir: str) -> DataFrame:
+def _augmented_docs_of(sf_dir: str):
+    """Default ``docs_of``: the registered queries' AUGMENTED corpus view
+    (queries/text_pipeline._augment — the synthetic duplicate injection the
+    driver oracles are defined over).  Real corpora (e.g. the streaming
+    ingest loop) pass a plain view instead — like the cluster index, the
+    caller owns which corpus view an index path serves; the augmentation is
+    row-local either way, so per-src purity (the refresh contract) holds
+    for both."""
     from olap_sus_spark.catalog import load_table, spread_compute
     from olap_sus_spark.queries.text_pipeline import _augment
 
-    if paths is None:
-        docs = _with_src(load_table(spark, sf_dir, "documents"))
-    else:
-        docs = _with_src(spark.read.parquet(*paths))
-    return _augment(spread_compute(docs))
+    def docs_of(spark: SparkSession, paths: list[str] | None) -> DataFrame:
+        if paths is None:
+            docs = _with_src(load_table(spark, sf_dir, "documents"))
+        else:
+            docs = _with_src(spark.read.parquet(*paths))
+        return _augment(spread_compute(docs))
+
+    return docs_of
 
 
 def load_or_build_gram_freq(
-    spark: SparkSession, sf_dir: str, table: str = "documents"
+    spark: SparkSession, sf_dir: str, table: str = "documents", docs_of=None
 ) -> DataFrame:
     """Return the ``(src, gram, n_docs)`` partials, building + persisting
     on first use.  A manifest mismatch triggers the safe full staged
     rebuild — never silently serves stale frequencies."""
+    docs_of = docs_of or _augmented_docs_of(sf_dir)
     path = gram_freq_path(sf_dir, table)
     current = ix.corpus_files(sf_dir, table)
     man = ix.read_manifest(path)
     if not ix.manifest_is_current(man, current):
         ix.sweep_stale_staging()
         os.makedirs(ix.index_root(), exist_ok=True)
-        partials = _partials_frame(_augmented_with_src(spark, None, sf_dir))
+        partials = _partials_frame(docs_of(spark, None))
         staging = ix.staging_path(path)
         from olap_sus_spark.sources.sinks import write_sorted_partitioned
 
@@ -108,25 +124,26 @@ def load_or_build_gram_freq(
 
 
 def refresh_gram_freq(
-    spark: SparkSession, sf_dir: str, table: str = "documents"
+    spark: SparkSession, sf_dir: str, table: str = "documents", docs_of=None
 ) -> DataFrame:
     """Incremental maintenance: re-gram ONLY the part files added or
     rewritten since the last manifest and dynamic-partition-overwrite
     their ``src=`` partitions — O(ingested files), never O(corpus).
     Removed part files (or a never-built index) fall back to the full
     staged build."""
+    docs_of = docs_of or _augmented_docs_of(sf_dir)
     path = gram_freq_path(sf_dir, table)
     current = ix.corpus_files(sf_dir, table)
     man = ix.read_manifest(path)
     if man is None:
-        return load_or_build_gram_freq(spark, sf_dir, table)
+        return load_or_build_gram_freq(spark, sf_dir, table, docs_of)
     added, changed, removed = ix.manifest_diff(man, current)
     if removed:
-        return load_or_build_gram_freq(spark, sf_dir, table)
+        return load_or_build_gram_freq(spark, sf_dir, table, docs_of)
     stale = sorted(added + changed)
     if stale:
         paths = ix.corpus_file_paths(sf_dir, table, stale)
-        partials = _partials_frame(_augmented_with_src(spark, paths, sf_dir))
+        partials = _partials_frame(docs_of(spark, paths))
         from olap_sus_spark.sources.sinks import write_sorted_partitioned
 
         write_sorted_partitioned(
@@ -137,12 +154,14 @@ def refresh_gram_freq(
     return _serve(spark, path)
 
 
-def shared_grams(spark: SparkSession, sf_dir: str, table: str = "documents") -> DataFrame:
+def shared_grams(
+    spark: SparkSession, sf_dir: str, table: str = "documents", docs_of=None
+) -> DataFrame:
     """Grams contained in >= 2 distinct documents corpus-wide, served from
     the maintained partials: one fold over the index table, zero corpus
     work."""
     return (
-        load_or_build_gram_freq(spark, sf_dir, table)
+        load_or_build_gram_freq(spark, sf_dir, table, docs_of)
         .groupBy("gram")
         .agg(F.sum("n_docs").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)

@@ -106,6 +106,14 @@ def _document_batch(
             dd.refresh_cluster_index(
                 spark, corpus_dir, corpus_docs_of(corpus_dir), threshold=threshold
             )
+            # exact-substring serving stays fresh too: O(batch) re-gram of
+            # the appended part files over the PLAIN corpus view (stream
+            # duplicates are real duplicates — no synthetic augmentation)
+            from olap_sus_spark.operators import gramfreq as gf
+
+            gf.refresh_gram_freq(
+                spark, corpus_dir, docs_of=corpus_docs_of(corpus_dir)
+            )
 
     return inner
 

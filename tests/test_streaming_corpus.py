@@ -95,6 +95,26 @@ def test_stream_document_ingest_equals_rebuild(spark, dirs):
     m = dict(a)
     assert m[31] == m[3] and m[32] == m[7]
 
+    # maintained gram-frequency partials (refreshed per micro-batch over
+    # the PLAIN corpus view) == fresh full build over the same final corpus
+    from olap_sus_spark.operators import gramfreq as gf
+    from olap_sus_spark.streaming.corpus import corpus_docs_of as _cdo
+
+    gf_served = sorted(
+        map(tuple, gf.refresh_gram_freq(spark, corpus, docs_of=_cdo(corpus)).collect())
+    )
+    gf_rebuilt = sorted(
+        map(
+            tuple,
+            gf.load_or_build_gram_freq(spark, fresh, docs_of=_cdo(fresh)).collect(),
+        )
+    )
+    assert gf_served == gf_rebuilt and len(gf_served) > 0
+    # the exact duplicate (31 == copy of 3) makes every one of its 5-grams
+    # cross-doc shared; the plain view must see them as >= 2 docs
+    shared = gf.shared_grams(spark, corpus, docs_of=_cdo(corpus))
+    assert shared.count() > 0
+
 
 def test_stream_embedding_ingest_refreshes_ann_indexes(spark, dirs):
     landing, corpus, ckpt, fresh = dirs
