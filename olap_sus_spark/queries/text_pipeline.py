@@ -1018,6 +1018,44 @@ def dedup_cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Serving twin of the stats: each doc's grams still come from a corpus
+# map pass (they are per-doc data), but the global document-frequency side
+# is one fold over the maintained partials instead of a recomputed
+# distinct+groupBy over every gram occurrence.  Shares the from-scratch
+# oracle — hash equality proves the maintained fold.
+@register("dedup_cross_doc_ngrams_served", oracle=_cross_doc_ngrams_oracle())
+def dedup_cross_doc_ngrams_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olap_sus_spark.operators import gramfreq
+
+    dg = augmented_docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    tx.token_ngrams(F.col("text"), _CROSS_NGRAM_N), tx.md5_int
+                )
+            )
+        ).alias("gram"),
+    )
+    gc = (
+        gramfreq.load_or_build_gram_freq(spark, sf_dir)
+        .groupBy("gram")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+    return (
+        dg.join(gc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.col("n_shared").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
 # The SCRUB output of the same statistic — what the pipeline actually
 # writes: each document re-emitted with every token position covered by a
 # cross-doc-repeated 5-gram window removed (Lee et al.'s ExactSubstr cut,
