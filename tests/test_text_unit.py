@@ -280,3 +280,38 @@ def test_corpus_token_budget_matches_naive_global_window(spark):
     # the cut is tight: at least one more doc exists and would overflow
     over = naive.filter(F.col("cum_tokens") > _BUDGET_TOKENS).count()
     assert over > 0
+
+
+def test_cross_doc_scrub_degenerate_long_doc(spark, tmp_path, monkeypatch):
+    """Exact-substring scrub semantics pinned on a hand-built corpus,
+    including a 50k-token all-identical document (the per-doc reassembly
+    collect_list's worst group): every window of the spam doc is shared
+    with doc 2's middle window, so it scrubs to ''; doc 2 loses exactly
+    the 5 positions of the shared window; the unique doc survives
+    verbatim.  Ids chosen %7 != 0 and %11 != 0 so the synthetic
+    augmentation adds no copies."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    from olap_sus_spark.queries.text_pipeline import (
+        dedup_cross_doc_scrub,
+        dedup_cross_doc_scrub_served,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    rows = [
+        (1, " ".join(["spam"] * 50_000), "en", "web", 5),
+        (2, "alpha spam spam spam spam spam beta", "en", "web", 7),
+        (3, "unique words only here now", "en", "web", 5),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    for fn in (dedup_cross_doc_scrub, dedup_cross_doc_scrub_served):
+        out = {r["doc_id"]: r for r in fn(spark, sf).collect()}
+        assert out[1]["scrubbed_text"] == "" and out[1]["n_removed"] == 50_000
+        assert out[2]["scrubbed_text"] == "alpha beta" and out[2]["n_removed"] == 5
+        assert out[3]["scrubbed_text"] == "unique words only here now"
+        assert out[3]["n_removed"] == 0
