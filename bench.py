@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_jaccard_pairs",
     "dedup_cross_doc_ngrams",  # Lee-et-al-style cross-doc repeated 5-gram stats
     "dedup_cross_doc_ngrams_served",  # same stats, frequency side from the maintained partials
+    "dedup_duplication_profile",  # corpus-level duplication headline table
     "dedup_cross_doc_scrub",  # exact-substring scrub output (from-scratch frequency pass)
     "dedup_cross_doc_scrub_served",  # same scrub served from the maintained gram-freq partials
     "dedup_near_clusters",  # linear-output near-dup shape (the 100 TB path)

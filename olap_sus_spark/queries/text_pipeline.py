@@ -1018,6 +1018,44 @@ def dedup_cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus-level duplication profile — the headline table of the family
+# (how much of the corpus is cross-doc duplicated, bucketed by per-doc
+# shared fraction).  Pure composition over the stats query, so the bucket
+# edges are compared on bit-identical doubles on both engines.
+_PROFILE_BUCKET_SQL = """CASE WHEN shared_frac = 0 THEN 'none'
+         WHEN shared_frac < 0.5 THEN 'low'
+         WHEN shared_frac < 1 THEN 'high'
+         ELSE 'full' END"""
+
+
+def _duplication_profile_oracle() -> str:
+    return f"""
+WITH stats AS ({_cross_doc_ngrams_oracle()})
+SELECT {_PROFILE_BUCKET_SQL} AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_grams) AS BIGINT) AS sum_grams,
+    CAST(SUM(n_shared) AS BIGINT) AS sum_shared
+FROM stats
+GROUP BY 1
+"""
+
+
+@register("dedup_duplication_profile", oracle=_duplication_profile_oracle())
+def dedup_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = dedup_cross_doc_ngrams(spark, sf_dir)
+    bucket = (
+        F.when(F.col("shared_frac") == 0, F.lit("none"))
+        .when(F.col("shared_frac") < 0.5, F.lit("low"))
+        .when(F.col("shared_frac") < 1, F.lit("high"))
+        .otherwise(F.lit("full"))
+    )
+    return stats.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("sum_grams"),
+        F.sum("n_shared").alias("sum_shared"),
+    )
+
+
 # Serving twin of the stats: each doc's grams still come from a corpus
 # map pass (they are per-doc data), but the global document-frequency side
 # is one fold over the maintained partials instead of a recomputed
