@@ -41,8 +41,26 @@ _SRC = "src"
 NGRAM_N = 5  # must match queries/text_pipeline._CROSS_NGRAM_N
 
 
-def gram_freq_path(sf_dir: str, table: str = "documents") -> str:
-    return ix.index_path("gramfreq", f"{_ALGO_VERSION}|{sf_dir}|{table}|{NGRAM_N}")
+def gram_freq_path(sf_dir: str, table: str = "documents", view: str = "aug") -> str:
+    """Index directory for one (corpus dir, table, CORPUS VIEW).  The view
+    tag is part of the key: the registered queries gram the AUGMENTED view
+    (synthetic duplicate injection the driver oracles are defined over)
+    while the streaming ingest loop grams the PLAIN corpus — folding one
+    view's partials into the other's query would be silently wrong, so the
+    two views can never share a directory.  ``sf_dir`` is normalized with
+    abspath (same as cluster_index_path) so relative vs absolute
+    invocations of the same corpus hit the same index."""
+    return ix.index_path(
+        "gramfreq",
+        f"{_ALGO_VERSION}|{os.path.abspath(sf_dir)}|{table}|{NGRAM_N}|{view}",
+    )
+
+
+def _view_of(docs_of, view: str | None) -> str:
+    """Resolve the index-key view tag: the default ``docs_of`` is the
+    augmented query view; a caller-supplied ``docs_of`` (streaming/purge —
+    plain corpus) defaults to 'plain' unless the caller says otherwise."""
+    return view if view is not None else ("aug" if docs_of is None else "plain")
 
 
 def _with_src(df: DataFrame) -> DataFrame:
@@ -98,13 +116,18 @@ def _augmented_docs_of(sf_dir: str):
 
 
 def load_or_build_gram_freq(
-    spark: SparkSession, sf_dir: str, table: str = "documents", docs_of=None
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    docs_of=None,
+    view: str | None = None,
 ) -> DataFrame:
     """Return the ``(src, gram, n_docs)`` partials, building + persisting
     on first use.  A manifest mismatch triggers the safe full staged
     rebuild — never silently serves stale frequencies."""
+    view = _view_of(docs_of, view)
     docs_of = docs_of or _augmented_docs_of(sf_dir)
-    path = gram_freq_path(sf_dir, table)
+    path = gram_freq_path(sf_dir, table, view)
     current = ix.corpus_files(sf_dir, table)
     man = ix.read_manifest(path)
     if not ix.manifest_is_current(man, current):
@@ -124,44 +147,76 @@ def load_or_build_gram_freq(
 
 
 def refresh_gram_freq(
-    spark: SparkSession, sf_dir: str, table: str = "documents", docs_of=None
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    docs_of=None,
+    view: str | None = None,
 ) -> DataFrame:
     """Incremental maintenance: re-gram ONLY the part files added or
     rewritten since the last manifest and dynamic-partition-overwrite
     their ``src=`` partitions — O(ingested files), never O(corpus).
     Removed part files (or a never-built index) fall back to the full
-    staged build."""
+    staged build.
+
+    A rewritten (changed) source whose re-gram yields ZERO rows — e.g. an
+    RTBF rewrite that purged every >=5-token doc of the file — is not
+    reachable by dynamic overwrite (no partition in the output), so its
+    old ``src=`` partition is dropped explicitly before the manifest is
+    stamped; the partials are persisted across write+probe so the stale
+    files are grammed exactly once.
+
+    SINGLE REFRESHER ASSUMED per index directory: like inverted.py, the
+    refresh dynamic-overwrites live ``src=`` partitions in place, so two
+    concurrent refreshes of the SAME corpus+view can interleave clear/
+    commit phases inside one partition.  Both in-repo callers satisfy
+    this: the streaming ingest loop is serialized per checkpoint by
+    Structured Streaming itself, and the query path only ever
+    load_or_builds (staged + atomic promote, race-safe).  Concurrent
+    refresh+build / build+build stay safe via _retire_and_promote."""
+    view = _view_of(docs_of, view)
     docs_of = docs_of or _augmented_docs_of(sf_dir)
-    path = gram_freq_path(sf_dir, table)
+    path = gram_freq_path(sf_dir, table, view)
     current = ix.corpus_files(sf_dir, table)
     man = ix.read_manifest(path)
     if man is None:
-        return load_or_build_gram_freq(spark, sf_dir, table, docs_of)
+        return load_or_build_gram_freq(spark, sf_dir, table, docs_of, view)
     added, changed, removed = ix.manifest_diff(man, current)
     if removed:
-        return load_or_build_gram_freq(spark, sf_dir, table, docs_of)
+        return load_or_build_gram_freq(spark, sf_dir, table, docs_of, view)
     stale = sorted(added + changed)
     if stale:
         paths = ix.corpus_file_paths(sf_dir, table, stale)
-        partials = _partials_frame(docs_of(spark, paths))
+        partials = _partials_frame(docs_of(spark, paths)).persist()
         from olap_sus_spark.sources.sinks import write_sorted_partitioned
 
-        write_sorted_partitioned(
-            partials, os.path.join(path, "grams"), _SRC, ["gram"], files=4,
-            dynamic=True,
-        )
+        try:
+            write_sorted_partitioned(
+                partials, os.path.join(path, "grams"), _SRC, ["gram"], files=4,
+                dynamic=True,
+            )
+            written = {r[0] for r in partials.select(_SRC).distinct().collect()}
+        finally:
+            partials.unpersist()
+        orphaned = set(stale) - written
+        if orphaned:
+            ix.drop_src_partitions(os.path.join(path, "grams"), orphaned)
         ix.write_manifest(path, ix.compact_manifest(man, current))
     return _serve(spark, path)
 
 
 def shared_grams(
-    spark: SparkSession, sf_dir: str, table: str = "documents", docs_of=None
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    docs_of=None,
+    view: str | None = None,
 ) -> DataFrame:
     """Grams contained in >= 2 distinct documents corpus-wide, served from
     the maintained partials: one fold over the index table, zero corpus
     work."""
     return (
-        load_or_build_gram_freq(spark, sf_dir, table, docs_of)
+        load_or_build_gram_freq(spark, sf_dir, table, docs_of, view)
         .groupBy("gram")
         .agg(F.sum("n_docs").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
@@ -172,13 +227,20 @@ def shared_grams(
 def _serve(spark: SparkSession, path: str) -> DataFrame:
     import time
 
+    grams = os.path.join(path, "grams")
     for _ in range(100):
         try:
-            return spark.read.parquet(os.path.join(path, "grams")).select(
+            return spark.read.parquet(grams).select(
                 "gram", F.col("n_docs").cast("bigint").alias("n_docs")
             )
         except Exception:
             if os.path.exists(path):
+                if os.path.isdir(grams) and not any(
+                    e.name.startswith("src=") for e in os.scandir(grams)
+                ):
+                    # every src partition dropped (e.g. RTBF purged the
+                    # whole corpus): a valid EMPTY index, not an error
+                    return spark.createDataFrame([], "gram bigint, n_docs bigint")
                 raise
             time.sleep(0.05)
     raise FileNotFoundError(path)

@@ -243,6 +243,33 @@ def manifest_diff(
     )
 
 
+def drop_src_partitions(component_root: str, srcs: set[str]) -> None:
+    """Remove ``src=<name>`` partition directories for the given source
+    part-file names.  Needed by the per-``src`` refresh paths: dynamic
+    partition overwrite only rewrites partitions PRESENT in the output, so
+    a stale source whose recomputed partial is EMPTY (e.g. an RTBF rewrite
+    that purged every index-producing row of the file) would otherwise keep
+    serving its old rows forever while the manifest reads current.  Names
+    are matched through Spark's partition-path percent-escaping."""
+    import re
+    import shutil
+
+    try:
+        entries = list(os.scandir(component_root))
+    except OSError:
+        return
+    for e in entries:
+        if not (e.is_dir() and e.name.startswith("src=")):
+            continue
+        value = re.sub(
+            r"%([0-9A-Fa-f]{2})",
+            lambda m: chr(int(m.group(1), 16)),
+            e.name[len("src="):],
+        )
+        if value in srcs:
+            shutil.rmtree(e.path, ignore_errors=True)
+
+
 def index_path(kind: str, key: str) -> str:
     """Deterministic index directory for (kind, logical key)."""
     import hashlib

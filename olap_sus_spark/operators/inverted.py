@@ -151,7 +151,11 @@ def refresh_inverted_index(
     O(corpus).  Postings and per-src stats are functions of a single part
     file (a document lives entirely in one), so the refreshed index is
     bit-identical to a fresh full build by construction.  Removed part
-    files (or a never-built index) fall back to the full staged build."""
+    files (or a never-built index) fall back to the full staged build.
+
+    SINGLE REFRESHER ASSUMED per index directory (in-place dynamic
+    overwrite — see refresh_gram_freq's docstring for the race shape and
+    why both in-repo callers satisfy it)."""
     path = inverted_index_path(sf_dir, table)
     current = ix.corpus_files(sf_dir, table)
     man = ix.read_manifest(path)
@@ -166,7 +170,23 @@ def refresh_inverted_index(
     if stale:
         paths = ix.corpus_file_paths(sf_dir, table, stale)
         postings, doc_stats = _index_frames(_with_src(spark.read.parquet(*paths)))
-        _write_tables(postings, doc_stats, path, dynamic=True)
+        # A changed source whose recomputed component is EMPTY (all its
+        # docs purged/NULL-texted by an RTBF rewrite) never appears in a
+        # dynamic overwrite's output — drop its old partition explicitly
+        # or it serves stale postings forever (per component: a file of
+        # zero-token docs has doc_stats rows but no postings).
+        postings = postings.persist()
+        doc_stats = doc_stats.persist()
+        try:
+            _write_tables(postings, doc_stats, path, dynamic=True)
+            for frame, comp in ((postings, "postings"), (doc_stats, "docs")):
+                written = {r[0] for r in frame.select(_SRC).distinct().collect()}
+                orphaned = set(stale) - written
+                if orphaned:
+                    ix.drop_src_partitions(os.path.join(path, comp), orphaned)
+        finally:
+            postings.unpersist()
+            doc_stats.unpersist()
         ix.write_manifest(path, ix.compact_manifest(man, current))
     return _serve(spark, path)
 

@@ -476,3 +476,114 @@ def test_gramfreq_shared_grams_match_recomputed(spark, tmp_path, monkeypatch):
         .collect()
     )
     assert served == recomputed and len(served) > 0
+
+
+def _rewrite_with_short_docs(spark, sf: str, name: str) -> None:
+    """Rewrite one corpus part file IN PLACE so every surviving doc has
+    <5 tokens — the ADVICE r08 RTBF shape: the file still exists (manifest
+    sees 'changed', not 'removed') but its re-gram yields ZERO rows."""
+    import time
+
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet", name))
+    shrunk = docs.limit(3).withColumn("text", F.lit("too short now"))
+    _move_single_part(shrunk, os.path.join(sf, "documents.parquet", name))
+    # ensure the mtime_ns identity actually moves even on coarse clocks
+    now = time.time() + 2
+    os.utime(os.path.join(sf, "documents.parquet", name), (now, now))
+
+
+def test_gramfreq_zero_gram_rewrite_drops_stale_partition(spark, tmp_path, monkeypatch):
+    """ADVICE r08 (medium): a changed file whose re-gram yields zero rows
+    must not keep serving its old src= partition — refresh drops it and
+    the served table equals a fresh rebuild over the rewritten corpus."""
+    from olap_sus_spark.operators import gramfreq as gf
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    _append_documents(spark, sf, "part-01.parquet")
+    gf.load_or_build_gram_freq(spark, sf)
+    path = gf.gram_freq_path(sf)
+    assert os.path.isdir(os.path.join(path, "grams", "src=part-01.parquet"))
+
+    _rewrite_with_short_docs(spark, sf, "part-01.parquet")
+    got = _rows(gf.refresh_gram_freq(spark, sf))
+    assert not os.path.isdir(os.path.join(path, "grams", "src=part-01.parquet"))
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = _rows(gf.load_or_build_gram_freq(spark, sf))
+    assert got == fresh and len(got) > 0
+
+
+def test_gramfreq_all_partitions_dropped_serves_empty(spark, tmp_path, monkeypatch):
+    """Degenerate RTBF: every source re-grams to zero rows — the index
+    serves a valid EMPTY frame, not a read error."""
+    from olap_sus_spark.operators import gramfreq as gf
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    gf.load_or_build_gram_freq(spark, sf)
+    _rewrite_with_short_docs(spark, sf, "part-00.parquet")
+    assert gf.refresh_gram_freq(spark, sf).count() == 0
+    assert gf.shared_grams(spark, sf).count() == 0
+
+
+def test_inverted_zero_row_rewrite_drops_stale_partitions(spark, tmp_path, monkeypatch):
+    """Same latent pattern in the inverted index: a changed file whose
+    docs all vanish (empty frame after rewrite) must drop BOTH component
+    partitions on refresh."""
+    import olap_sus_spark.operators.inverted as inv
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    _append_documents(spark, sf, "part-01.parquet")
+    inv.load_or_build_inverted_index(spark, sf)
+    path = inv.inverted_index_path(sf)
+    for comp in ("postings", "docs"):
+        assert os.path.isdir(os.path.join(path, comp, "src=part-01.parquet"))
+
+    # rewrite part-01 to zero rows (all its docs RTBF-purged)
+    import time
+
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet", "part-01.parquet"))
+    _move_single_part(
+        docs.limit(0), os.path.join(sf, "documents.parquet", "part-01.parquet")
+    )
+    now = time.time() + 2
+    os.utime(
+        os.path.join(sf, "documents.parquet", "part-01.parquet"), (now, now)
+    )
+    p, d = inv.refresh_inverted_index(spark, sf)
+    for comp in ("postings", "docs"):
+        assert not os.path.isdir(os.path.join(path, comp, "src=part-01.parquet"))
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fp, fd = inv.load_or_build_inverted_index(spark, sf)
+    assert _rows(p) == _rows(fp) and _rows(d) == _rows(fd)
+
+
+def test_gramfreq_view_tag_separates_indexes(spark, tmp_path, monkeypatch):
+    """ADVICE r08 (low): the augmented query view and a plain caller view
+    never share an index directory, and relative vs absolute sf_dir hit
+    the same one."""
+    from olap_sus_spark.operators import gramfreq as gf
+    from olap_sus_spark.streaming.corpus import corpus_docs_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    assert gf.gram_freq_path(sf) != gf.gram_freq_path(sf, view="plain")
+    rel = os.path.relpath(sf)
+    assert gf.gram_freq_path(rel) == gf.gram_freq_path(sf)
+
+    # building both views over one corpus dir keeps them independent:
+    # plain has strictly fewer shared grams (no augmented duplicates)
+    aug = {r[0] for r in gf.shared_grams(spark, sf).collect()}
+    plain = {
+        r[0]
+        for r in gf.shared_grams(
+            spark, sf, docs_of=corpus_docs_of(sf)
+        ).collect()
+    }
+    assert len(aug) > len(plain)
+    # and re-serving the aug view after the plain build still folds the
+    # augmented partials (no silent cross-view reuse)
+    assert {r[0] for r in gf.shared_grams(spark, sf).collect()} == aug
