@@ -40,6 +40,18 @@ _ALGO_VERSION = "gramfreq-v1"
 _SRC = "src"
 NGRAM_N = 5  # must match queries/text_pipeline._CROSS_NGRAM_N
 
+# Per-view doc_id offsets for the footer-stat doc-locality guard: a view
+# maps one base row with id x to rows {x + o for o in offsets} (a subset —
+# the guard only needs a superset of the produced ids).  "aug" must match
+# queries/text_pipeline._augment (+1M for doc_id%7==0, +2M for %11==0) —
+# pinned by tests/test_index_refresh.py.  Views not listed here can't be
+# range-checked and take the exact Spark check on every rebuild.
+_VIEW_OFFSETS: dict[str, tuple[int, ...]] = {
+    "plain": (0,),
+    "aug": (0, 1_000_000, 2_000_000),
+}
+_DEGRADED_SRC = "__degraded__"
+
 
 def gram_freq_path(sf_dir: str, table: str = "documents", view: str = "aug") -> str:
     """Index directory for one (corpus dir, table, CORPUS VIEW).  The view
@@ -94,6 +106,53 @@ def _partials_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+def _degraded_partials(docs: DataFrame) -> DataFrame:
+    """Single-partition partials with the (doc_id, gram) pairs GLOBALLY
+    deduplicated before counting — the correct distinct-document frequency
+    when the doc-locality invariant is violated (a doc_id appearing in two
+    rows/files would otherwise be double-counted by the per-src fold).
+    Loses incremental refresh (any corpus change → full rebuild) but keeps
+    the served >=2 cut — and therefore the scrub twins — exact."""
+    dg = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    tx.sliding_concat(tx.tokens(F.col("text")), NGRAM_N),
+                    tx.md5_int,
+                )
+            )
+        ).alias("gram"),
+    ).distinct()
+    return dg.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).select(F.lit(_DEGRADED_SRC).alias(_SRC), "gram", "n_docs")
+
+
+def _expanded_intervals(
+    ranges: dict[str, list[int] | None] | None, view: str
+) -> list[tuple[int, int]] | None:
+    """View-expanded per-file id intervals, or None when they can't prove
+    anything (missing stats, unknown view, legacy manifest)."""
+    offs = _VIEW_OFFSETS.get(view)
+    if offs is None or not isinstance(ranges, dict):
+        return None
+    out: list[tuple[int, int]] = []
+    for rng in ranges.values():
+        if rng is None:
+            return None
+        lo, hi = int(rng[0]), int(rng[1])
+        if lo > hi:  # empty file: vacuously safe
+            continue
+        out.extend((lo + o, hi + o) for o in offs)
+    return out
+
+
+def _intervals_disjoint(ivs: list[tuple[int, int]]) -> bool:
+    ivs = sorted(ivs)
+    return all(ivs[i][1] < ivs[i + 1][0] for i in range(len(ivs) - 1))
+
+
 def _augmented_docs_of(sf_dir: str):
     """Default ``docs_of``: the registered queries' AUGMENTED corpus view
     (queries/text_pipeline._augment — the synthetic duplicate injection the
@@ -124,7 +183,18 @@ def load_or_build_gram_freq(
 ) -> DataFrame:
     """Return the ``(src, gram, n_docs)`` partials, building + persisting
     on first use.  A manifest mismatch triggers the safe full staged
-    rebuild — never silently serves stale frequencies."""
+    rebuild — never silently serves stale frequencies.
+
+    The per-src fold is only exact under the DOC-LOCALITY INVARIANT
+    (doc_id unique across corpus rows, so every doc lives wholly in one
+    part file).  Every rebuild verifies it at runtime: per-file doc_id
+    [min,max] footer stats, view-expanded, pairwise disjoint → proven
+    unique for free; otherwise one exact Spark check (count ==
+    countDistinct over the view); a genuine violation degrades to the
+    single-partition globally-deduplicated build (``src=__degraded__``) —
+    served frequencies stay correct, maintenance degrades to
+    rebuild-on-change.  The verdict (ranges + degraded flag) is stamped
+    into the manifest for the refresh-time guard."""
     view = _view_of(docs_of, view)
     docs_of = docs_of or _augmented_docs_of(sf_dir)
     path = gram_freq_path(sf_dir, table, view)
@@ -133,7 +203,16 @@ def load_or_build_gram_freq(
     if not ix.manifest_is_current(man, current):
         ix.sweep_stale_staging()
         os.makedirs(ix.index_root(), exist_ok=True)
-        partials = _partials_frame(docs_of(spark, None))
+        docs = docs_of(spark, None)
+        ranges = ix.corpus_id_ranges(sf_dir, table, "doc_id")
+        ivs = _expanded_intervals(ranges, view)
+        degraded = False
+        if ivs is None or not _intervals_disjoint(ivs):
+            n, nd = docs.agg(
+                F.count(F.lit(1)), F.count_distinct(F.col("doc_id"))
+            ).first()
+            degraded = n != nd
+        partials = _degraded_partials(docs) if degraded else _partials_frame(docs)
         staging = ix.staging_path(path)
         from olap_sus_spark.sources.sinks import write_sorted_partitioned
 
@@ -141,7 +220,10 @@ def load_or_build_gram_freq(
             partials, os.path.join(staging, "grams"), _SRC, ["gram"], files=4,
             dynamic=False,
         )
-        ix.write_manifest(staging, ix.compact_manifest(man, current))
+        manifest = ix.compact_manifest(man, current)
+        manifest["doc_ranges"] = ranges
+        manifest["degraded"] = degraded
+        ix.write_manifest(staging, manifest)
         _retire_and_promote(staging, path, current)
     return _serve(spark, path)
 
@@ -182,10 +264,23 @@ def refresh_gram_freq(
     if man is None:
         return load_or_build_gram_freq(spark, sf_dir, table, docs_of, view)
     added, changed, removed = ix.manifest_diff(man, current)
-    if removed:
+    if removed or man.get("degraded"):
+        # shrunk corpus, or an index already in degraded (non-per-src)
+        # mode: per-partition overwrite can't express either — rebuild
         return load_or_build_gram_freq(spark, sf_dir, table, docs_of, view)
     stale = sorted(added + changed)
     if stale:
+        # doc-locality guard, refresh side: merge the stale files' fresh
+        # footer ranges over the manifest's and re-prove global
+        # disjointness; anything unprovable (overlap, missing stats,
+        # legacy manifest without ranges) falls back to the full staged
+        # rebuild, whose exact check decides per-src vs degraded.
+        ranges = man.get("doc_ranges")
+        if isinstance(ranges, dict):
+            ranges = {**ranges, **ix.corpus_id_ranges(sf_dir, table, "doc_id", stale)}
+        ivs = _expanded_intervals(ranges, view)
+        if ivs is None or not _intervals_disjoint(ivs):
+            return load_or_build_gram_freq(spark, sf_dir, table, docs_of, view)
         paths = ix.corpus_file_paths(sf_dir, table, stale)
         partials = _partials_frame(docs_of(spark, paths)).persist()
         from olap_sus_spark.sources.sinks import write_sorted_partitioned
@@ -201,7 +296,10 @@ def refresh_gram_freq(
         orphaned = set(stale) - written
         if orphaned:
             ix.drop_src_partitions(os.path.join(path, "grams"), orphaned)
-        ix.write_manifest(path, ix.compact_manifest(man, current))
+        manifest = ix.compact_manifest(man, current)
+        manifest["doc_ranges"] = ranges
+        manifest["degraded"] = False
+        ix.write_manifest(path, manifest)
     return _serve(spark, path)
 
 

@@ -82,6 +82,47 @@ def corpus_rows(sf_dir: str, table: str = "embeddings") -> int:
     return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
+def corpus_id_ranges(
+    sf_dir: str, table: str, column: str, names: list[str] | None = None
+) -> dict[str, list[int] | None]:
+    """Per-part-file [min, max] of an integer id column, from Parquet
+    footer column statistics — O(#files) driver-side footer reads, no
+    Spark scan.  ``None`` for a file whose stats are absent/unusable
+    (callers must treat that conservatively).  This is the cheap side of
+    the doc-locality guard: disjoint per-file id ranges PROVE the id is
+    unique across part files without touching row data."""
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if names is None:
+        names = sorted(corpus_files(sf_dir, table))
+    out: dict[str, list[int] | None] = {}
+    for name in names:
+        fpath = os.path.join(src, name) if os.path.isdir(src) else src
+        try:
+            md = pq.ParquetFile(fpath).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+                column
+            ]
+            if md.num_rows == 0:
+                out[name] = [0, -1]  # empty interval: a 0-row file is vacuously safe
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                if md.row_group(rg).num_rows == 0:
+                    continue
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            out[name] = None if lo is None else [int(lo), int(hi)]
+        except (OSError, KeyError, TypeError, ValueError):
+            out[name] = None
+    return out
+
+
 def corpus_stamp(sf_dir: str, table: str = "embeddings") -> str:
     """Identity stamp of the corpus dataset, hashed from the per-file
     identities (:func:`corpus_files`) — a directory's own st_size/st_mtime

@@ -587,3 +587,123 @@ def test_gramfreq_view_tag_separates_indexes(spark, tmp_path, monkeypatch):
     # and re-serving the aug view after the plain build still folds the
     # augmented partials (no silent cross-view reuse)
     assert {r[0] for r in gf.shared_grams(spark, sf).collect()} == aug
+
+
+# ---------------------------------------------------------------------------
+# Doc-locality runtime guard (r9): the per-src fold is only exact when
+# doc_id is unique across corpus rows; the index must PROVE that (footer
+# ranges / exact check) instead of assuming it, and degrade to the
+# globally-deduplicated single-partition build when it fails.
+# ---------------------------------------------------------------------------
+def test_gramfreq_duplicate_doc_id_degrades_and_stays_correct(
+    spark, tmp_path, monkeypatch
+):
+    from olap_sus_spark.operators import gramfreq as gf
+    from olap_sus_spark.streaming.corpus import corpus_docs_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    # violate the invariant: part-01 is a byte-copy of part-00 (every
+    # doc_id now lives in TWO part files)
+    shutil.copy(
+        os.path.join(sf, "documents.parquet", "part-00.parquet"),
+        os.path.join(sf, "documents.parquet", "part-01.parquet"),
+    )
+    docs_of = corpus_docs_of(sf)
+    gf.load_or_build_gram_freq(spark, sf, docs_of=docs_of)
+    path = gf.gram_freq_path(sf, view="plain")
+    assert os.path.isdir(os.path.join(path, "grams", "src=__degraded__"))
+    assert ix.read_manifest(path)["degraded"] is True
+
+    # served >=2 cut == from-scratch DISTINCT-doc frequency (a dup row of
+    # the same doc_id is the same document, not a second occurrence)
+    from olap_sus_spark.operators import text as tx
+    from olap_sus_spark.queries.text_pipeline import _CROSS_NGRAM_N
+
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    dg = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    tx.sliding_concat(tx.tokens(F.col("text")), _CROSS_NGRAM_N),
+                    tx.md5_int,
+                )
+            )
+        ).alias("gram"),
+    )
+    truth = {
+        r[0]
+        for r in dg.distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gram")
+        .collect()
+    }
+    served = {r[0] for r in gf.shared_grams(spark, sf, docs_of=docs_of).collect()}
+    assert served == truth
+    # and the naive per-ROW fold WOULD have been wrong (every gram appears
+    # in 2 rows) — the guard is load-bearing, not decorative
+    per_row = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    assert per_row.filter(F.col("n") >= 2).count() > len(truth)
+
+
+def test_gramfreq_overlapping_append_falls_back_on_refresh(
+    spark, tmp_path, monkeypatch
+):
+    from olap_sus_spark.operators import gramfreq as gf
+    from olap_sus_spark.streaming.corpus import corpus_docs_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    docs_of = corpus_docs_of(sf)
+    gf.load_or_build_gram_freq(spark, sf, docs_of=docs_of)
+    path = gf.gram_freq_path(sf, view="plain")
+    man = ix.read_manifest(path)
+    assert man["degraded"] is False and "part-00.parquet" in man["doc_ranges"]
+
+    # invariant-violating append: id range overlaps the signed file
+    shutil.copy(
+        os.path.join(sf, "documents.parquet", "part-00.parquet"),
+        os.path.join(sf, "documents.parquet", "part-01.parquet"),
+    )
+    got = _rows(gf.refresh_gram_freq(spark, sf, docs_of=docs_of))
+    assert os.path.isdir(os.path.join(path, "grams", "src=__degraded__"))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = _rows(gf.load_or_build_gram_freq(spark, sf, docs_of=docs_of))
+    assert got == fresh and len(got) > 0
+
+
+def test_gramfreq_clean_append_keeps_fast_path_and_stamps_ranges(
+    spark, tmp_path, monkeypatch
+):
+    from olap_sus_spark.operators import gramfreq as gf
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    gf.load_or_build_gram_freq(spark, sf)
+    _append_documents(spark, sf, "part-01.parquet")
+    gf.refresh_gram_freq(spark, sf)
+    man = ix.read_manifest(gf.gram_freq_path(sf))
+    assert man["degraded"] is False
+    assert set(man["doc_ranges"]) == {"part-00.parquet", "part-01.parquet"}
+    for lo, hi in man["doc_ranges"].values():
+        assert lo <= hi
+
+
+def test_gramfreq_view_offsets_match_augment(spark):
+    """Pin _VIEW_OFFSETS['aug'] to the actual text_pipeline._augment id
+    derivation — a drifted offset would silently weaken the range guard."""
+    from olap_sus_spark.operators.gramfreq import _VIEW_OFFSETS
+    from olap_sus_spark.queries.text_pipeline import _augment
+
+    base = spark.createDataFrame(
+        [(i, "w%d" % i) for i in range(0, 100)], "doc_id long, text string"
+    )
+    out_ids = {r[0] for r in _augment(base).select("doc_id").collect()}
+    allowed = {i + o for i in range(0, 100) for o in _VIEW_OFFSETS["aug"]}
+    assert out_ids <= allowed
+    # every non-zero offset is actually exercised
+    for o in _VIEW_OFFSETS["aug"]:
+        assert any(i + o in out_ids for i in range(0, 100))
