@@ -204,6 +204,14 @@ def main() -> None:
             lambda: _gf.load_or_build_gram_freq(spark, sf_dir),
         ),
         (
+            # Second-level gram rollup (r9): global (gram, n_docs) fold +
+            # >=2 cut as a maintained table — scrub/stats serving reads it
+            # instead of re-folding the partials per call.
+            "gramrollup",
+            lambda: _gf.rollup_path(sf_dir),
+            lambda: _gf.load_or_build_gram_rollup(spark, sf_dir),
+        ),
+        (
             # KMV day partials: kmv_distinct_orders_served's maintained
             # table, amortized so the headline is pure partial-fold serving.
             "kmv_partials",
@@ -303,6 +311,7 @@ def main() -> None:
     _dd.load_or_build_cluster_index(spark, inc_sf, docs_of(spark, None), threshold=0.5)
     _inv.load_or_build_inverted_index(spark, inc_sf)
     _gf.load_or_build_gram_freq(spark, inc_sf)
+    _gf.load_or_build_gram_rollup(spark, inc_sf)
     _append_part("embeddings", "vec_id", 100, 100_000_000)
     _append_part("documents", "doc_id", 100, 100_000_000)
     for name, fn in [
@@ -319,6 +328,9 @@ def main() -> None:
         ),
         ("inverted_refresh_1d", lambda: _inv.refresh_inverted_index(spark, inc_sf)),
         ("gramfreq_refresh_1d", lambda: _gf.refresh_gram_freq(spark, inc_sf)),
+        # runs after gramfreq_refresh_1d, so this times just the rollup
+        # merge (old rollup + appended srcs' partials), not the re-gram
+        ("gramrollup_refresh_1d", lambda: _gf.refresh_gram_rollup(spark, inc_sf)),
     ]:
         t0 = time.perf_counter()
         fn()
@@ -354,6 +366,11 @@ def main() -> None:
             "gramfreq_full_rebuild",
             lambda: _gf.gram_freq_path(inc_sf),
             lambda: _gf.load_or_build_gram_freq(spark, inc_sf),
+        ),
+        (
+            "gramrollup_full_rebuild",
+            lambda: _gf.rollup_path(inc_sf),
+            lambda: _gf.load_or_build_gram_rollup(spark, inc_sf),
         ),
     ]:
         shutil.rmtree(path_fn(), ignore_errors=True)

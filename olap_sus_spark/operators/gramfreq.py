@@ -322,6 +322,165 @@ def shared_grams(
     )
 
 
+# ---------------------------------------------------------------------------
+# Second-level maintained rollup (r9): the global (gram, n_docs) fold —
+# and its >=2 serving cut — as a persisted table of their own, so serving
+# paths stop re-folding every per-src partial per call.  At 100× corpus
+# the fold is a ~45M-row exchange+hash-agg inside EVERY scrub/stats serve;
+# the rollup moves that cost to ingest time: an APPEND-only refresh merges
+# the old rollup with just the appended files' partials (read back from
+# the partials index with src= partition pruning — the corpus is never
+# re-grammed), rewrites the rollup dir staged + atomically promoted, and
+# serving becomes a plain pruned scan of the cut with zero shuffle.
+# Non-append changes (RTBF rewrites, removals) and degraded-mode partials
+# re-fold from the partials index — still never O(corpus) text work.
+# ---------------------------------------------------------------------------
+def rollup_path(sf_dir: str, table: str = "documents", view: str = "aug") -> str:
+    return ix.index_path(
+        "gramrollup",
+        f"{_ALGO_VERSION}|{os.path.abspath(sf_dir)}|{table}|{NGRAM_N}|{view}",
+    )
+
+
+def _write_rollup_tables(rolled: DataFrame, root: str) -> None:
+    from olap_sus_spark.sources.sinks import write_sorted
+
+    rolled = rolled.persist()
+    try:
+        write_sorted(rolled, os.path.join(root, "rollup"), ["gram"], files=4)
+        write_sorted(
+            rolled.filter(F.col("n_docs") >= 2).select("gram"),
+            os.path.join(root, "cut"),
+            ["gram"],
+            files=4,
+        )
+    finally:
+        rolled.unpersist()
+
+
+def load_or_build_gram_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    docs_of=None,
+    view: str | None = None,
+) -> DataFrame:
+    """Global ``(gram, n_docs)``, building by folding the (fresh) partials
+    on first use / staleness.  Inherits the partials' degraded flag so a
+    doc-locality violation keeps forcing re-folds instead of merges."""
+    view = _view_of(docs_of, view)
+    path = rollup_path(sf_dir, table, view)
+    current = ix.corpus_files(sf_dir, table)
+    man = ix.read_manifest(path)
+    if not ix.manifest_is_current(man, current):
+        partials = load_or_build_gram_freq(spark, sf_dir, table, docs_of, view)
+        gman = ix.read_manifest(gram_freq_path(sf_dir, table, view)) or {}
+        rolled = partials.groupBy("gram").agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs")
+        )
+        ix.sweep_stale_staging()
+        os.makedirs(ix.index_root(), exist_ok=True)
+        staging = ix.staging_path(path)
+        _write_rollup_tables(rolled, staging)
+        manifest = ix.compact_manifest(man, current)
+        manifest["degraded"] = bool(gman.get("degraded"))
+        ix.write_manifest(staging, manifest)
+        _retire_and_promote(staging, path, current, components=("rollup", "cut"))
+    return _serve_rollup(spark, path)
+
+
+def refresh_gram_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    docs_of=None,
+    view: str | None = None,
+) -> DataFrame:
+    """Keep partials AND rollup fresh after an ingest.  Pure appends merge
+    ``old rollup + appended srcs' partials`` (partition-pruned read-back —
+    no corpus re-gram, no full partials re-fold); rewrites/removals/
+    degraded mode re-fold from the refreshed partials.  Same
+    single-refresher assumption as :func:`refresh_gram_freq`."""
+    view = _view_of(docs_of, view)
+    refresh_gram_freq(spark, sf_dir, table, docs_of, view)
+    path = rollup_path(sf_dir, table, view)
+    current = ix.corpus_files(sf_dir, table)
+    man = ix.read_manifest(path)
+    gman = ix.read_manifest(gram_freq_path(sf_dir, table, view)) or {}
+    if man is None or man.get("degraded") or gman.get("degraded"):
+        return load_or_build_gram_rollup(spark, sf_dir, table, docs_of, view)
+    added, changed, removed = ix.manifest_diff(man, current)
+    if changed or removed:
+        return load_or_build_gram_rollup(spark, sf_dir, table, docs_of, view)
+    if added:
+        gpath = gram_freq_path(sf_dir, table, view)
+        delta = (
+            spark.read.parquet(os.path.join(gpath, "grams"))
+            .filter(F.col(_SRC).isin(sorted(added)))
+            .select("gram", F.col("n_docs").cast("bigint").alias("n_docs"))
+        )
+        old = spark.read.parquet(os.path.join(path, "rollup")).select(
+            "gram", F.col("n_docs").cast("bigint").alias("n_docs")
+        )
+        merged = old.unionByName(delta).groupBy("gram").agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs")
+        )
+        staging = ix.staging_path(path)
+        _write_rollup_tables(merged, staging)
+        manifest = ix.compact_manifest(man, current)
+        manifest["degraded"] = False
+        ix.write_manifest(staging, manifest)
+        # the merge read the OLD rollup: promote must replace it even
+        # though it exists — retire-then-promote, never skip
+        _retire_and_promote(staging, path, None, components=("rollup", "cut"))
+    return _serve_rollup(spark, path)
+
+
+def shared_grams_cut(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    docs_of=None,
+    view: str | None = None,
+) -> DataFrame:
+    """The >=2 cut served from the maintained ROLLUP — a plain sorted scan,
+    zero shuffle, zero fold (the scale serving path; :func:`shared_grams`
+    remains the fold-the-partials fallback)."""
+    view = _view_of(docs_of, view)
+    load_or_build_gram_rollup(spark, sf_dir, table, docs_of, view)
+    path = rollup_path(sf_dir, table, view)
+    return _serve_component(spark, path, "cut", "gram bigint").select(
+        F.col("gram").cast("bigint").alias("gram")
+    )
+
+
+def _serve_rollup(spark: SparkSession, path: str) -> DataFrame:
+    return _serve_component(spark, path, "rollup", "gram bigint, n_docs bigint").select(
+        F.col("gram").cast("bigint").alias("gram"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+def _serve_component(
+    spark: SparkSession, path: str, component: str, empty_schema: str
+) -> DataFrame:
+    import time
+
+    comp = os.path.join(path, component)
+    for _ in range(100):
+        try:
+            return spark.read.parquet(comp)
+        except Exception:
+            if os.path.exists(path):
+                if os.path.isdir(comp) and not any(
+                    e.name.endswith(".parquet") for e in os.scandir(comp)
+                ):
+                    return spark.createDataFrame([], empty_schema)
+                raise
+            time.sleep(0.05)
+    raise FileNotFoundError(path)
+
+
 def _serve(spark: SparkSession, path: str) -> DataFrame:
     import time
 
@@ -344,15 +503,23 @@ def _serve(spark: SparkSession, path: str) -> DataFrame:
     raise FileNotFoundError(path)
 
 
-def _retire_and_promote(staging: str, path: str, current_files: dict | None = None) -> None:
+def _retire_and_promote(
+    staging: str,
+    path: str,
+    current_files: dict | None = None,
+    components: tuple[str, ...] = ("grams",),
+) -> None:
     """Retire→promote with the concurrent-winner check (same contract as
-    operators/inverted.py — see that docstring for the race reasoning)."""
+    operators/inverted.py — see that docstring for the race reasoning).
+    ``current_files=None`` skips the winner check and always replaces —
+    required when the staging was DERIVED from the live copy (the rollup
+    merge), where keeping the live dir would drop the merge."""
     import shutil
 
     if current_files is not None and os.path.exists(path):
         man = ix.read_manifest(path)
-        if ix.manifest_is_current(man, current_files) and os.path.exists(
-            os.path.join(path, "grams")
+        if ix.manifest_is_current(man, current_files) and all(
+            os.path.exists(os.path.join(path, c)) for c in components
         ):
             shutil.rmtree(staging, ignore_errors=True)
             return

@@ -1075,11 +1075,10 @@ def dedup_cross_doc_ngrams_served(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("gram"),
     )
-    gc = (
-        gramfreq.load_or_build_gram_freq(spark, sf_dir)
-        .groupBy("gram")
-        .agg(F.sum("n_docs").alias("n_docs"))
-    )
+    # r9: the global fold itself is now a maintained table (gramfreq
+    # rollup) — the serve reads (gram, n_docs) directly instead of
+    # re-folding every per-src partial per call
+    gc = gramfreq.load_or_build_gram_rollup(spark, sf_dir)
     return (
         dg.join(gc, "gram")
         .groupBy("doc_id")
@@ -1240,7 +1239,9 @@ def dedup_cross_doc_scrub_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.col("pos0") + 1)
         .drop("pos0")
     )
-    shared = gramfreq.shared_grams(spark, sf_dir)
+    # r9: >=2 cut served from the maintained rollup — plain sorted scan,
+    # zero shuffle (shared_grams' per-serve fold is the fallback path)
+    shared = gramfreq.shared_grams_cut(spark, sf_dir)
     covered = (
         grams.join(shared, "gram")
         .select(

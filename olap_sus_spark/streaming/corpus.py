@@ -108,10 +108,12 @@ def _document_batch(
             )
             # exact-substring serving stays fresh too: O(batch) re-gram of
             # the appended part files over the PLAIN corpus view (stream
-            # duplicates are real duplicates — no synthetic augmentation)
+            # duplicates are real duplicates — no synthetic augmentation);
+            # the rollup refresh keeps the global (gram, n_docs) fold and
+            # its >=2 cut current alongside the partials (r9)
             from olap_sus_spark.operators import gramfreq as gf
 
-            gf.refresh_gram_freq(
+            gf.refresh_gram_rollup(
                 spark, corpus_dir, docs_of=corpus_docs_of(corpus_dir)
             )
 

@@ -707,3 +707,77 @@ def test_gramfreq_view_offsets_match_augment(spark):
     # every non-zero offset is actually exercised
     for o in _VIEW_OFFSETS["aug"]:
         assert any(i + o in out_ids for i in range(0, 100))
+
+
+# ---------------------------------------------------------------------------
+# Second-level gram rollup (r9): maintained global (gram, n_docs) + >=2
+# cut, merged additively on append, re-folded on rewrite/degrade.
+# ---------------------------------------------------------------------------
+def test_gram_rollup_append_merges_and_equals_rebuild(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.operators import gramfreq as gf
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    gf.load_or_build_gram_rollup(spark, sf)
+    gbase = os.path.join(gf.gram_freq_path(sf), "grams", "src=part-00.parquet")
+    stamps = {
+        f: os.path.getmtime(os.path.join(gbase, f))
+        for f in os.listdir(gbase)
+        if f.endswith(".parquet")
+    }
+
+    _append_documents(spark, sf, "part-01.parquet")
+    got = _rows(gf.refresh_gram_rollup(spark, sf))
+
+    # merge path: the signed partials partition was NOT re-grammed
+    for f, ts in stamps.items():
+        assert os.path.getmtime(os.path.join(gbase, f)) == ts
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = _rows(gf.load_or_build_gram_rollup(spark, sf))
+    assert got == fresh and len(got) > 0
+
+    # the served cut == the fold-the-partials fallback == rollup filter
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    cut = sorted(r[0] for r in gf.shared_grams_cut(spark, sf).collect())
+    fold = sorted(r[0] for r in gf.shared_grams(spark, sf).collect())
+    assert cut == fold == sorted(g for g, n in got if n >= 2)
+
+
+def test_gram_rollup_rewrite_refolds_and_equals_rebuild(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.operators import gramfreq as gf
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    _append_documents(spark, sf, "part-01.parquet")
+    gf.load_or_build_gram_rollup(spark, sf)
+
+    _rewrite_with_short_docs(spark, sf, "part-01.parquet")
+    got = _rows(gf.refresh_gram_rollup(spark, sf))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = _rows(gf.load_or_build_gram_rollup(spark, sf))
+    assert got == fresh and len(got) > 0
+
+
+def test_gram_rollup_degraded_partials_stay_correct(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.operators import gramfreq as gf
+    from olap_sus_spark.streaming.corpus import corpus_docs_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    docs_of = corpus_docs_of(sf)
+    before = _rows(gf.load_or_build_gram_rollup(spark, sf, docs_of=docs_of))
+    # invariant-violating append → refresh must land on the degraded
+    # re-fold, and the rollup equals the distinct-doc truth
+    shutil.copy(
+        os.path.join(sf, "documents.parquet", "part-00.parquet"),
+        os.path.join(sf, "documents.parquet", "part-01.parquet"),
+    )
+    got = _rows(gf.refresh_gram_rollup(spark, sf, docs_of=docs_of))
+    assert ix.read_manifest(gf.rollup_path(sf, view="plain"))["degraded"] is True
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = _rows(gf.load_or_build_gram_rollup(spark, sf, docs_of=docs_of))
+    assert got == fresh
+    # byte-copied rows are the SAME docs: distinct-doc counts unchanged
+    # (the naive per-row fold would have doubled every n_docs)
+    assert got == before
