@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_duplication_profile",  # corpus-level duplication headline table
     "dedup_cross_doc_scrub",  # exact-substring scrub output (from-scratch frequency pass)
     "dedup_cross_doc_scrub_served",  # same scrub served from the maintained gram-freq partials
+    "dedup_cross_doc_scrub_ingested",  # scrub OUTPUT as a maintained table (pure partition read)
     "dedup_near_clusters",  # linear-output near-dup shape (the 100 TB path)
     "dedup_near_clusters_star",  # star-reduced edges: linear under mega-clusters
     "dedup_near_clusters_star_served",  # same map served from the maintained cluster index
@@ -212,6 +213,13 @@ def main() -> None:
             lambda: _gf.load_or_build_gram_rollup(spark, sf_dir),
         ),
         (
+            # Maintained scrub output (r9): dedup_cross_doc_scrub_ingested
+            # serves this table as a pure partition read.
+            "gramscrub",
+            lambda: _gf.scrub_path(sf_dir),
+            lambda: _gf.load_or_build_gram_scrub(spark, sf_dir),
+        ),
+        (
             # KMV day partials: kmv_distinct_orders_served's maintained
             # table, amortized so the headline is pure partial-fold serving.
             "kmv_partials",
@@ -312,6 +320,7 @@ def main() -> None:
     _inv.load_or_build_inverted_index(spark, inc_sf)
     _gf.load_or_build_gram_freq(spark, inc_sf)
     _gf.load_or_build_gram_rollup(spark, inc_sf)
+    _gf.load_or_build_gram_scrub(spark, inc_sf)
     _append_part("embeddings", "vec_id", 100, 100_000_000)
     _append_part("documents", "doc_id", 100, 100_000_000)
     for name, fn in [
@@ -331,6 +340,9 @@ def main() -> None:
         # runs after gramfreq_refresh_1d, so this times just the rollup
         # merge (old rollup + appended srcs' partials), not the re-gram
         ("gramrollup_refresh_1d", lambda: _gf.refresh_gram_rollup(spark, inc_sf)),
+        # runs after the rollup refresh: times the scrub of the appended +
+        # retroactively flipped files only
+        ("gramscrub_refresh_1d", lambda: _gf.refresh_gram_scrub(spark, inc_sf)),
     ]:
         t0 = time.perf_counter()
         fn()
@@ -371,6 +383,11 @@ def main() -> None:
             "gramrollup_full_rebuild",
             lambda: _gf.rollup_path(inc_sf),
             lambda: _gf.load_or_build_gram_rollup(spark, inc_sf),
+        ),
+        (
+            "gramscrub_full_rebuild",
+            lambda: _gf.scrub_path(inc_sf),
+            lambda: _gf.load_or_build_gram_scrub(spark, inc_sf),
         ),
     ]:
         shutil.rmtree(path_fn(), ignore_errors=True)

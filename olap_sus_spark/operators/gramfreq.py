@@ -454,6 +454,224 @@ def shared_grams_cut(
     )
 
 
+# ---------------------------------------------------------------------------
+# Ingest-incremental scrub (r9): the exact-substring scrub OUTPUT itself as
+# a maintained per-src table, closing the family's last corpus-sized
+# serving term.  dedup_cross_doc_scrub_served still re-scrubs the whole
+# corpus per call (only its frequency pass is served); the production
+# shape at 100 TB is scrub-on-ingest — per batch, scrub ONLY:
+#
+#   1. the newly ingested part files, and
+#   2. the old part files RETROACTIVELY affected by the ingest: a new doc
+#      can flip an old doc's gram from unique to shared (n_docs 1 -> >=2),
+#      invalidating that old doc's previously emitted scrub.  Flipped
+#      grams are computed without any pre-refresh snapshot:
+#      new_total >= 2 AND new_total - delta <= 1 (delta = the appended
+#      srcs' partials, re-readable from the partials index any time),
+#      and the affected srcs are the partials' srcs containing a flipped
+#      gram — index work only, never corpus work.
+#
+# Each src= scrub partition is a pure function of (that part file, the
+# GLOBAL >=2 cut), so untouched partitions stay exact by construction.
+# Non-append changes (RTBF rewrites, removals) and degraded-mode partials
+# fall back to the full staged rebuild — correct first, incremental where
+# the invariants allow.  No counterpart in the reference.
+# ---------------------------------------------------------------------------
+def scrub_path(sf_dir: str, table: str = "documents", view: str = "aug") -> str:
+    return ix.index_path(
+        "gramscrub",
+        f"{_ALGO_VERSION}|{os.path.abspath(sf_dir)}|{table}|{NGRAM_N}|{view}",
+    )
+
+
+def _scrub_frame(docs: DataFrame, shared: DataFrame, src_col=None) -> DataFrame:
+    """Exact-substring scrub of ``docs`` against the ``shared`` gram cut:
+    (src, doc_id, n_tokens, n_removed, scrubbed_text), token positions
+    1-based (same semantics as queries/text_pipeline.dedup_cross_doc_scrub,
+    whose oracle the maintained table shares).  ``src_col`` overrides the
+    provenance column (degraded mode writes one pseudo-partition)."""
+    n = NGRAM_N
+    if src_col is None and _SRC not in docs.columns:
+        docs = _with_src(docs)
+    src = F.lit(src_col) if src_col is not None else F.col(_SRC)
+    toks = docs.select(
+        src.alias(_SRC), "doc_id", tx.tokens(F.col("text")).alias("t")
+    )
+    grams = (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(tx.sliding_concat(F.col("t"), n), tx.md5_int)
+            ).alias("pos0", "gram"),
+        )
+        .withColumn("pos", F.col("pos0") + 1)
+        .drop("pos0")
+    )
+    covered = (
+        grams.join(shared, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("cpos"),
+        )
+        .distinct()
+    )
+    tokpos = (
+        toks.select("doc_id", F.posexplode("t").alias("p0", "tok"))
+        .withColumn("p", F.col("p0") + 1)
+        .drop("p0")
+    )
+    kept = tokpos.join(
+        covered,
+        (tokpos["doc_id"] == covered["doc_id"]) & (tokpos["p"] == covered["cpos"]),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("scrubbed"),
+    )
+    return toks.join(agg, "doc_id", "left").select(
+        _SRC,
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        (F.size("t") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed_text"),
+    )
+
+
+def _write_scrub(frame: DataFrame, root: str, dynamic: bool) -> None:
+    from olap_sus_spark.sources.sinks import write_sorted_partitioned
+
+    write_sorted_partitioned(
+        frame, os.path.join(root, "docs"), _SRC, ["doc_id"], files=4,
+        dynamic=dynamic,
+    )
+
+
+def load_or_build_gram_scrub(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    docs_of=None,
+    view: str | None = None,
+) -> DataFrame:
+    """The maintained scrub table, full staged build on first use /
+    staleness: partials + rollup brought current first, then every part
+    file scrubbed against the global cut.  Degraded partials (doc-locality
+    violation) scrub the whole view in ONE pass under ``src=__degraded__``
+    — identical semantics to the from-scratch query, which groups kept
+    tokens by doc_id corpus-wide."""
+    view = _view_of(docs_of, view)
+    docs_of_r = docs_of or _augmented_docs_of(sf_dir)
+    path = scrub_path(sf_dir, table, view)
+    current = ix.corpus_files(sf_dir, table)
+    man = ix.read_manifest(path)
+    if not ix.manifest_is_current(man, current):
+        load_or_build_gram_rollup(spark, sf_dir, table, docs_of, view)
+        degraded = bool(
+            (ix.read_manifest(gram_freq_path(sf_dir, table, view)) or {}).get(
+                "degraded"
+            )
+        )
+        shared = shared_grams_cut(spark, sf_dir, table, docs_of, view)
+        docs = docs_of_r(spark, None)
+        frame = _scrub_frame(
+            docs, shared, src_col=_DEGRADED_SRC if degraded else None
+        )
+        ix.sweep_stale_staging()
+        os.makedirs(ix.index_root(), exist_ok=True)
+        staging = ix.staging_path(path)
+        _write_scrub(frame, staging, dynamic=False)
+        manifest = ix.compact_manifest(man, current)
+        manifest["degraded"] = degraded
+        ix.write_manifest(staging, manifest)
+        _retire_and_promote(staging, path, current, components=("docs",))
+    return _serve_scrub(spark, path)
+
+
+def refresh_gram_scrub(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "documents",
+    docs_of=None,
+    view: str | None = None,
+) -> DataFrame:
+    """Scrub-on-ingest: bring partials + rollup current, then rewrite ONLY
+    the scrub partitions of (appended srcs) ∪ (old srcs retroactively hit
+    by a unique→shared gram flip).  Non-append diffs, degraded mode, and
+    legacy manifests fall back to the full staged rebuild.  Same
+    single-refresher assumption as :func:`refresh_gram_freq`."""
+    view = _view_of(docs_of, view)
+    docs_of_r = docs_of or _augmented_docs_of(sf_dir)
+    path = scrub_path(sf_dir, table, view)
+    current = ix.corpus_files(sf_dir, table)
+    man = ix.read_manifest(path)
+    if man is None or man.get("degraded"):
+        return load_or_build_gram_scrub(spark, sf_dir, table, docs_of, view)
+    added, changed, removed = ix.manifest_diff(man, current)
+    if changed or removed:
+        return load_or_build_gram_scrub(spark, sf_dir, table, docs_of, view)
+    if added:
+        rollup = refresh_gram_rollup(spark, sf_dir, table, docs_of, view)
+        if bool(
+            (ix.read_manifest(gram_freq_path(sf_dir, table, view)) or {}).get(
+                "degraded"
+            )
+        ):
+            return load_or_build_gram_scrub(spark, sf_dir, table, docs_of, view)
+        gpath = gram_freq_path(sf_dir, table, view)
+        partials = spark.read.parquet(os.path.join(gpath, "grams"))
+        delta = (
+            partials.filter(F.col(_SRC).isin(sorted(added)))
+            .groupBy("gram")
+            .agg(F.sum("n_docs").cast("bigint").alias("d"))
+        )
+        # flipped: crossed the <2 -> >=2 boundary BECAUSE of this ingest
+        flipped = (
+            rollup.join(delta, "gram")
+            .filter((F.col("n_docs") >= 2) & (F.col("n_docs") - F.col("d") < 2))
+            .select("gram")
+        )
+        affected = {
+            r[0]
+            for r in partials.join(flipped, "gram", "left_semi")
+            .select(_SRC)
+            .distinct()
+            .collect()
+        } - set(added)
+        scope = sorted(set(added) | affected)
+        shared = shared_grams_cut(spark, sf_dir, table, docs_of, view)
+        frame = _scrub_frame(
+            docs_of_r(spark, ix.corpus_file_paths(sf_dir, table, scope)), shared
+        )
+        _write_scrub(frame, path, dynamic=True)
+        manifest = ix.compact_manifest(man, current)
+        manifest["degraded"] = False
+        ix.write_manifest(path, manifest)
+    return _serve_scrub(spark, path)
+
+
+def _serve_scrub(spark: SparkSession, path: str) -> DataFrame:
+    return _serve_component(
+        spark,
+        path,
+        "docs",
+        "doc_id bigint, n_tokens int, n_removed int, scrubbed_text string",
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+        "scrubbed_text",
+    )
+
+
 def _serve_rollup(spark: SparkSession, path: str) -> DataFrame:
     return _serve_component(spark, path, "rollup", "gram bigint, n_docs bigint").select(
         F.col("gram").cast("bigint").alias("gram"),

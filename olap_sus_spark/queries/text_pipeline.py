@@ -1282,6 +1282,20 @@ def dedup_cross_doc_scrub_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ingest-incremental twin (r9): the scrub OUTPUT itself is the maintained
+# table (operators/gramfreq.refresh_gram_scrub) — per ingest batch only
+# the appended part files plus the old files retroactively hit by a
+# unique→shared gram flip are re-scrubbed; serving is a plain read of the
+# per-src scrub partitions, zero corpus work.  Shares the from-scratch
+# oracle: hash equality proves every maintained partition — including the
+# retroactively refreshed ones — equals the full recompute.
+@register("dedup_cross_doc_scrub_ingested", oracle=_cross_doc_scrub_oracle())
+def dedup_cross_doc_scrub_ingested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olap_sus_spark.operators import gramfreq
+
+    return gramfreq.load_or_build_gram_scrub(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing — assign documents to fixed token-budget training bins
 # by contiguous cumulative token count within each source partition (the

@@ -108,12 +108,14 @@ def _document_batch(
             )
             # exact-substring serving stays fresh too: O(batch) re-gram of
             # the appended part files over the PLAIN corpus view (stream
-            # duplicates are real duplicates — no synthetic augmentation);
-            # the rollup refresh keeps the global (gram, n_docs) fold and
-            # its >=2 cut current alongside the partials (r9)
+            # duplicates are real duplicates — no synthetic augmentation).
+            # refresh_gram_scrub chains all three maintained levels —
+            # partials -> rollup/cut -> per-src scrub output (incl. old
+            # files retroactively hit by a unique→shared flip), closing
+            # ingest→refresh→scrub→serve inside the micro-batch (r9)
             from olap_sus_spark.operators import gramfreq as gf
 
-            gf.refresh_gram_rollup(
+            gf.refresh_gram_scrub(
                 spark, corpus_dir, docs_of=corpus_docs_of(corpus_dir)
             )
 

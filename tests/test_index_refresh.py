@@ -781,3 +781,155 @@ def test_gram_rollup_degraded_partials_stay_correct(spark, tmp_path, monkeypatch
     # byte-copied rows are the SAME docs: distinct-doc counts unchanged
     # (the naive per-row fold would have doubled every n_docs)
     assert got == before
+
+
+# ---------------------------------------------------------------------------
+# Ingest-incremental scrub (r9): maintained per-src scrub output with
+# retroactive unique→shared flip handling.
+# ---------------------------------------------------------------------------
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_doc_part(spark, sf: str, name: str, rows: list[tuple[int, str]]) -> None:
+    df = spark.createDataFrame(
+        [(i, t, "pt", "unit", len(t)) for i, t in rows], _DOC_SCHEMA
+    )
+    os.makedirs(os.path.join(sf, "documents.parquet"), exist_ok=True)
+    _move_single_part(df, os.path.join(sf, "documents.parquet", name))
+
+
+def _scrub_part_mtimes(path: str, src: str) -> dict[str, float]:
+    d = os.path.join(path, "docs", f"src={src}")
+    return {
+        f: os.path.getmtime(os.path.join(d, f))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    }
+
+
+def test_gram_scrub_retroactive_flip_rescrubs_old_file(spark, tmp_path, monkeypatch):
+    """The VERDICT r08 'done' bar: an appended batch flips an old doc's
+    gram from unique to shared — BOTH the new doc and the retroactively
+    affected old doc come out identical to a full rebuild, and the
+    unaffected file's partition is untouched."""
+    from olap_sus_spark.operators import gramfreq as gf
+    from olap_sus_spark.streaming.corpus import corpus_docs_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = str(tmp_path / "corpus")
+    _write_doc_part(
+        spark, sf, "part-00.parquet",
+        [(1, "a b c d e f"), (2, "g h i j k")],
+    )
+    _write_doc_part(
+        spark, sf, "part-zz.parquet",
+        [(200, "q r s t u v"), (201, "m n o p qq rr")],
+    )
+    docs_of = corpus_docs_of(sf)
+    base = {
+        r[0]: tuple(r)
+        for r in gf.load_or_build_gram_scrub(spark, sf, docs_of=docs_of).collect()
+    }
+    # no shared grams yet: nothing scrubbed anywhere
+    assert all(r[2] == 0 for r in base.values())
+    path = gf.scrub_path(sf, view="plain")
+    zz_before = _scrub_part_mtimes(path, "part-zz.parquet")
+
+    # append: doc 10 shares the 5-gram "a b c d e" with OLD doc 1 (flip)
+    _write_doc_part(
+        spark, sf, "part-01.parquet",
+        [(10, "x y a b c d e w"), (11, "zz1 zz2 zz3 zz4 zz5")],
+    )
+    got = {
+        r[0]: tuple(r)
+        for r in gf.refresh_gram_scrub(spark, sf, docs_of=docs_of).collect()
+    }
+
+    # the new doc AND the retroactively affected old doc are scrubbed
+    assert got[1][2] == 5 and got[1][3] == "f"          # old doc re-scrubbed
+    assert got[10][2] == 5 and got[10][3] == "x y w"    # new doc scrubbed
+    assert got[2] == base[2] and got[200] == base[200]  # untouched docs
+    # unaffected file's partition bytes untouched (partition-scoped claim)
+    assert _scrub_part_mtimes(path, "part-zz.parquet") == zz_before
+
+    # equality with a full rebuild over the grown corpus
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = {
+        r[0]: tuple(r)
+        for r in gf.load_or_build_gram_scrub(spark, sf, docs_of=docs_of).collect()
+    }
+    assert got == fresh
+
+
+def test_gram_scrub_no_flip_append_touches_only_new_partition(
+    spark, tmp_path, monkeypatch
+):
+    from olap_sus_spark.operators import gramfreq as gf
+    from olap_sus_spark.streaming.corpus import corpus_docs_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = str(tmp_path / "corpus")
+    _write_doc_part(
+        spark, sf, "part-00.parquet",
+        [(1, "a b c d e f"), (2, "g h i j k")],
+    )
+    docs_of = corpus_docs_of(sf)
+    gf.load_or_build_gram_scrub(spark, sf, docs_of=docs_of)
+    path = gf.scrub_path(sf, view="plain")
+    before = _scrub_part_mtimes(path, "part-00.parquet")
+
+    _write_doc_part(
+        spark, sf, "part-01.parquet",
+        [(10, "p1 p2 p3 p4 p5 p6"), (11, "p1 p2 p3 p4 p5 p7")],
+    )
+    got = {
+        r[0]: tuple(r)
+        for r in gf.refresh_gram_scrub(spark, sf, docs_of=docs_of).collect()
+    }
+    # intra-batch duplicate gram scrubbed, old file untouched on disk
+    assert got[10][2] == 5 and got[11][2] == 5
+    assert got[1][2] == 0
+    assert _scrub_part_mtimes(path, "part-00.parquet") == before
+    assert os.path.isdir(os.path.join(path, "docs", "src=part-01.parquet"))
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = {
+        r[0]: tuple(r)
+        for r in gf.load_or_build_gram_scrub(spark, sf, docs_of=docs_of).collect()
+    }
+    assert got == fresh
+
+
+def test_gram_scrub_rewrite_and_degraded_fall_back(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.operators import gramfreq as gf
+    from olap_sus_spark.streaming.corpus import corpus_docs_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = str(tmp_path / "corpus")
+    _write_doc_part(
+        spark, sf, "part-00.parquet",
+        [(1, "a b c d e f"), (2, "a b c d e g")],
+    )
+    docs_of = corpus_docs_of(sf)
+    gf.load_or_build_gram_scrub(spark, sf, docs_of=docs_of)
+
+    # in-place rewrite (RTBF shape) → full rebuild, still exact
+    _write_doc_part(spark, sf, "part-00.parquet", [(1, "a b c d e f")])
+    import time
+
+    now = time.time() + 2
+    os.utime(os.path.join(sf, "documents.parquet", "part-00.parquet"), (now, now))
+    got = _rows(gf.refresh_gram_scrub(spark, sf, docs_of=docs_of))
+    assert [r[2] for r in got] == [0]  # partner doc gone: nothing shared
+
+    # doc-locality violation → degraded single-pass scrub, still exact
+    shutil.copy(
+        os.path.join(sf, "documents.parquet", "part-00.parquet"),
+        os.path.join(sf, "documents.parquet", "part-01.parquet"),
+    )
+    got2 = _rows(gf.refresh_gram_scrub(spark, sf, docs_of=docs_of))
+    path = gf.scrub_path(sf, view="plain")
+    assert os.path.isdir(os.path.join(path, "docs", "src=__degraded__"))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = _rows(gf.load_or_build_gram_scrub(spark, sf, docs_of=docs_of))
+    assert got2 == fresh

@@ -150,3 +150,60 @@ def test_stream_embedding_ingest_refreshes_ann_indexes(spark, dirs):
     ac = sorted(map(tuple, served_cent.collect()))
     bc = sorted(map(tuple, fresh_cent.collect()))
     assert ac == bc and len(ac) == 4
+
+
+def test_stream_scrub_close_equals_rebuild(spark, dirs):
+    """r9: ingest→refresh→scrub→serve closed in-stream.  Two micro-batches
+    where batch 2 retroactively flips batch-1 grams from unique to shared;
+    the maintained scrub after the stream equals a from-scratch rebuild
+    over the final corpus, WITHOUT any post-stream recompute."""
+    from olap_sus_spark.operators import gramfreq as gf
+    from olap_sus_spark.operators import index_store as ix
+
+    landing, corpus, ckpt, fresh = dirs
+    os.makedirs(corpus, exist_ok=True)
+
+    _drop(landing, "b1.jsonl", [_doc(i) for i in range(1, 11)])
+    stream_document_ingest(spark, landing, corpus, ckpt)
+    served1 = {
+        r[0]: tuple(r)
+        for r in gf.load_or_build_gram_scrub(
+            spark, corpus, docs_of=corpus_docs_of(corpus)
+        ).collect()
+    }
+    assert len(served1) == 10 and all(r[2] == 0 for r in served1.values())
+
+    # batch 2: doc 31 is an exact copy of batch-1 doc 3 → every one of doc
+    # 3's grams flips unique→shared and its OLD scrub row must be redone
+    _drop(landing, "b2.jsonl", [_doc(i) for i in range(11, 16)] + [_doc(31, dup_of=3)])
+    stream_document_ingest(spark, landing, corpus, ckpt)
+
+    # the stream already maintained the scrub: manifest is current, so the
+    # load below is a pure read (no rebuild)
+    spath = gf.scrub_path(corpus, view="plain")
+    assert ix.manifest_is_current(
+        ix.read_manifest(spath), ix.corpus_files(corpus, "documents")
+    )
+    served2 = {
+        r[0]: tuple(r)
+        for r in gf.load_or_build_gram_scrub(
+            spark, corpus, docs_of=corpus_docs_of(corpus)
+        ).collect()
+    }
+    # both the new doc and the retroactively affected old doc fully scrubbed
+    assert served2[3][2] == 8 and served2[3][3] == ""
+    assert served2[31][2] == 8 and served2[31][3] == ""
+    assert served2[4] == served1[4]  # untouched doc unchanged
+
+    os.makedirs(fresh, exist_ok=True)
+    shutil.copytree(
+        os.path.join(corpus, "documents.parquet"),
+        os.path.join(fresh, "documents.parquet"),
+    )
+    rebuilt = {
+        r[0]: tuple(r)
+        for r in gf.load_or_build_gram_scrub(
+            spark, fresh, docs_of=corpus_docs_of(fresh)
+        ).collect()
+    }
+    assert served2 == rebuilt
