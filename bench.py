@@ -517,5 +517,115 @@ def main() -> None:
     )
 
 
+def run_aba(ref_commit: str, runs: int = 3) -> None:
+    """Interleaved A/B/A bench against a worktree of ``ref_commit`` — the
+    controlled protocol that adjudicated the r6→r7 'drift' as host noise
+    (PLANS.md r8 §4), promoted to a first-class mode (VERDICT r08 #5).
+
+    The same-tree run-to-run spread at sf0.1 (89–111 s across three runs
+    of one tree) swamps any per-query ratio under ~1.3×, so sequential
+    BENCH_rN vs BENCH_rN-1 comparisons mostly read machine noise.  This
+    mode removes the shared drift term: HEAD and the reference tree run
+    ALTERNATELY (H R H R H R), each in its own process/JVM with its own
+    index dir, and per-key minima are compared — page-cache/JIT/host-load
+    warming then biases both sides equally.
+
+    Usage: python bench.py --aba <ref-commit> [runs]
+    Emits a per-key ratio table (stdout), full detail in ABA_DETAIL.json.
+    """
+    import shutil
+    import statistics
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="spark_graft_aba_wt_")
+    os.rmdir(wt)  # git worktree add wants to create it
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", wt, ref_commit],
+        cwd=repo, check=True, capture_output=True, text=True,
+    )
+    try:
+        sides = {"head": repo, "ref": wt}
+        idx = {
+            k: tempfile.mkdtemp(prefix=f"spark_graft_aba_idx_{k}_") for k in sides
+        }
+        details: dict[str, list[dict]] = {k: [] for k in sides}
+        for i in range(runs):
+            for k, cwd in sides.items():
+                env = dict(
+                    os.environ,
+                    SPARK_GRAFT_BENCH_RUNS="1",
+                    SPARK_GRAFT_INDEX_DIR=idx[k],
+                )
+                print(f"[aba] run {i + 1}/{runs} side={k} ...", flush=True)
+                t0 = time.perf_counter()
+                subprocess.run(
+                    [sys.executable, os.path.join(cwd, "bench.py")],
+                    cwd=cwd, env=env, check=True,
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                )
+                with open(os.path.join(cwd, "BENCH_DETAIL.json")) as f:
+                    details[k].append(json.load(f))
+                print(
+                    f"[aba] run {i + 1}/{runs} side={k} done in "
+                    f"{time.perf_counter() - t0:.1f}s", flush=True,
+                )
+
+        def _min_by_key(side: str) -> dict[str, float]:
+            out: dict[str, float] = {}
+            for d in details[side]:
+                for section in ("queries", "index_build"):
+                    for key, v in d.get(section, {}).items():
+                        out[key] = min(out.get(key, float("inf")), v)
+            return out
+
+        head, ref = _min_by_key("head"), _min_by_key("ref")
+        common = sorted(set(head) & set(ref))
+        table = {
+            k: {
+                "head_min": head[k],
+                "ref_min": ref[k],
+                "ratio": round(head[k] / ref[k], 3) if ref[k] > 0 else None,
+            }
+            for k in common
+        }
+        ratios = [v["ratio"] for v in table.values() if v["ratio"]]
+        summary = {
+            "metric": "aba_ratio_head_over_ref",
+            "ref_commit": ref_commit,
+            "runs": runs,
+            "n_keys": len(common),
+            "median_ratio": round(statistics.median(ratios), 3) if ratios else None,
+            "worst": dict(
+                sorted(
+                    ((k, v["ratio"]) for k, v in table.items() if v["ratio"]),
+                    key=lambda kv: -kv[1],
+                )[:5]
+            ),
+            "head_only_keys": sorted(set(head) - set(ref)),
+        }
+        with open(os.path.join(repo, "ABA_DETAIL.json"), "w") as f:
+            json.dump({"summary": summary, "table": table}, f, indent=1)
+        width = max((len(k) for k in common), default=10)
+        for k in sorted(common, key=lambda k: -(table[k]["ratio"] or 0)):
+            v = table[k]
+            print(
+                f"{k:<{width}}  head={v['head_min']:>8.3f}  "
+                f"ref={v['ref_min']:>8.3f}  ratio={v['ratio']}"
+            )
+        print(json.dumps(summary), flush=True)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=repo, check=False, capture_output=True,
+        )
+        for d in idx.values():
+            shutil.rmtree(d, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--aba":
+        run_aba(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+    else:
+        main()
