@@ -389,6 +389,34 @@ def load_or_build_gram_rollup(
     return _serve_rollup(spark, path)
 
 
+def _manifests_aligned(a: dict | None, b: dict | None) -> bool:
+    """True when two index manifests were stamped from the SAME corpus
+    snapshot (files + epochs bit-identical).  The changed-file delta merges
+    need the partials' OLD per-src values; if the partials index was
+    refreshed independently past this index's snapshot those values are
+    already overwritten — the caller must re-fold instead."""
+    if a is None or b is None:
+        return False
+    return a.get("files") == b.get("files") and a.get("epochs") == b.get("epochs")
+
+
+def _capture_partials(spark: SparkSession, gpath: str, srcs: list[str]) -> str:
+    """Materialize the CURRENT (pre-refresh) partials of specific srcs to a
+    temp parquet — O(changed files), partition-pruned — so delta merges can
+    subtract them after the refresh overwrites the live partitions."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_gram_olddelta_")
+    (
+        spark.read.parquet(os.path.join(gpath, "grams"))
+        .filter(F.col(_SRC).isin(sorted(srcs)))
+        .select("gram", F.col("n_docs").cast("bigint").alias("n_docs"))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    return tmp
+
+
 def refresh_gram_rollup(
     spark: SparkSession,
     sf_dir: str,
@@ -396,44 +424,71 @@ def refresh_gram_rollup(
     docs_of=None,
     view: str | None = None,
 ) -> DataFrame:
-    """Keep partials AND rollup fresh after an ingest.  Pure appends merge
-    ``old rollup + appended srcs' partials`` (partition-pruned read-back —
-    no corpus re-gram, no full partials re-fold); rewrites/removals/
-    degraded mode re-fold from the refreshed partials.  Same
+    """Keep partials AND rollup fresh after an ingest or an RTBF rewrite.
+    Appends merge ``old rollup + appended srcs' partials``; CHANGED files
+    (purge rewrites keep their names) merge ``old rollup + new partials −
+    captured old partials`` of just those srcs — both O(ingest/affected),
+    no corpus re-gram, no full re-fold (r9).  Removals, degraded mode, and
+    a partials index refreshed past this rollup's snapshot (old per-src
+    values already overwritten) re-fold from the refreshed partials.  Same
     single-refresher assumption as :func:`refresh_gram_freq`."""
+    import shutil
+
     view = _view_of(docs_of, view)
-    refresh_gram_freq(spark, sf_dir, table, docs_of, view)
     path = rollup_path(sf_dir, table, view)
+    gpath = gram_freq_path(sf_dir, table, view)
     current = ix.corpus_files(sf_dir, table)
     man = ix.read_manifest(path)
-    gman = ix.read_manifest(gram_freq_path(sf_dir, table, view)) or {}
-    if man is None or man.get("degraded") or gman.get("degraded"):
+    if man is None or man.get("degraded"):
+        refresh_gram_freq(spark, sf_dir, table, docs_of, view)
         return load_or_build_gram_rollup(spark, sf_dir, table, docs_of, view)
     added, changed, removed = ix.manifest_diff(man, current)
-    if changed or removed:
+    if removed:
+        refresh_gram_freq(spark, sf_dir, table, docs_of, view)
         return load_or_build_gram_rollup(spark, sf_dir, table, docs_of, view)
-    if added:
-        gpath = gram_freq_path(sf_dir, table, view)
-        delta = (
-            spark.read.parquet(os.path.join(gpath, "grams"))
-            .filter(F.col(_SRC).isin(sorted(added)))
-            .select("gram", F.col("n_docs").cast("bigint").alias("n_docs"))
-        )
-        old = spark.read.parquet(os.path.join(path, "rollup")).select(
-            "gram", F.col("n_docs").cast("bigint").alias("n_docs")
-        )
-        merged = old.unionByName(delta).groupBy("gram").agg(
-            F.sum("n_docs").cast("bigint").alias("n_docs")
-        )
-        staging = ix.staging_path(path)
-        _write_rollup_tables(merged, staging)
-        manifest = ix.compact_manifest(man, current)
-        manifest["degraded"] = False
-        ix.write_manifest(staging, manifest)
-        # the merge read the OLD rollup: promote must replace it even
-        # though it exists — retire-then-promote, never skip
-        _retire_and_promote(staging, path, None, components=("rollup", "cut"))
-    return _serve_rollup(spark, path)
+    old_delta_tmp = None
+    if changed:
+        if not _manifests_aligned(man, ix.read_manifest(gpath)):
+            refresh_gram_freq(spark, sf_dir, table, docs_of, view)
+            return load_or_build_gram_rollup(spark, sf_dir, table, docs_of, view)
+        old_delta_tmp = _capture_partials(spark, gpath, changed)
+    try:
+        refresh_gram_freq(spark, sf_dir, table, docs_of, view)
+        if (ix.read_manifest(gpath) or {}).get("degraded"):
+            return load_or_build_gram_rollup(spark, sf_dir, table, docs_of, view)
+        stale = sorted(added + changed)
+        if stale:
+            delta = (
+                spark.read.parquet(os.path.join(gpath, "grams"))
+                .filter(F.col(_SRC).isin(stale))
+                .select("gram", F.col("n_docs").cast("bigint").alias("n_docs"))
+            )
+            old = spark.read.parquet(os.path.join(path, "rollup")).select(
+                "gram", F.col("n_docs").cast("bigint").alias("n_docs")
+            )
+            parts = old.unionByName(delta)
+            if old_delta_tmp is not None:
+                neg = spark.read.parquet(old_delta_tmp).select(
+                    "gram", (-F.col("n_docs")).cast("bigint").alias("n_docs")
+                )
+                parts = parts.unionByName(neg)
+            merged = (
+                parts.groupBy("gram")
+                .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+                .filter(F.col("n_docs") > 0)
+            )
+            staging = ix.staging_path(path)
+            _write_rollup_tables(merged, staging)
+            manifest = ix.compact_manifest(man, current)
+            manifest["degraded"] = False
+            ix.write_manifest(staging, manifest)
+            # the merge read the OLD rollup: promote must replace it even
+            # though it exists — retire-then-promote, never skip
+            _retire_and_promote(staging, path, None, components=("rollup", "cut"))
+        return _serve_rollup(spark, path)
+    finally:
+        if old_delta_tmp is not None:
+            shutil.rmtree(old_delta_tmp, ignore_errors=True)
 
 
 def shared_grams_cut(
@@ -603,59 +658,92 @@ def refresh_gram_scrub(
     docs_of=None,
     view: str | None = None,
 ) -> DataFrame:
-    """Scrub-on-ingest: bring partials + rollup current, then rewrite ONLY
-    the scrub partitions of (appended srcs) ∪ (old srcs retroactively hit
-    by a unique→shared gram flip).  Non-append diffs, degraded mode, and
-    legacy manifests fall back to the full staged rebuild.  Same
-    single-refresher assumption as :func:`refresh_gram_freq`."""
+    """Scrub-on-ingest AND scrub-on-purge: bring partials + rollup current,
+    then rewrite ONLY the scrub partitions of (added ∪ changed srcs) ∪
+    (old srcs retroactively hit by a shared-status flip).  Flips go BOTH
+    ways (r9): an append can turn a gram unique→shared (old docs need
+    scrubbing), an RTBF rewrite can turn it shared→unique (surviving docs
+    get their tokens BACK).  Per gram, old_total = new_total − new_delta +
+    old_delta over the stale srcs — snapshot-free except the O(changed)
+    old-partials capture.  Removals, degraded mode, and misaligned
+    manifests fall back to the full staged rebuild.  Same single-refresher
+    assumption as :func:`refresh_gram_freq`."""
+    import shutil
+
     view = _view_of(docs_of, view)
     docs_of_r = docs_of or _augmented_docs_of(sf_dir)
     path = scrub_path(sf_dir, table, view)
+    gpath = gram_freq_path(sf_dir, table, view)
     current = ix.corpus_files(sf_dir, table)
     man = ix.read_manifest(path)
     if man is None or man.get("degraded"):
         return load_or_build_gram_scrub(spark, sf_dir, table, docs_of, view)
     added, changed, removed = ix.manifest_diff(man, current)
-    if changed or removed:
+    if removed:
         return load_or_build_gram_scrub(spark, sf_dir, table, docs_of, view)
-    if added:
-        rollup = refresh_gram_rollup(spark, sf_dir, table, docs_of, view)
-        if bool(
-            (ix.read_manifest(gram_freq_path(sf_dir, table, view)) or {}).get(
-                "degraded"
-            )
-        ):
+    stale = sorted(added + changed)
+    if not stale:
+        return _serve_scrub(spark, path)
+    old_delta_tmp = None
+    if changed:
+        if not _manifests_aligned(man, ix.read_manifest(gpath)):
             return load_or_build_gram_scrub(spark, sf_dir, table, docs_of, view)
-        gpath = gram_freq_path(sf_dir, table, view)
+        old_delta_tmp = _capture_partials(spark, gpath, changed)
+    try:
+        rollup = refresh_gram_rollup(spark, sf_dir, table, docs_of, view)
+        if (ix.read_manifest(gpath) or {}).get("degraded"):
+            return load_or_build_gram_scrub(spark, sf_dir, table, docs_of, view)
         partials = spark.read.parquet(os.path.join(gpath, "grams"))
-        delta = (
-            partials.filter(F.col(_SRC).isin(sorted(added)))
+        nd = (
+            partials.filter(F.col(_SRC).isin(stale))
             .groupBy("gram")
-            .agg(F.sum("n_docs").cast("bigint").alias("d"))
+            .agg(F.sum("n_docs").cast("bigint").alias("nd"))
         )
-        # flipped: crossed the <2 -> >=2 boundary BECAUSE of this ingest
-        flipped = (
-            rollup.join(delta, "gram")
-            .filter((F.col("n_docs") >= 2) & (F.col("n_docs") - F.col("d") < 2))
-            .select("gram")
+        if old_delta_tmp is not None:
+            od = (
+                spark.read.parquet(old_delta_tmp)
+                .groupBy("gram")
+                .agg(F.sum("n_docs").cast("bigint").alias("od"))
+            )
+            cand = nd.join(od, "gram", "full")
+        else:
+            cand = nd.withColumn("od", F.lit(None).cast("bigint"))
+        j = cand.join(rollup, "gram", "left")
+        new_total = F.coalesce(F.col("n_docs"), F.lit(0))
+        old_total = (
+            new_total - F.coalesce(F.col("nd"), F.lit(0))
+            + F.coalesce(F.col("od"), F.lit(0))
         )
+        flipped = j.filter((old_total >= 2) != (new_total >= 2)).select("gram")
         affected = {
             r[0]
             for r in partials.join(flipped, "gram", "left_semi")
             .select(_SRC)
             .distinct()
             .collect()
-        } - set(added)
-        scope = sorted(set(added) | affected)
+        } - set(stale)
+        scope = sorted(set(stale) | affected)
         shared = shared_grams_cut(spark, sf_dir, table, docs_of, view)
         frame = _scrub_frame(
             docs_of_r(spark, ix.corpus_file_paths(sf_dir, table, scope)), shared
-        )
-        _write_scrub(frame, path, dynamic=True)
+        ).persist()
+        try:
+            _write_scrub(frame, path, dynamic=True)
+            written = {r[0] for r in frame.select(_SRC).distinct().collect()}
+        finally:
+            frame.unpersist()
+        orphaned = set(scope) - written
+        if orphaned:
+            # a changed file whose docs all vanished: its scrub partition
+            # is unreachable by dynamic overwrite — drop it explicitly
+            ix.drop_src_partitions(os.path.join(path, "docs"), orphaned)
         manifest = ix.compact_manifest(man, current)
         manifest["degraded"] = False
         ix.write_manifest(path, manifest)
-    return _serve_scrub(spark, path)
+        return _serve_scrub(spark, path)
+    finally:
+        if old_delta_tmp is not None:
+            shutil.rmtree(old_delta_tmp, ignore_errors=True)
 
 
 def _serve_scrub(spark: SparkSession, path: str) -> DataFrame:

@@ -933,3 +933,73 @@ def test_gram_scrub_rewrite_and_degraded_fall_back(spark, tmp_path, monkeypatch)
     monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
     fresh = _rows(gf.load_or_build_gram_scrub(spark, sf, docs_of=docs_of))
     assert got2 == fresh
+
+
+def test_gram_scrub_purge_unscrubs_retroactively(spark, tmp_path, monkeypatch):
+    """RTBF → scrub output (r9): purging the only partner doc of a shared
+    gram flips it shared→unique; the surviving doc's scrub partition is
+    re-emitted with its tokens RESTORED, the purged file's zero-row
+    partition is dropped, unaffected partitions keep their bytes, and the
+    whole table equals a full rebuild over the purged corpus."""
+    from olap_sus_spark.operators import gramfreq as gf
+    from olap_sus_spark.operators import purge as pg
+    from olap_sus_spark.streaming.corpus import corpus_docs_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = str(tmp_path / "corpus")
+    _write_doc_part(spark, sf, "part-00.parquet", [(1, "a b c d e f")])
+    _write_doc_part(spark, sf, "part-01.parquet", [(10, "a b c d e g")])
+    _write_doc_part(spark, sf, "part-zz.parquet", [(200, "q r s t u v")])
+    docs_of = corpus_docs_of(sf)
+    base = {
+        r[0]: tuple(r)
+        for r in gf.load_or_build_gram_scrub(spark, sf, docs_of=docs_of).collect()
+    }
+    assert base[1][2] == 5 and base[10][2] == 5  # the shared gram scrubbed
+    path = gf.scrub_path(sf, view="plain")
+    zz_before = _scrub_part_mtimes(path, "part-zz.parquet")
+
+    assert pg.purge_table_ids(spark, sf, "documents", "doc_id", [10]) == 1
+    got = {
+        r[0]: tuple(r)
+        for r in gf.refresh_gram_scrub(spark, sf, docs_of=docs_of).collect()
+    }
+    assert set(got) == {1, 200}
+    assert got[1][2] == 0 and got[1][3] == "a b c d e f"  # tokens RESTORED
+    assert got[200] == base[200]
+    assert not os.path.isdir(os.path.join(path, "docs", "src=part-01.parquet"))
+    assert _scrub_part_mtimes(path, "part-zz.parquet") == zz_before
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = {
+        r[0]: tuple(r)
+        for r in gf.load_or_build_gram_scrub(spark, sf, docs_of=docs_of).collect()
+    }
+    assert got == fresh
+
+
+def test_gram_rollup_purge_delta_merge_equals_rebuild(spark, tmp_path, monkeypatch):
+    """RTBF → rollup (r9): a purge rewrite delta-merges (old − captured
+    old partials + new partials) instead of re-folding; result equals a
+    fresh rebuild and the purged doc's grams leave the cut."""
+    from olap_sus_spark.operators import gramfreq as gf
+    from olap_sus_spark.operators import purge as pg
+    from olap_sus_spark.streaming.corpus import corpus_docs_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = str(tmp_path / "corpus")
+    _write_doc_part(spark, sf, "part-00.parquet", [(1, "a b c d e f")])
+    _write_doc_part(
+        spark, sf, "part-01.parquet", [(10, "a b c d e g"), (11, "h i j k l m")]
+    )
+    docs_of = corpus_docs_of(sf)
+    gf.load_or_build_gram_rollup(spark, sf, docs_of=docs_of)
+    assert gf.shared_grams_cut(spark, sf, docs_of=docs_of).count() == 1
+
+    assert pg.purge_table_ids(spark, sf, "documents", "doc_id", [10]) == 1
+    got = _rows(gf.refresh_gram_rollup(spark, sf, docs_of=docs_of))
+    assert gf.shared_grams_cut(spark, sf, docs_of=docs_of).count() == 0
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = _rows(gf.load_or_build_gram_rollup(spark, sf, docs_of=docs_of))
+    assert got == fresh and len(got) > 0
