@@ -466,19 +466,48 @@ def refresh_gram_rollup(
             old = spark.read.parquet(os.path.join(path, "rollup")).select(
                 "gram", F.col("n_docs").cast("bigint").alias("n_docs")
             )
-            parts = old.unionByName(delta)
             if old_delta_tmp is not None:
                 neg = spark.read.parquet(old_delta_tmp).select(
                     "gram", (-F.col("n_docs")).cast("bigint").alias("n_docs")
                 )
-                parts = parts.unionByName(neg)
-            merged = (
-                parts.groupBy("gram")
-                .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
-                .filter(F.col("n_docs") > 0)
+                delta = delta.unionByName(neg)
+            # net per-gram delta is bounded by the stale files' gram count —
+            # small for a daily ingest/purge.  When it fits a broadcast, the
+            # merge keeps the big rollup SCAN-ONLY (BHJ update + tiny anti
+            # for brand-new grams) instead of exchanging all of it into a
+            # hash-agg; the one remaining big shuffle is the sorted rewrite
+            # itself.  Large backfills fall back to the plain re-aggregate.
+            dd = (
+                delta.groupBy("gram")
+                .agg(F.sum("n_docs").cast("bigint").alias("d"))
+                .persist()
             )
+            if dd.count() <= 1_000_000:
+                updated = old.join(F.broadcast(dd), "gram", "left").select(
+                    "gram",
+                    (F.col("n_docs") + F.coalesce(F.col("d"), F.lit(0)))
+                    .cast("bigint")
+                    .alias("n_docs"),
+                )
+                old_hit = old.join(
+                    F.broadcast(dd.select("gram")), "gram", "left_semi"
+                )
+                fresh = dd.join(old_hit, "gram", "left_anti").select(
+                    "gram", F.col("d").cast("bigint").alias("n_docs")
+                )
+                merged = updated.unionByName(fresh).filter(F.col("n_docs") > 0)
+            else:
+                merged = (
+                    old.unionByName(dd.select("gram", F.col("d").alias("n_docs")))
+                    .groupBy("gram")
+                    .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+                    .filter(F.col("n_docs") > 0)
+                )
             staging = ix.staging_path(path)
-            _write_rollup_tables(merged, staging)
+            try:
+                _write_rollup_tables(merged, staging)
+            finally:
+                dd.unpersist()
             manifest = ix.compact_manifest(man, current)
             manifest["degraded"] = False
             ix.write_manifest(staging, manifest)
@@ -708,20 +737,37 @@ def refresh_gram_scrub(
             cand = nd.join(od, "gram", "full")
         else:
             cand = nd.withColumn("od", F.lit(None).cast("bigint"))
-        j = cand.join(rollup, "gram", "left")
-        new_total = F.coalesce(F.col("n_docs"), F.lit(0))
-        old_total = (
-            new_total - F.coalesce(F.col("nd"), F.lit(0))
-            + F.coalesce(F.col("od"), F.lit(0))
-        )
-        flipped = j.filter((old_total >= 2) != (new_total >= 2)).select("gram")
-        affected = {
-            r[0]
-            for r in partials.join(flipped, "gram", "left_semi")
-            .select(_SRC)
-            .distinct()
-            .collect()
-        } - set(stale)
+        # candidate grams are bounded by the stale files' gram count; keep
+        # the big rollup SCAN-ONLY: broadcast-semi it down to the
+        # candidates, then join the two small sides (vs an SMJ that would
+        # exchange the whole rollup per refresh)
+        cand = cand.persist()
+        try:
+            small = cand.count() <= 1_000_000
+            small_rollup = (
+                rollup.join(F.broadcast(cand.select("gram")), "gram", "left_semi")
+                if small
+                else rollup
+            )
+            j = cand.join(small_rollup, "gram", "left")
+            new_total = F.coalesce(F.col("n_docs"), F.lit(0))
+            old_total = (
+                new_total - F.coalesce(F.col("nd"), F.lit(0))
+                + F.coalesce(F.col("od"), F.lit(0))
+            )
+            flipped = j.filter(
+                (old_total >= 2) != (new_total >= 2)
+            ).select("gram")
+            flipped = F.broadcast(flipped) if small else flipped
+            affected = {
+                r[0]
+                for r in partials.join(flipped, "gram", "left_semi")
+                .select(_SRC)
+                .distinct()
+                .collect()
+            } - set(stale)
+        finally:
+            cand.unpersist()
         scope = sorted(set(stale) | affected)
         shared = shared_grams_cut(spark, sf_dir, table, docs_of, view)
         frame = _scrub_frame(
