@@ -153,6 +153,30 @@ def _intervals_disjoint(ivs: list[tuple[int, int]]) -> bool:
     return all(ivs[i][1] < ivs[i + 1][0] for i in range(len(ivs) - 1))
 
 
+def _intervals_between_disjoint(
+    a: list[tuple[int, int]], b: list[tuple[int, int]]
+) -> bool:
+    """No interval of ``a`` overlaps any interval of ``b`` (overlaps WITHIN
+    each list are allowed — the refresh guard only needs batch-vs-old
+    disjointness; old-vs-old overlaps were proven unique by the build's
+    exact check, batch-internal duplicates by the refresh's O(batch)
+    exact check)."""
+    import bisect
+
+    merged: list[tuple[int, int]] = []
+    for lo, hi in sorted(b):
+        if merged and lo <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    starts = [m[0] for m in merged]
+    for lo, hi in a:
+        i = bisect.bisect_right(starts, hi) - 1
+        if i >= 0 and merged[i][1] >= lo:
+            return False
+    return True
+
+
 def _augmented_docs_of(sf_dir: str):
     """Default ``docs_of``: the registered queries' AUGMENTED corpus view
     (queries/text_pipeline._augment — the synthetic duplicate injection the
@@ -270,19 +294,50 @@ def refresh_gram_freq(
         return load_or_build_gram_freq(spark, sf_dir, table, docs_of, view)
     stale = sorted(added + changed)
     if stale:
-        # doc-locality guard, refresh side: merge the stale files' fresh
-        # footer ranges over the manifest's and re-prove global
-        # disjointness; anything unprovable (overlap, missing stats,
-        # legacy manifest without ranges) falls back to the full staged
-        # rebuild, whose exact check decides per-src vs degraded.
-        ranges = man.get("doc_ranges")
-        if isinstance(ranges, dict):
-            ranges = {**ranges, **ix.corpus_id_ranges(sf_dir, table, "doc_id", stale)}
-        ivs = _expanded_intervals(ranges, view)
-        if ivs is None or not _intervals_disjoint(ivs):
+        # doc-locality guard, refresh side (two cheap halves):
+        #  (a) batch-vs-old: the stale files' view-expanded footer ranges
+        #      must not overlap the non-stale signed files' — old-vs-old
+        #      overlaps are FINE (the build's exact check proved them
+        #      unique; staged corpora routinely interleave ids across
+        #      files, and re-proving global pairwise disjointness here
+        #      forced a full rebuild on every ingest — r9 probe);
+        #  (b) batch-internal: one O(batch) count==count_distinct over
+        #      the stale files' view.
+        # Anything unprovable (missing stats/ranges, overlap, duplicate)
+        # falls back to the full staged rebuild, whose exact corpus-wide
+        # check decides per-src vs degraded.
+        stale_set = set(stale)
+        old_ranges = man.get("doc_ranges")
+        new_ranges = ix.corpus_id_ranges(sf_dir, table, "doc_id", stale)
+        guard_ok = False
+        if isinstance(old_ranges, dict):
+            old_only = {
+                n: r
+                for n, r in old_ranges.items()
+                if n in current and n not in stale_set
+            }
+            if set(old_only) == {n for n in current if n not in stale_set}:
+                old_ivs = _expanded_intervals(old_only, view)
+                new_ivs = _expanded_intervals(new_ranges, view)
+                guard_ok = (
+                    old_ivs is not None
+                    and new_ivs is not None
+                    and _intervals_between_disjoint(new_ivs, old_ivs)
+                )
+        if not guard_ok:
             return load_or_build_gram_freq(spark, sf_dir, table, docs_of, view)
         paths = ix.corpus_file_paths(sf_dir, table, stale)
-        partials = _partials_frame(docs_of(spark, paths)).persist()
+        batch = docs_of(spark, paths)
+        n, ndist = batch.agg(
+            F.count(F.lit(1)), F.count_distinct(F.col("doc_id"))
+        ).first()
+        if n != ndist:
+            return load_or_build_gram_freq(spark, sf_dir, table, docs_of, view)
+        ranges = {
+            **{k: v for k, v in old_ranges.items() if k in current},
+            **new_ranges,
+        }
+        partials = _partials_frame(batch).persist()
         from olap_sus_spark.sources.sinks import write_sorted_partitioned
 
         try:
