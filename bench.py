@@ -50,6 +50,8 @@ HEADLINE = [
     "dedup_cross_doc_scrub",  # exact-substring scrub output (from-scratch frequency pass)
     "dedup_cross_doc_scrub_served",  # same scrub served from the maintained gram-freq partials
     "dedup_cross_doc_scrub_ingested",  # scrub OUTPUT as a maintained table (pure partition read)
+    "dedup_scrub_summary_by_source",  # per-source duplication accounting off the maintained scrub
+    "decontaminate_exact_substring",  # verbatim 5-gram benchmark-leakage hunt (broadcast eval grams)
     "dedup_near_clusters",  # linear-output near-dup shape (the 100 TB path)
     "dedup_near_clusters_star",  # star-reduced edges: linear under mega-clusters
     "dedup_near_clusters_star_served",  # same map served from the maintained cluster index

@@ -1296,6 +1296,115 @@ def dedup_cross_doc_scrub_ingested(spark: SparkSession, sf_dir: str) -> DataFram
     return gramfreq.load_or_build_gram_scrub(spark, sf_dir)
 
 
+# Per-source duplication accounting over the scrub output — the corpus
+# curator's readout ("which source is feeding the dedup shredder"): per
+# source, docs / tokens / tokens removed by the exact-substring cut, and
+# the removed fraction.  Reads the MAINTAINED scrub table (the per-doc
+# pass is already paid at ingest) + a narrow (doc_id, source) projection
+# of the corpus; one dimension-sized groupBy.  Oracle recomputes the
+# whole scrub from scratch and aggregates — value-hash equality proves
+# the maintained table composes into exact downstream analytics.
+def _scrub_summary_oracle() -> str:
+    return f"""
+WITH s AS ({_cross_doc_scrub_oracle()}),{_AUG_SQL.lstrip()}
+SELECT a.source AS source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(s.n_tokens) AS BIGINT) AS sum_tokens,
+    CAST(SUM(s.n_removed) AS BIGINT) AS sum_removed,
+    CAST(SUM(s.n_removed) AS DOUBLE) / CAST(SUM(s.n_tokens) AS DOUBLE)
+        AS removed_frac
+FROM s JOIN aug a USING (doc_id)
+GROUP BY a.source
+"""
+
+
+@register("dedup_scrub_summary_by_source", oracle=_scrub_summary_oracle())
+def dedup_scrub_summary_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olap_sus_spark.operators import gramfreq
+
+    scrub = gramfreq.load_or_build_gram_scrub(spark, sf_dir)
+    src = augmented_docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        scrub.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("n_removed").cast("bigint").alias("sum_removed"),
+        )
+        .withColumn(
+            "removed_frac",
+            F.col("sum_removed").cast("double") / F.col("sum_tokens").cast("double"),
+        )
+    )
+
+
+# Exact-substring DECONTAMINATION — the other half of Lee et al. 2022's
+# ExactSubstr: benchmark leakage hunted at verbatim token-5-gram
+# granularity instead of decontaminate_train's 8-gram document overlap.
+# Eval set = doc_id % 97 == 0 on the PLAIN corpus (same convention as
+# decontaminate_train; a real benchmark suite in production).  The eval
+# gram set is benchmark-sized, so it broadcasts — the train side is one
+# scan + map-side hash probe, no shuffle of corpus grams against corpus
+# grams.
+def _decontam_exact_substring_oracle() -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    grams = _ngrams_expr_sql("t", _CROSS_NGRAM_N)
+    return f"""
+WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+dg AS (
+    SELECT doc_id,
+        unnest(list_distinct(list_transform({grams}, x -> {_md5_int_sql('x')})))
+            AS gram
+    FROM tk
+),
+ev AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, gram FROM dg WHERE doc_id % 97 <> 0),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM tr GROUP BY doc_id),
+hit AS (
+    SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_shared
+    FROM tr JOIN ev USING (gram)
+    GROUP BY tr.doc_id
+)
+SELECT h.doc_id AS doc_id, t.n_grams AS n_grams,
+    h.n_eval_shared AS n_eval_shared,
+    CAST(h.n_eval_shared AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS eval_frac
+FROM hit h JOIN tot t USING (doc_id)
+"""
+
+
+@register(
+    "decontaminate_exact_substring", oracle=_decontam_exact_substring_oracle()
+)
+def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
+    dg = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    tx.token_ngrams(F.col("text"), _CROSS_NGRAM_N), tx.md5_int
+                )
+            )
+        ).alias("gram"),
+    )
+    ev = dg.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    tr = dg.filter(F.col("doc_id") % 97 != 0)
+    tot = tr.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    hit = (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_shared"))
+    )
+    return hit.join(tot, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_eval_shared",
+        (F.col("n_eval_shared").cast("double") / F.col("n_grams").cast("double"))
+        .alias("eval_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing — assign documents to fixed token-budget training bins
 # by contiguous cumulative token count within each source partition (the
