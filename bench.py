@@ -627,7 +627,11 @@ def run_aba(ref_commit: str, runs: int = 3) -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--aba":
+    if len(sys.argv) > 1 and sys.argv[1] == "--aba":
+        if len(sys.argv) < 3:
+            print("usage: python bench.py --aba <ref-commit> [rounds]",
+                  file=sys.stderr)
+            sys.exit(2)
         run_aba(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
     else:
         main()

@@ -85,7 +85,15 @@ def _partials_frame(docs: DataFrame) -> DataFrame:
     corpus view: distinct docs per 60-bit-hashed sliding 5-gram, within
     src.  A frame without a ``src`` column (e.g. corpus_docs_of's
     full-corpus branch) gets tagged here — still at the scan, before any
-    exchange, since nothing above this call shuffles."""
+    exchange, since nothing above this call shuffles.
+
+    ``count_distinct(doc_id)`` (not ``count(1)``) so a doc_id duplicated
+    across two ROWS of the same part file is counted once — intra-file
+    duplicates are harmless by construction, and the doc-locality guard
+    only has to prove CROSS-file uniqueness (footer-range disjointness).
+    Shuffle cost is unchanged in the common case: after the per-row
+    ``array_distinct``, (src, doc_id, gram) rows are already unique when
+    doc_ids are, so the extra distinct level collapses nothing."""
     if _SRC not in docs.columns:
         docs = _with_src(docs)
     return (
@@ -102,7 +110,7 @@ def _partials_frame(docs: DataFrame) -> DataFrame:
             ).alias("gram"),
         )
         .groupBy(_SRC, "gram")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .agg(F.count_distinct(F.col("doc_id")).cast("bigint").alias("n_docs"))
     )
 
 
@@ -110,7 +118,9 @@ def _degraded_partials(docs: DataFrame) -> DataFrame:
     """Single-partition partials with the (doc_id, gram) pairs GLOBALLY
     deduplicated before counting — the correct distinct-document frequency
     when the doc-locality invariant is violated (a doc_id appearing in two
-    rows/files would otherwise be double-counted by the per-src fold).
+    part FILES would otherwise be double-counted by the per-src fold;
+    intra-file duplicates are already handled by the per-src
+    count_distinct).
     Loses incremental refresh (any corpus change → full rebuild) but keeps
     the served >=2 cut — and therefore the scrub twins — exact."""
     dg = docs.select(
@@ -210,11 +220,12 @@ def load_or_build_gram_freq(
     rebuild — never silently serves stale frequencies.
 
     The per-src fold is only exact under the DOC-LOCALITY INVARIANT
-    (doc_id unique across corpus rows, so every doc lives wholly in one
-    part file).  Every rebuild verifies it at runtime: per-file doc_id
-    [min,max] footer stats, view-expanded, pairwise disjoint → proven
-    unique for free; otherwise one exact Spark check (count ==
-    countDistinct over the view); a genuine violation degrades to the
+    (no doc_id spans two part files; duplicate rows WITHIN a file are
+    harmless — the partials count distinct docs, r10).  Every rebuild
+    verifies it at runtime: per-file doc_id [min,max] footer stats,
+    view-expanded, pairwise disjoint → proven for free; otherwise one
+    exact Spark check (distinct (src, doc_id) == distinct doc_id over
+    the view); a genuine violation degrades to the
     single-partition globally-deduplicated build (``src=__degraded__``) —
     served frequencies stay correct, maintenance degrades to
     rebuild-on-change.  The verdict (ranges + degraded flag) is stamped
@@ -232,8 +243,14 @@ def load_or_build_gram_freq(
         ivs = _expanded_intervals(ranges, view)
         degraded = False
         if ivs is None or not _intervals_disjoint(ivs):
-            n, nd = docs.agg(
-                F.count(F.lit(1)), F.count_distinct(F.col("doc_id"))
+            # exact cross-FILE check: the per-src fold (count_distinct
+            # doc_id within src) is exact iff no doc_id lives in two part
+            # files — intra-file duplicate rows are harmless, so distinct
+            # (src, doc_id) tuples must equal distinct doc_ids
+            d = docs if _SRC in docs.columns else _with_src(docs)
+            n, nd = d.agg(
+                F.count_distinct(F.col(_SRC), F.col("doc_id")),
+                F.count_distinct(F.col("doc_id")),
             ).first()
             degraded = n != nd
         partials = _degraded_partials(docs) if degraded else _partials_frame(docs)
@@ -301,8 +318,10 @@ def refresh_gram_freq(
         #      unique; staged corpora routinely interleave ids across
         #      files, and re-proving global pairwise disjointness here
         #      forced a full rebuild on every ingest — r9 probe);
-        #  (b) batch-internal: one O(batch) count==count_distinct over
-        #      the stale files' view.
+        #  (b) batch-internal: one O(batch) cross-file check over the
+        #      stale files' view — distinct (src, doc_id) == distinct
+        #      doc_id (intra-file duplicate rows are harmless since the
+        #      partials count distinct docs, r10).
         # Anything unprovable (missing stats/ranges, overlap, duplicate)
         # falls back to the full staged rebuild, whose exact corpus-wide
         # check decides per-src vs degraded.
@@ -328,8 +347,10 @@ def refresh_gram_freq(
             return load_or_build_gram_freq(spark, sf_dir, table, docs_of, view)
         paths = ix.corpus_file_paths(sf_dir, table, stale)
         batch = docs_of(spark, paths)
-        n, ndist = batch.agg(
-            F.count(F.lit(1)), F.count_distinct(F.col("doc_id"))
+        b = batch if _SRC in batch.columns else _with_src(batch)
+        n, ndist = b.agg(
+            F.count_distinct(F.col(_SRC), F.col("doc_id")),
+            F.count_distinct(F.col("doc_id")),
         ).first()
         if n != ndist:
             return load_or_build_gram_freq(spark, sf_dir, table, docs_of, view)
@@ -853,6 +874,7 @@ def _serve_scrub(spark: SparkSession, path: str) -> DataFrame:
         path,
         "docs",
         "doc_id bigint, n_tokens int, n_removed int, scrubbed_text string",
+        partitioned=True,
     ).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("n_tokens").cast("int").alias("n_tokens"),
@@ -869,8 +891,19 @@ def _serve_rollup(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _serve_component(
-    spark: SparkSession, path: str, component: str, empty_schema: str
+    spark: SparkSession,
+    path: str,
+    component: str,
+    empty_schema: str,
+    partitioned: bool = False,
 ) -> DataFrame:
+    """``partitioned`` components (the src=-partitioned scrub docs) keep
+    their data under ``src=`` subdirectories, so emptiness is the ABSENCE
+    of src= dirs (same rule as ``_serve``) — a top-level ``*.parquet``
+    scan would read a populated table as empty and mask real read errors
+    (corrupt file, crashed-overwrite leftovers) as valid zero-row
+    results.  Unpartitioned components (rollup/cut) keep the flat
+    ``*.parquet`` check."""
     import time
 
     comp = os.path.join(path, component)
@@ -880,7 +913,10 @@ def _serve_component(
         except Exception:
             if os.path.exists(path):
                 if os.path.isdir(comp) and not any(
-                    e.name.endswith(".parquet") for e in os.scandir(comp)
+                    e.name.startswith("src=")
+                    if partitioned
+                    else e.name.endswith(".parquet")
+                    for e in os.scandir(comp)
                 ):
                     return spark.createDataFrame([], empty_schema)
                 raise

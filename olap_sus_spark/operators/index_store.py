@@ -291,9 +291,12 @@ def drop_src_partitions(component_root: str, srcs: set[str]) -> None:
     a stale source whose recomputed partial is EMPTY (e.g. an RTBF rewrite
     that purged every index-producing row of the file) would otherwise keep
     serving its old rows forever while the manifest reads current.  Names
-    are matched through Spark's partition-path percent-escaping."""
-    import re
+    are matched through Spark's partition-path percent-escaping (escapes
+    are UTF-8 byte sequences — %C3%A9 is one 'é', so decode with
+    urllib.parse.unquote, never per-byte chr(), or multi-byte names
+    mismatch and the stale partition is kept forever)."""
     import shutil
+    from urllib.parse import unquote
 
     try:
         entries = list(os.scandir(component_root))
@@ -302,11 +305,11 @@ def drop_src_partitions(component_root: str, srcs: set[str]) -> None:
     for e in entries:
         if not (e.is_dir() and e.name.startswith("src=")):
             continue
-        value = re.sub(
-            r"%([0-9A-Fa-f]{2})",
-            lambda m: chr(int(m.group(1), 16)),
-            e.name[len("src="):],
-        )
+        raw = e.name[len("src="):]
+        try:
+            value = unquote(raw, errors="strict")
+        except UnicodeDecodeError:
+            value = raw  # not a Spark escape sequence: match verbatim
         if value in srcs:
             shutil.rmtree(e.path, ignore_errors=True)
 

@@ -1373,6 +1373,22 @@ FROM hit h JOIN tot t USING (doc_id)
 """
 
 
+# Broadcasting the eval gram set is the right plan for a real fixed
+# benchmark suite (a few thousand docs), but the hint must never be
+# unconditional: under the `doc_id % 97` demo convention the eval set is
+# ~1% of CORPUS grams, which at 100 TB would OOM every executor.  The
+# guard probes the set with an O(bound) limit+count (CollectLimit stops
+# the job at bound+1 rows — never a full pass) and only then pins the
+# hint; past the bound the join takes the plain shuffle path, where AQE
+# may still pick a runtime broadcast from actual stats.  (VERDICT r09 #3.)
+_EVAL_BROADCAST_MAX = 2_000_000  # bigint grams ≈ 16 MB raw, well under heap
+
+
+def _maybe_broadcast_eval(ev: DataFrame, bound: int | None = None) -> DataFrame:
+    b = _EVAL_BROADCAST_MAX if bound is None else bound
+    return F.broadcast(ev) if ev.limit(b + 1).count() <= b else ev
+
+
 @register(
     "decontaminate_exact_substring", oracle=_decontam_exact_substring_oracle()
 )
@@ -1392,7 +1408,7 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
     tr = dg.filter(F.col("doc_id") % 97 != 0)
     tot = tr.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
     hit = (
-        tr.join(F.broadcast(ev), "gram")
+        tr.join(_maybe_broadcast_eval(ev), "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_shared"))
     )

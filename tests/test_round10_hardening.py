@@ -1,0 +1,287 @@
+"""Round-10 hardening (ADVICE r09): the four verified findings.
+
+1. medium — _partials_frame counted ROWS per (src, gram), so a doc_id
+   duplicated in two rows of the SAME part file double-counted and could
+   wrongly push a unique gram into the >=2 scrub cut WITHOUT degrading
+   (disjoint footer ranges only prove cross-file uniqueness).  Fixed by
+   count_distinct(doc_id) in the partials, making the range proof
+   sufficient.
+2. medium — _serve_component's empty-index heuristic looked for
+   top-level *.parquet files, but the scrub docs component is
+   src=-partitioned, so a real read error on a POPULATED scrub table was
+   masked as a valid empty frame.  Fixed: partitioned components detect
+   emptiness by absence of src= dirs.
+3. low — drop_src_partitions decoded partition-path percent-escapes
+   byte-wise with chr() (Latin-1), so UTF-8 source names never matched
+   and stale partitions were kept forever.  Fixed: urllib.parse.unquote.
+4. low — `python bench.py --aba` with no commit argument silently ran
+   the full default benchmark.  Fixed: usage error, exit 2.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from olap_sus_spark.operators import gramfreq as gf
+from olap_sus_spark.operators import index_store as ix
+from tests.conftest import SF_DIR
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _mk_corpus(spark, tmp_path) -> str:
+    sf = str(tmp_path / "sf")
+    os.makedirs(os.path.join(sf, "documents.parquet"))
+    shutil.copy(
+        os.path.join(SF_DIR, "documents.parquet"),
+        os.path.join(sf, "documents.parquet", "part-00.parquet"),
+    )
+    return sf
+
+
+def _move_single_part(df, dest: str) -> None:
+    staging = dest + ".__stage__"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+    shutil.move(os.path.join(staging, part), dest)
+    shutil.rmtree(staging)
+
+
+# ---------------------------------------------------------------------------
+# 1. intra-file duplicate doc_id rows
+# ---------------------------------------------------------------------------
+def test_partials_count_distinct_docs_not_rows(spark):
+    """Unit: a doc_id duplicated across two rows of one src contributes 1
+    to n_docs, not 2."""
+    docs = spark.createDataFrame(
+        [
+            ("f1", 1, "alpha beta gamma delta epsilon zeta"),
+            ("f1", 1, "alpha beta gamma delta epsilon zeta"),  # dup row
+            ("f1", 2, "unrelated words entirely different here now"),
+        ],
+        "src string, doc_id bigint, text string",
+    )
+    partials = gf._partials_frame(docs)
+    assert partials.agg(F.max("n_docs")).first()[0] == 1
+
+
+def test_intra_file_dup_keeps_fast_path_and_exact_cut(
+    spark, tmp_path, monkeypatch
+):
+    """End-to-end ADVICE repro: duplicate one doc's row INSIDE part-00 (the
+    per-file footer range is unchanged, so the cross-file range proof still
+    passes and the build takes the per-src fast path — no degrade).  The
+    served >=2 cut must equal the distinct-document truth: the duplicated
+    doc's unique grams must NOT leak into the cut."""
+    from olap_sus_spark.operators import text as tx
+    from olap_sus_spark.streaming.corpus import corpus_docs_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    part = os.path.join(sf, "documents.parquet", "part-00.parquet")
+    docs = spark.read.parquet(part)
+    # two identical rows of an EXISTING doc_id (footer range unchanged)
+    # whose synthetic text's 5-grams exist nowhere else in the corpus: a
+    # per-row fold counts them twice and leaks them into the >=2 cut
+    min_id = docs.agg(F.min("doc_id")).first()[0]
+    dup = docs.limit(1).select(
+        F.lit(min_id).cast("bigint").alias("doc_id"),
+        *[
+            F.lit("zqxa zqxb zqxc zqxd zqxe zqxf zqxg").alias(c)
+            if c == "text"
+            else F.col(c)
+            for c in docs.columns
+            if c != "doc_id"
+        ],
+    ).select(*docs.columns)
+    _move_single_part(docs.unionAll(dup).unionAll(dup), part)
+
+    docs_of = corpus_docs_of(sf)
+    gf.load_or_build_gram_freq(spark, sf, docs_of=docs_of)
+    path = gf.gram_freq_path(sf, view="plain")
+    man = ix.read_manifest(path)
+    assert man["degraded"] is False  # fast path kept, not degraded
+    assert not os.path.isdir(os.path.join(path, "grams", "src=__degraded__"))
+
+    dg = (
+        spark.read.parquet(part)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        tx.sliding_concat(tx.tokens(F.col("text")), gf.NGRAM_N),
+                        tx.md5_int,
+                    )
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    truth = {
+        r[0]
+        for r in dg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gram")
+        .collect()
+    }
+    served = {
+        r[0] for r in gf.shared_grams(spark, sf, docs_of=docs_of).collect()
+    }
+    assert served == truth
+    # the pre-fix per-row fold WOULD have differed (the duplicated doc's
+    # solo grams would read n_docs=2): prove the fix is load-bearing
+    wrong = {
+        r[0]
+        for r in spark.read.parquet(part)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        tx.sliding_concat(tx.tokens(F.col("text")), gf.NGRAM_N),
+                        tx.md5_int,
+                    )
+                )
+            ).alias("gram"),
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gram")
+        .collect()
+    }
+    assert wrong > truth
+
+
+def test_cross_file_dup_still_degrades(spark, tmp_path, monkeypatch):
+    """The refined exact check (distinct (src, doc_id) == distinct doc_id)
+    must still catch a doc_id living in TWO part files with overlapping
+    footer ranges — per-src fold impossible, degrade required."""
+    from olap_sus_spark.streaming.corpus import corpus_docs_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    shutil.copy(
+        os.path.join(sf, "documents.parquet", "part-00.parquet"),
+        os.path.join(sf, "documents.parquet", "part-01.parquet"),
+    )
+    docs_of = corpus_docs_of(sf)
+    gf.load_or_build_gram_freq(spark, sf, docs_of=docs_of)
+    path = gf.gram_freq_path(sf, view="plain")
+    assert ix.read_manifest(path)["degraded"] is True
+
+
+# ---------------------------------------------------------------------------
+# 2. partitioned serve: read errors must not be masked as empty
+# ---------------------------------------------------------------------------
+def test_scrub_serve_corruption_raises_not_empty(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    gf.load_or_build_gram_scrub(spark, sf)
+    path = gf.scrub_path(sf)
+    docs_dir = os.path.join(path, "docs")
+    src_dirs = [
+        e.path for e in os.scandir(docs_dir) if e.name.startswith("src=")
+    ]
+    assert src_dirs  # populated, src=-partitioned
+    # corrupt every data file: a populated-but-unreadable scrub table
+    for sd in src_dirs:
+        for f in os.listdir(sd):
+            if f.endswith(".parquet"):
+                with open(os.path.join(sd, f), "wb") as fh:
+                    fh.write(b"not a parquet footer")
+    with pytest.raises(Exception):
+        gf._serve_scrub(spark, path).collect()
+
+
+def test_scrub_serve_no_src_dirs_is_valid_empty(spark, tmp_path):
+    path = str(tmp_path / "scrubidx")
+    os.makedirs(os.path.join(path, "docs"))
+    out = gf._serve_component(
+        spark,
+        path,
+        "docs",
+        "doc_id bigint, n_tokens int, n_removed int, scrubbed_text string",
+        partitioned=True,
+    )
+    assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 3. UTF-8 partition-path escapes
+# ---------------------------------------------------------------------------
+def test_drop_src_partitions_decodes_utf8_escapes(tmp_path):
+    root = str(tmp_path / "comp")
+    # Spark escapes the UTF-8 BYTES: 'é' -> %C3%A9
+    victim = os.path.join(root, "src=f%C3%A9.parquet")
+    keeper = os.path.join(root, "src=plain.parquet")
+    raw = os.path.join(root, "src=naïve.parquet")  # unescaped multi-byte
+    for d in (victim, keeper, raw):
+        os.makedirs(d)
+    ix.drop_src_partitions(root, {"fé.parquet", "naïve.parquet"})
+    assert not os.path.isdir(victim)
+    assert not os.path.isdir(raw)
+    assert os.path.isdir(keeper)
+
+
+def test_drop_src_partitions_invalid_escape_matches_verbatim(tmp_path):
+    root = str(tmp_path / "comp")
+    # %FF%FE is not valid UTF-8: strict decode fails, verbatim match wins
+    odd = os.path.join(root, "src=x%FF%FE.parquet")
+    os.makedirs(odd)
+    ix.drop_src_partitions(root, {"x%FF%FE.parquet"})
+    assert not os.path.isdir(odd)
+
+
+# ---------------------------------------------------------------------------
+# 5. decontamination eval-set broadcast guard (VERDICT r09 #3): the hint
+# is pinned only for a provably small eval set; an adversarially large one
+# (bound forced to 0) takes the un-hinted shuffle path with identical
+# results.
+# ---------------------------------------------------------------------------
+def test_decontam_broadcast_guard_fallback_is_exact(spark, monkeypatch):
+    from olap_sus_spark.queries import text_pipeline as tp
+
+    base = sorted(
+        tuple(r) for r in tp.decontaminate_exact_substring(spark, SF_DIR).collect()
+    )
+    assert base  # the convention yields hits at sf0.001
+    monkeypatch.setattr(tp, "_EVAL_BROADCAST_MAX", 0)
+    got = sorted(
+        tuple(r) for r in tp.decontaminate_exact_substring(spark, SF_DIR).collect()
+    )
+    assert got == base
+
+
+def test_maybe_broadcast_eval_probe_is_bounded(spark):
+    from olap_sus_spark.queries import text_pipeline as tp
+
+    ev = spark.range(5).select(F.col("id").alias("gram"))
+    # over the bound: the EXACT input frame comes back (no pinned hint —
+    # AQE stays free to choose from runtime stats)
+    assert tp._maybe_broadcast_eval(ev, 2) is ev
+    # under the bound: a hinted copy, not the original
+    assert tp._maybe_broadcast_eval(ev, 10) is not ev
+
+
+# ---------------------------------------------------------------------------
+# 4. bench.py --aba argv guard
+# ---------------------------------------------------------------------------
+def test_bench_aba_missing_commit_is_usage_error():
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--aba"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd=REPO,
+    )
+    assert p.returncode == 2
+    assert "usage" in p.stderr.lower()
