@@ -51,7 +51,8 @@ HEADLINE = [
     "dedup_cross_doc_scrub_served",  # same scrub served from the maintained gram-freq partials
     "dedup_cross_doc_scrub_ingested",  # scrub OUTPUT as a maintained table (pure partition read)
     "dedup_scrub_summary_by_source",  # per-source duplication accounting off the maintained scrub
-    "decontaminate_exact_substring",  # verbatim 5-gram benchmark-leakage hunt (broadcast eval grams)
+    "decontaminate_exact_substring",  # verbatim 5-gram benchmark-leakage hunt (size-guarded broadcast)
+    "decontaminate_exact_substring_served",  # eval grams from the maintained eval97 index
     "dedup_near_clusters",  # linear-output near-dup shape (the 100 TB path)
     "dedup_near_clusters_star",  # star-reduced edges: linear under mega-clusters
     "dedup_near_clusters_star_served",  # same map served from the maintained cluster index
@@ -71,6 +72,8 @@ HEADLINE = [
     "ann_lsh_filtered_topk",  # pre-filtered ANN: metadata semi-join on the candidate stream
     "ann_mmr_diverse_topk",  # MMR diversity rerank over the candidate pool
     "mutual_nn_pairs",  # reciprocal rank-1 pairs (duplicate-account signal)
+    "mutual_nn_pairs_bucketed",  # corpus-scale variant (SRP candidates)
+    "mutual_nn_pairs_bucketed_indexed",  # served from the maintained buckets
     "kmeans_fixed_point",  # engine-portable Lloyd's (fixed-point means)
     "text_quality_features",
     "ngram_lm_fluency",  # bigram-LM quality scoring (CCNet-style filtering)

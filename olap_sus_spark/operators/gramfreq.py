@@ -49,6 +49,10 @@ NGRAM_N = 5  # must match queries/text_pipeline._CROSS_NGRAM_N
 _VIEW_OFFSETS: dict[str, tuple[int, ...]] = {
     "plain": (0,),
     "aug": (0, 1_000_000, 2_000_000),
+    # eval-split view (queries/text_pipeline decontamination): keeps a
+    # row iff doc_id % 97 == 0, ids unchanged — produced ids are a SUBSET
+    # of {x + 0}, which is all the guard needs
+    "eval97": (0,),
 }
 _DEGRADED_SRC = "__degraded__"
 

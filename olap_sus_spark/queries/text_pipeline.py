@@ -1421,6 +1421,97 @@ def decontaminate_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Maintained decontamination (VERDICT r09 #6): the eval gram set is a pure
+# per-src function of the eval-split corpus view, so it rides the ENTIRE
+# gram_freq maintenance contract unchanged — index keyed on view="eval97",
+# per-src dynamic refresh O(ingested files), doc-locality guard, zero-row
+# partition drop, staged build + atomic promote.  The served twin shares
+# the from-scratch oracle: serving reads ~|eval grams| index rows instead
+# of re-gramming the eval split per call; the training side (per-doc
+# stats over the query's input corpus) is inherent to the question asked.
+def _eval_docs_of(sf_dir: str):
+    """Eval-split docs_of for the maintained eval gram set: plain
+    documents table (the decontamination queries run on the raw corpus,
+    no augmentation), rows kept iff ``doc_id % 97 == 0`` — the same
+    convention the from-scratch query filters inline.  src is tagged at
+    the scan, BEFORE spread_compute's potential repartition (input_file_name
+    dies at an exchange)."""
+    from olap_sus_spark.catalog import load_table, spread_compute
+    from olap_sus_spark.operators.gramfreq import _with_src
+
+    def docs_of(spark: SparkSession, paths: list[str] | None):
+        if paths is None:
+            docs = _with_src(load_table(spark, sf_dir, "documents"))
+        else:
+            docs = _with_src(spark.read.parquet(*paths))
+        return spread_compute(docs.filter(F.col("doc_id") % 97 == 0))
+
+    return docs_of
+
+
+def load_or_build_eval_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained eval gram SET (distinct fold over the per-src
+    partials; set semantics need no flip handling — a gram is in the set
+    iff any live src contributes it)."""
+    from olap_sus_spark.operators import gramfreq as gf
+
+    return (
+        gf.load_or_build_gram_freq(
+            spark, sf_dir, docs_of=_eval_docs_of(sf_dir), view="eval97"
+        )
+        .select("gram")
+        .distinct()
+    )
+
+
+def refresh_eval_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(ingested files) maintenance of the eval gram set."""
+    from olap_sus_spark.operators import gramfreq as gf
+
+    return (
+        gf.refresh_gram_freq(
+            spark, sf_dir, docs_of=_eval_docs_of(sf_dir), view="eval97"
+        )
+        .select("gram")
+        .distinct()
+    )
+
+
+@register(
+    "decontaminate_exact_substring_served",
+    oracle=_decontam_exact_substring_oracle(),
+)
+def decontaminate_exact_substring_served(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
+    dg = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    tx.token_ngrams(F.col("text"), _CROSS_NGRAM_N), tx.md5_int
+                )
+            )
+        ).alias("gram"),
+    )
+    ev = load_or_build_eval_grams(spark, sf_dir)
+    tr = dg.filter(F.col("doc_id") % 97 != 0)
+    tot = tr.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    hit = (
+        tr.join(_maybe_broadcast_eval(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_shared"))
+    )
+    return hit.join(tot, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_eval_shared",
+        (F.col("n_eval_shared").cast("double") / F.col("n_grams").cast("double"))
+        .alias("eval_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing — assign documents to fixed token-budget training bins
 # by contiguous cumulative token count within each source partition (the

@@ -765,3 +765,143 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ida") < F.col("idb"))
         .select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"), "cosine")
     )
+
+
+# Corpus-scale mutual-NN (VERDICT r09 #2): the docstring promise above made
+# real.  The scored self-join is replaced by the SRP bucket-collision
+# candidate stream (operators/similarity.srp_buckets — dedup-width
+# occupancy-8 auto sizing, the same discipline as dedup_embedding_lsh:
+# candidate volume is Σ occupancy² per bucket ≈ n·occupancy·tables, linear
+# in n, never n²).  Downstream is IDENTICAL to mutual_nn_pairs: rank-1 per
+# vector (now within its candidates), transpose-intersect, a<b.  Semantics
+# note: this is mutual-NN *within the LSH candidate graph* — the standard
+# scale relaxation; the oracle replays the same buckets so the gate is a
+# full value-hash match, and the recall-vs-exact unit gate
+# (tests/test_round10_hardening.py) pins how much of the true mutual set
+# the relaxation keeps.
+def _mnn_bucketed_oracle() -> str:
+    return f"""
+WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nb AS (
+    SELECT GREATEST(4, MIN(h.h)) AS b
+    FROM range(0, 40) h(h)
+    WHERE (CAST(1 AS BIGINT) << h.h)
+          >= ((SELECT COUNT(*) FROM embeddings) + 63) // 64
+),
+planes AS (
+    SELECT t.t, h.h,
+           list_transform(range(0, {_DIM}), j ->
+               CASE WHEN CAST(concat('0x', substr(md5(
+                        concat(t.t, '_', h.h, '_', j)), 1, 15)) AS BIGINT) % 2 = 0
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+           ) AS plane
+    FROM range({_LSH_T}) t(t) CROSS JOIN range(39) h(h), nb
+    WHERE h.h < nb.b
+),
+bits AS (
+    SELECT x.vec_id, p.t, p.h,
+           CASE WHEN ({_DOT.format(a='x.v', b='p.plane')}) >= 0
+                THEN 1 ELSE 0 END AS bit
+    FROM v x CROSS JOIN planes p
+),
+buckets AS (
+    SELECT vec_id, t, CAST(SUM(bit * (CAST(1 AS BIGINT) << h)) AS BIGINT) AS bucket
+    FROM bits GROUP BY vec_id, t
+),
+cand AS MATERIALIZED (
+    SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+    FROM buckets a JOIN buckets b ON b.t = a.t AND b.bucket = a.bucket
+    WHERE a.vec_id != b.vec_id
+),
+nn AS MATERIALIZED (
+    SELECT ida, idb, cosine FROM (
+        SELECT c.ida, c.idb, {_cos('x.v', 'y.v')} AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.ida
+                   ORDER BY {_cos('x.v', 'y.v')} DESC, c.idb) AS rn
+        FROM cand c
+        JOIN v x ON x.vec_id = c.ida
+        JOIN v y ON y.vec_id = c.idb
+    ) WHERE rn = 1
+)
+SELECT n.ida AS id_a, n.idb AS id_b, n.cosine
+FROM nn n JOIN nn m ON m.ida = n.idb AND m.idb = n.ida
+WHERE n.ida < n.idb
+"""
+
+
+def _mutual_nn_from_buckets(emb: DataFrame, buckets: DataFrame) -> DataFrame:
+    """Rank-1 + transpose-intersect over the bucket-collision candidate
+    stream.  IDS ONLY through the collision join (the dedup.py discipline:
+    the quadratic-in-occupancy stage shuffles 24-byte triples, never
+    vectors); vectors join back for the DEDUPED undirected pairs only, and
+    each pair is exact-cosine-scored ONCE (cosine is bit-symmetric — IEEE
+    multiplication commutes — so the directed view is a swap, not a
+    rescore)."""
+    from pyspark.sql import Window
+
+    from olap_sus_spark.operators.similarity import _as_double, cosine
+
+    ids = buckets.select("vec_id", "t", "bucket")
+    a = ids.select(F.col("vec_id").alias("ida"), "t", "bucket")
+    b = ids.select(F.col("vec_id").alias("idb"), "t", "bucket")
+    und = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
+    )
+    v = _as_double(emb, "embedding", "cv").select("vec_id", "cv")
+    scored = (
+        und.join(v.select(F.col("vec_id").alias("ida"), F.col("cv").alias("va")), "ida")
+        .join(v.select(F.col("vec_id").alias("idb"), F.col("cv").alias("vb")), "idb")
+        .select("ida", "idb", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+    )
+    directed = scored.unionAll(
+        scored.select(
+            F.col("idb").alias("ida"), F.col("ida").alias("idb"), "cosine"
+        )
+    )
+    w = Window.partitionBy("ida").orderBy(F.col("cosine").desc(), "idb")
+    nn = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("ida", "idb", "cosine")
+        .localCheckpoint(eager=True)
+    )
+    t = nn.select(F.col("ida").alias("idb"), F.col("idb").alias("ida"))
+    return (
+        nn.join(t, ["ida", "idb"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"), "cosine")
+    )
+
+
+@register("mutual_nn_pairs_bucketed", oracle=_mnn_bucketed_oracle())
+def mutual_nn_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from olap_sus_spark.operators.index_store import corpus_rows
+    from olap_sus_spark.operators.similarity import auto_bits, srp_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = auto_bits(corpus_rows(sf_dir), target_bucket=64)
+    b = srp_buckets(emb, dim=_DIM, n_tables=_LSH_T, n_bits=bits)
+    return _mutual_nn_from_buckets(emb, b)
+
+
+@register("mutual_nn_pairs_bucketed_indexed", oracle=_mnn_bucketed_oracle())
+def mutual_nn_pairs_bucketed_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Served twin: the signature pass comes from the MAINTAINED SRP
+    bucket family (occupancy-64 auto width; at the gate corpora the 4-bit
+    floor makes it the very table ann_lsh_probe_topk serves from); per
+    call only the collision join, one exact cosine per deduped pair, and
+    the rank-1/transpose fold run."""
+    from olap_sus_spark.operators.index_store import corpus_rows
+    from olap_sus_spark.operators.similarity import (
+        auto_bits,
+        load_or_build_srp_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = auto_bits(corpus_rows(sf_dir), target_bucket=64)
+    b = load_or_build_srp_index(spark, sf_dir, dim=_DIM, n_tables=_LSH_T, n_bits=bits)
+    return _mutual_nn_from_buckets(emb, b)
