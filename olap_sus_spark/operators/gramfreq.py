@@ -464,9 +464,114 @@ def load_or_build_gram_rollup(
         _write_rollup_tables(rolled, staging)
         manifest = ix.compact_manifest(man, current)
         manifest["degraded"] = bool(gman.get("degraded"))
+        manifest["levels"] = []  # a fresh sorted base carries no deltas
         ix.write_manifest(staging, manifest)
         _retire_and_promote(staging, path, current, components=("rollup", "cut"))
     return _serve_rollup(spark, path)
+
+
+# --- LSM delta levels for the rollup/cut (r10, VERDICT r09 #4) ------------
+# The r9 refresh rewrote the WHOLE sorted rollup+cut per ingest (~2 s I/O
+# floor of the 14.5 s no-flip refresh at 100×).  Grams are 60-bit hashes —
+# uniformly distributed — so range-partitioned partial rewrites can't
+# localize a delta (every ingest would touch every range); the LSM shape
+# is the one that works: the base rollup/cut stay immutable, each refresh
+# appends one bounded DELTA level, and serving overlays the folded levels
+# onto the base with broadcast joins (base stays SCAN-ONLY, zero base
+# exchange).  Levels are listed in the manifest ("levels"); unlisted dirs
+# are crash orphans, ignored and GC'd.  At _ROLLUP_MAX_LEVELS the refresh
+# folds everything back into a fresh sorted base (the old full-rewrite
+# path) — bounded level count, amortized rewrite.
+#   rdelta/<name>: (gram, d)   net per-gram count delta of one refresh
+#   cdelta/<name>: (gram, op)  >=2-cut crossings, op=+1 enter / -1 leave;
+#                  crossings strictly alternate per gram, so the folded
+#                  SUM(op) ∈ {-1,0,+1} is exactly the state flip vs base.
+_ROLLUP_MAX_LEVELS = 8
+
+
+def _levels_of(man: dict | None) -> list[str]:
+    lv = (man or {}).get("levels")
+    return list(lv) if isinstance(lv, list) else []
+
+
+def _gc_orphan_levels(path: str, keep: list[str]) -> None:
+    import shutil
+
+    for comp in ("rdelta", "cdelta"):
+        root = os.path.join(path, comp)
+        try:
+            entries = list(os.scandir(root))
+        except OSError:
+            continue
+        for e in entries:
+            if e.is_dir() and e.name not in keep:
+                shutil.rmtree(e.path, ignore_errors=True)
+
+
+def _write_level(df: DataFrame, path: str, comp: str, name: str) -> None:
+    """Stage + rename one delta level (same-fs rename = atomic publish;
+    the manifest lists the level only after the rename succeeded)."""
+    root = os.path.join(path, comp)
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f".tmp_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, os.path.join(root, name))
+
+
+def _read_levels(spark: SparkSession, path: str, comp: str, names: list[str]):
+    return spark.read.parquet(
+        *[os.path.join(path, comp, n) for n in names]
+    )
+
+
+def _merged_rollup(spark: SparkSession, path: str, man: dict | None) -> DataFrame:
+    """Base rollup overlaid with the manifest's delta levels.  The base is
+    the only corpus-sized table and it is never exchanged: the folded
+    deltas (bounded by levels × ingest size) broadcast onto it, brand-new
+    grams come from the tiny delta⟕hit anti-join, and grams folded to zero
+    drop out."""
+    base = _serve_component(
+        spark, path, "rollup", "gram bigint, n_docs bigint"
+    ).select(
+        F.col("gram").cast("bigint").alias("gram"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+    levels = _levels_of(man)
+    if not levels:
+        return base
+    dfold = (
+        _read_levels(spark, path, "rdelta", levels)
+        .groupBy("gram")
+        .agg(F.sum("d").cast("bigint").alias("d"))
+    )
+    updated = base.join(F.broadcast(dfold), "gram", "left").select(
+        "gram",
+        (F.col("n_docs") + F.coalesce(F.col("d"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
+    old_hit = base.join(F.broadcast(dfold.select("gram")), "gram", "left_semi")
+    fresh = dfold.join(old_hit, "gram", "left_anti").select(
+        "gram", F.col("d").cast("bigint").alias("n_docs")
+    )
+    return updated.unionByName(fresh).filter(F.col("n_docs") > 0)
+
+
+def _merged_cut(spark: SparkSession, path: str, man: dict | None) -> DataFrame:
+    base = _serve_component(spark, path, "cut", "gram bigint").select(
+        F.col("gram").cast("bigint").alias("gram")
+    )
+    levels = _levels_of(man)
+    if not levels:
+        return base
+    net = (
+        _read_levels(spark, path, "cdelta", levels)
+        .groupBy("gram")
+        .agg(F.sum("op").cast("int").alias("net"))
+    )
+    dels = net.filter(F.col("net") < 0).select("gram")
+    adds = net.filter(F.col("net") > 0).select("gram")
+    return base.join(F.broadcast(dels), "gram", "left_anti").unionByName(adds)
 
 
 def _manifests_aligned(a: dict | None, b: dict | None) -> bool:
@@ -505,12 +610,17 @@ def refresh_gram_rollup(
     view: str | None = None,
 ) -> DataFrame:
     """Keep partials AND rollup fresh after an ingest or an RTBF rewrite.
-    Appends merge ``old rollup + appended srcs' partials``; CHANGED files
-    (purge rewrites keep their names) merge ``old rollup + new partials −
-    captured old partials`` of just those srcs — both O(ingest/affected),
-    no corpus re-gram, no full re-fold (r9).  Removals, degraded mode, and
-    a partials index refreshed past this rollup's snapshot (old per-src
-    values already overwritten) re-fold from the refreshed partials.  Same
+    Appends contribute ``appended srcs' partials``; CHANGED files (purge
+    rewrites keep their names) contribute ``new partials − captured old
+    partials`` of just those srcs — both O(ingest/affected), no corpus
+    re-gram, no full re-fold (r9).  The net delta lands as ONE bounded LSM
+    level (r10): the sorted base rollup/cut are untouched, serving overlays
+    the folded levels by broadcast, and the full sorted rewrite runs only
+    at the ``_ROLLUP_MAX_LEVELS`` fold (or for backfill-sized deltas) —
+    the per-ingest base rewrite the r9 probe measured as the refresh floor
+    is amortized 1-in-8.  Removals, degraded mode, and a partials index
+    refreshed past this rollup's snapshot (old per-src values already
+    overwritten) re-fold from the refreshed partials.  Same
     single-refresher assumption as :func:`refresh_gram_freq`."""
     import shutil
 
@@ -538,13 +648,12 @@ def refresh_gram_rollup(
             return load_or_build_gram_rollup(spark, sf_dir, table, docs_of, view)
         stale = sorted(added + changed)
         if stale:
+            import uuid
+
             delta = (
                 spark.read.parquet(os.path.join(gpath, "grams"))
                 .filter(F.col(_SRC).isin(stale))
                 .select("gram", F.col("n_docs").cast("bigint").alias("n_docs"))
-            )
-            old = spark.read.parquet(os.path.join(path, "rollup")).select(
-                "gram", F.col("n_docs").cast("bigint").alias("n_docs")
             )
             if old_delta_tmp is not None:
                 neg = spark.read.parquet(old_delta_tmp).select(
@@ -552,48 +661,140 @@ def refresh_gram_rollup(
                 )
                 delta = delta.unionByName(neg)
             # net per-gram delta is bounded by the stale files' gram count —
-            # small for a daily ingest/purge.  When it fits a broadcast, the
-            # merge keeps the big rollup SCAN-ONLY (BHJ update + tiny anti
-            # for brand-new grams) instead of exchanging all of it into a
-            # hash-agg; the one remaining big shuffle is the sorted rewrite
-            # itself.  Large backfills fall back to the plain re-aggregate.
+            # small for a daily ingest/purge; zero-net grams (a rewrite
+            # that re-grammed identically) drop out entirely
             dd = (
                 delta.groupBy("gram")
                 .agg(F.sum("n_docs").cast("bigint").alias("d"))
+                .filter(F.col("d") != 0)
                 .persist()
             )
-            if dd.count() <= 1_000_000:
-                updated = old.join(F.broadcast(dd), "gram", "left").select(
-                    "gram",
-                    (F.col("n_docs") + F.coalesce(F.col("d"), F.lit(0)))
-                    .cast("bigint")
-                    .alias("n_docs"),
-                )
-                old_hit = old.join(
-                    F.broadcast(dd.select("gram")), "gram", "left_semi"
-                )
-                fresh = dd.join(old_hit, "gram", "left_anti").select(
-                    "gram", F.col("d").cast("bigint").alias("n_docs")
-                )
-                merged = updated.unionByName(fresh).filter(F.col("n_docs") > 0)
-            else:
-                merged = (
-                    old.unionByName(dd.select("gram", F.col("d").alias("n_docs")))
-                    .groupBy("gram")
-                    .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
-                    .filter(F.col("n_docs") > 0)
-                )
-            staging = ix.staging_path(path)
+            levels = _levels_of(man)
             try:
-                _write_rollup_tables(merged, staging)
+                n_dd = dd.count()
+                if n_dd == 0:
+                    # net no-op (a rewrite re-grammed identically): stamp
+                    # the manifest current, no level, no rewrite
+                    manifest = ix.compact_manifest(man, current)
+                    manifest["degraded"] = False
+                    manifest["levels"] = levels
+                    ix.write_manifest(path, manifest)
+                    return _serve_rollup(spark, path)
+                small = n_dd <= 1_000_000
+                if small and len(levels) < _ROLLUP_MAX_LEVELS:
+                    # LSM fast path (r10): append ONE bounded delta level —
+                    # the base rollup/cut are not rewritten at all.  The
+                    # only base-sized work is one scan-only broadcast-semi
+                    # to fetch the dd grams' old base counts for the cut-
+                    # crossing computation; everything written is O(dd).
+                    name = f"L{len(levels):03d}_{uuid.uuid4().hex[:8]}"
+                    base = _serve_component(
+                        spark, path, "rollup", "gram bigint, n_docs bigint"
+                    ).select(
+                        F.col("gram").cast("bigint").alias("gram"),
+                        F.col("n_docs").cast("bigint").alias("n_docs"),
+                    )
+                    parts = [
+                        base.join(
+                            F.broadcast(dd.select("gram")), "gram", "left_semi"
+                        ).select("gram", F.col("n_docs").alias("v"))
+                    ]
+                    if levels:
+                        parts.append(
+                            _read_levels(spark, path, "rdelta", levels)
+                            .join(
+                                F.broadcast(dd.select("gram")),
+                                "gram",
+                                "left_semi",
+                            )
+                            .select("gram", F.col("d").cast("bigint").alias("v"))
+                        )
+                    old_tot = parts[0]
+                    for p in parts[1:]:
+                        old_tot = old_tot.unionByName(p)
+                    old_tot = old_tot.groupBy("gram").agg(
+                        F.sum("v").cast("bigint").alias("old_n")
+                    )
+                    x = (
+                        dd.join(old_tot, "gram", "left")
+                        .select(
+                            "gram",
+                            "d",
+                            F.coalesce(F.col("old_n"), F.lit(0))
+                            .cast("bigint")
+                            .alias("old_n"),
+                        )
+                        .withColumn("new_n", F.col("old_n") + F.col("d"))
+                    )
+                    cut_delta = x.filter(
+                        ((F.col("old_n") < 2) & (F.col("new_n") >= 2))
+                        | ((F.col("old_n") >= 2) & (F.col("new_n") < 2))
+                    ).select(
+                        "gram",
+                        F.when(F.col("new_n") >= 2, F.lit(1))
+                        .otherwise(F.lit(-1))
+                        .cast("int")
+                        .alias("op"),
+                    )
+                    _write_level(
+                        dd.select("gram", F.col("d").cast("bigint").alias("d")),
+                        path,
+                        "rdelta",
+                        name,
+                    )
+                    _write_level(cut_delta, path, "cdelta", name)
+                    manifest = ix.compact_manifest(man, current)
+                    manifest["degraded"] = False
+                    manifest["levels"] = levels + [name]
+                    ix.write_manifest(path, manifest)
+                    _gc_orphan_levels(path, manifest["levels"])
+                else:
+                    # fold (level cap reached, or a backfill-sized delta):
+                    # base + all levels + dd -> a fresh sorted base with no
+                    # deltas.  When dd broadcasts, the merge keeps the old
+                    # base SCAN-ONLY (BHJ update + tiny anti for brand-new
+                    # grams); the remaining big shuffle is the sorted
+                    # rewrite itself — now paid once per _ROLLUP_MAX_LEVELS
+                    # refreshes instead of every refresh.
+                    old = _merged_rollup(spark, path, man)
+                    if small:
+                        updated = old.join(F.broadcast(dd), "gram", "left").select(
+                            "gram",
+                            (F.col("n_docs") + F.coalesce(F.col("d"), F.lit(0)))
+                            .cast("bigint")
+                            .alias("n_docs"),
+                        )
+                        old_hit = old.join(
+                            F.broadcast(dd.select("gram")), "gram", "left_semi"
+                        )
+                        fresh = dd.join(old_hit, "gram", "left_anti").select(
+                            "gram", F.col("d").cast("bigint").alias("n_docs")
+                        )
+                        merged = updated.unionByName(fresh).filter(
+                            F.col("n_docs") > 0
+                        )
+                    else:
+                        merged = (
+                            old.unionByName(
+                                dd.select("gram", F.col("d").alias("n_docs"))
+                            )
+                            .groupBy("gram")
+                            .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+                            .filter(F.col("n_docs") > 0)
+                        )
+                    staging = ix.staging_path(path)
+                    _write_rollup_tables(merged, staging)
+                    manifest = ix.compact_manifest(man, current)
+                    manifest["degraded"] = False
+                    manifest["levels"] = []
+                    ix.write_manifest(staging, manifest)
+                    # the merge read the OLD rollup: promote must replace it
+                    # even though it exists — retire-then-promote, never skip
+                    _retire_and_promote(
+                        staging, path, None, components=("rollup", "cut")
+                    )
             finally:
                 dd.unpersist()
-            manifest = ix.compact_manifest(man, current)
-            manifest["degraded"] = False
-            ix.write_manifest(staging, manifest)
-            # the merge read the OLD rollup: promote must replace it even
-            # though it exists — retire-then-promote, never skip
-            _retire_and_promote(staging, path, None, components=("rollup", "cut"))
         return _serve_rollup(spark, path)
     finally:
         if old_delta_tmp is not None:
@@ -607,15 +808,14 @@ def shared_grams_cut(
     docs_of=None,
     view: str | None = None,
 ) -> DataFrame:
-    """The >=2 cut served from the maintained ROLLUP — a plain sorted scan,
-    zero shuffle, zero fold (the scale serving path; :func:`shared_grams`
-    remains the fold-the-partials fallback)."""
+    """The >=2 cut served from the maintained ROLLUP — a plain sorted scan
+    of the base cut plus a broadcast overlay of the (bounded) crossing
+    levels, zero base exchange (the scale serving path;
+    :func:`shared_grams` remains the fold-the-partials fallback)."""
     view = _view_of(docs_of, view)
     load_or_build_gram_rollup(spark, sf_dir, table, docs_of, view)
     path = rollup_path(sf_dir, table, view)
-    return _serve_component(spark, path, "cut", "gram bigint").select(
-        F.col("gram").cast("bigint").alias("gram")
-    )
+    return _merged_cut(spark, path, ix.read_manifest(path))
 
 
 # ---------------------------------------------------------------------------
@@ -888,10 +1088,7 @@ def _serve_scrub(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _serve_rollup(spark: SparkSession, path: str) -> DataFrame:
-    return _serve_component(spark, path, "rollup", "gram bigint, n_docs bigint").select(
-        F.col("gram").cast("bigint").alias("gram"),
-        F.col("n_docs").cast("bigint").alias("n_docs"),
-    )
+    return _merged_rollup(spark, path, ix.read_manifest(path))
 
 
 def _serve_component(

@@ -314,6 +314,62 @@ def drop_src_partitions(component_root: str, srcs: set[str]) -> None:
             shutil.rmtree(e.path, ignore_errors=True)
 
 
+def compact_src_partitions(
+    spark,
+    component_root: str,
+    target_files: int = 1,
+    sort_cols: tuple[str, ...] = (),
+) -> dict[str, int]:
+    """Small-file compaction for ``src=``-partitioned index components:
+    rewrite every partition holding more than ``target_files`` parquet
+    files down to ``target_files`` (the refresh path writes up to 4 files
+    per touched partition — sources/sinks.write_sorted_partitioned — so a
+    long ingest chain accumulates ~4 files per corpus part file per
+    component; the r10 steady-state probe measured ~15 files/ingest across
+    the corpus-index fleet).  Run it on an operator's cadence (e.g. every
+    K ingests); returns {partition name: files before} for what was
+    rewritten.
+
+    The corpus manifest tracks CORPUS files, not index files, so
+    compaction is invisible to staleness and needs no re-stamp.  Staging
+    lives OUTSIDE the component root (a sibling dir), so partition
+    discovery on the live root never sees half-written copies; each
+    partition is committed by the sinks retire→promote rename pair.  Same
+    SINGLE-MAINTAINER assumption as the refresh paths (gramfreq/inverted
+    docstrings): a concurrent reader can race one partition's rename
+    window exactly as it can race a dynamic partition overwrite.  Rows are
+    re-sorted on ``sort_cols`` so the compacted file keeps the range-
+    sorted layout (footer min/max stay selective)."""
+    import shutil
+
+    from olap_sus_spark.sources.sinks import _swap_in
+
+    out: dict[str, int] = {}
+    try:
+        entries = list(os.scandir(component_root))
+    except OSError:
+        return out
+    stage_root = component_root.rstrip("/") + f".__compactstage__{os.getpid()}"
+    for e in entries:
+        if not (e.is_dir() and e.name.startswith("src=")):
+            continue
+        try:
+            n = sum(1 for f in os.listdir(e.path) if f.endswith(".parquet"))
+        except OSError:
+            continue
+        if n <= target_files:
+            continue
+        df = spark.read.parquet(e.path).coalesce(target_files)
+        if sort_cols:
+            df = df.sortWithinPartitions(*sort_cols)
+        staging = os.path.join(stage_root, e.name)
+        df.write.mode("overwrite").parquet(staging)
+        _swap_in(spark, e.path, staging)
+        out[e.name] = n
+    shutil.rmtree(stage_root, ignore_errors=True)
+    return out
+
+
 def index_path(kind: str, key: str) -> str:
     """Deterministic index directory for (kind, logical key)."""
     import hashlib

@@ -45,6 +45,10 @@ def _mk_corpus(spark, tmp_path) -> str:
     return sf
 
 
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
 def _move_single_part(df, dest: str) -> None:
     staging = dest + ".__stage__"
     df.coalesce(1).write.mode("overwrite").parquet(staging)
@@ -376,6 +380,237 @@ def test_mutual_nn_bucketed_indexed_equals_inline(spark, tmp_path, monkeypatch):
         for r in mutual_nn_pairs_bucketed_indexed(spark, SF_DIR).collect()
     )
     assert inline == served and len(inline) > 0
+
+
+# ---------------------------------------------------------------------------
+# 8. index compaction (VERDICT r09 #1): refresh chains accumulate up to 4
+# files per touched src= partition; compaction folds them to 1 with
+# bit-identical served values, untouched manifests, and a still-working
+# refresh path afterwards.
+# ---------------------------------------------------------------------------
+def _n_parquet(root: str) -> int:
+    return sum(
+        1
+        for r, _d, names in os.walk(root)
+        for n in names
+        if n.endswith(".parquet")
+    )
+
+
+def test_compaction_shrinks_files_preserves_values_and_refresh(
+    spark, tmp_path, monkeypatch
+):
+    import olap_sus_spark.operators.inverted as inv
+    from olap_sus_spark.operators import gramfreq as gf
+    from olap_sus_spark.operators.compaction import compact_maintained_indexes
+    from olap_sus_spark.streaming.corpus import corpus_docs_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    docs_of = corpus_docs_of(sf)
+    docs0 = spark.read.parquet(os.path.join(sf, "documents.parquet", "part-00.parquet"))
+    max_id = docs0.agg(F.max("doc_id")).first()[0] + 1
+
+    gf.load_or_build_gram_scrub(spark, sf, docs_of=docs_of)
+    inv.load_or_build_inverted_index(spark, sf)
+    for i in (1, 2):  # two refresh rounds accumulate per-src files
+        extra = docs0.filter(F.col("doc_id") % 5 == i).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * max_id).cast("bigint")
+        )
+        _move_single_part(
+            extra, os.path.join(sf, "documents.parquet", f"part-{i:02d}.parquet")
+        )
+        gf.refresh_gram_scrub(spark, sf, docs_of=docs_of)
+        inv.refresh_inverted_index(spark, sf)
+
+    gpath = os.path.join(gf.gram_freq_path(sf, view="plain"), "grams")
+    spath = os.path.join(gf.scrub_path(sf, view="plain"), "docs")
+    ppath = os.path.join(inv.inverted_index_path(sf), "postings")
+    before = {p: _n_parquet(p) for p in (gpath, spath, ppath)}
+    served_before = {
+        "grams": _rows(gf.load_or_build_gram_freq(spark, sf, docs_of=docs_of)),
+        "scrub": _rows(gf.load_or_build_gram_scrub(spark, sf, docs_of=docs_of)),
+        "postings": _rows(inv.load_or_build_inverted_index(spark, sf)[0]),
+    }
+    man_before = ix.read_manifest(gf.gram_freq_path(sf, view="plain"))
+
+    done = compact_maintained_indexes(spark, sf, view="plain")
+    assert "gramfreq/grams" in done and "inverted/postings" in done
+    after = {p: _n_parquet(p) for p in (gpath, spath, ppath)}
+    for p in before:
+        assert after[p] < before[p]
+    # one file per src= partition now
+    for p in (gpath, spath, ppath):
+        for e in os.scandir(p):
+            if e.is_dir() and e.name.startswith("src="):
+                files = [f for f in os.listdir(e.path) if f.endswith(".parquet")]
+                assert len(files) == 1, (e.path, files)
+
+    # served values bit-identical, manifest untouched
+    assert man_before == ix.read_manifest(gf.gram_freq_path(sf, view="plain"))
+    assert served_before["grams"] == _rows(
+        gf.load_or_build_gram_freq(spark, sf, docs_of=docs_of)
+    )
+    assert served_before["scrub"] == _rows(
+        gf.load_or_build_gram_scrub(spark, sf, docs_of=docs_of)
+    )
+    assert served_before["postings"] == _rows(
+        inv.load_or_build_inverted_index(spark, sf)[0]
+    )
+
+    # the refresh contract survives compaction: append -> refresh == rebuild
+    extra = docs0.filter(F.col("doc_id") % 5 == 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(3 * max_id).cast("bigint")
+    )
+    _move_single_part(
+        extra, os.path.join(sf, "documents.parquet", "part-03.parquet")
+    )
+    got = _rows(gf.refresh_gram_scrub(spark, sf, docs_of=docs_of))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = _rows(gf.load_or_build_gram_scrub(spark, sf, docs_of=docs_of))
+    assert got == fresh and len(got) > 0
+
+
+def test_compaction_skips_missing_indexes(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.operators.compaction import compact_maintained_indexes
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_none"))
+    sf = _mk_corpus(spark, tmp_path)
+    assert compact_maintained_indexes(spark, sf) == {}
+
+
+# ---------------------------------------------------------------------------
+# 9. LSM rollup levels (VERDICT r09 #4): per-ingest refreshes append one
+# bounded delta level (base rollup/cut files untouched), crossings flip
+# the served cut both ways, the RTBF/changed path lands negative deltas,
+# and the level cap folds everything back into a fresh sorted base —
+# serve == fresh rebuild after every step.
+# ---------------------------------------------------------------------------
+def _fresh_rollup_rows(spark, sf, docs_of, tmp_path, tag):
+    """Rollup + cut of a FRESH full build in a throwaway index root."""
+    old = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    os.environ["SPARK_GRAFT_INDEX_DIR"] = str(tmp_path / f"idx_fresh_{tag}")
+    try:
+        from olap_sus_spark.operators import gramfreq as gf
+
+        r = _rows(gf.load_or_build_gram_rollup(spark, sf, docs_of=docs_of))
+        c = _rows(gf.shared_grams_cut(spark, sf, docs_of=docs_of))
+        return r, c
+    finally:
+        os.environ["SPARK_GRAFT_INDEX_DIR"] = old
+
+
+def test_rollup_lsm_levels_and_fold(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.operators import gramfreq as gf
+    from olap_sus_spark.streaming.corpus import corpus_docs_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    monkeypatch.setattr(gf, "_ROLLUP_MAX_LEVELS", 3)
+    sf = _mk_corpus(spark, tmp_path)
+    docs_of = corpus_docs_of(sf)
+    gf.load_or_build_gram_rollup(spark, sf, docs_of=docs_of)
+    path = gf.rollup_path(sf, view="plain")
+    assert gf._levels_of(ix.read_manifest(path)) == []
+    base_files = sorted(os.listdir(os.path.join(path, "rollup")))
+
+    part0 = os.path.join(sf, "documents.parquet", "part-00.parquet")
+    docs0 = spark.read.parquet(part0)
+    max_id = docs0.agg(F.max("doc_id")).first()[0] + 1
+
+    # ingest 1: VERBATIM copies of existing docs -> unique->shared
+    # crossings (+1 ops); ingest 2: fresh salted text -> new grams
+    for i, dup in ((1, True), (2, False)):
+        batch = docs0.filter(F.col("doc_id") % 4 == i).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * max_id).cast("bigint")
+        )
+        if not dup:
+            batch = batch.withColumn(
+                "text",
+                F.expr(
+                    f"array_join(transform(split(text, ' '),"
+                    f" w -> concat('lsm{i}', w)), ' ')"
+                ),
+            )
+        _move_single_part(
+            batch, os.path.join(sf, "documents.parquet", f"part-{i:02d}.parquet")
+        )
+        gf.refresh_gram_rollup(spark, sf, docs_of=docs_of)
+        man = ix.read_manifest(path)
+        assert len(gf._levels_of(man)) == i  # one level per ingest
+        # the sorted base was NOT rewritten
+        assert sorted(os.listdir(os.path.join(path, "rollup"))) == base_files
+        got_r = _rows(gf.load_or_build_gram_rollup(spark, sf, docs_of=docs_of))
+        got_c = _rows(gf.shared_grams_cut(spark, sf, docs_of=docs_of))
+        fr, fc = _fresh_rollup_rows(spark, sf, docs_of, tmp_path, f"a{i}")
+        assert got_r == fr and got_c == fc and len(got_c) > 0
+
+    # ingest 3: RTBF-style rewrite of the dup file -> negative deltas,
+    # shared->unique crossings (-1 ops) — still a level, base untouched
+    import time
+
+    shrunk = spark.read.parquet(
+        os.path.join(sf, "documents.parquet", "part-01.parquet")
+    ).limit(2)
+    _move_single_part(
+        shrunk, os.path.join(sf, "documents.parquet", "part-01.parquet")
+    )
+    now = time.time() + 2
+    os.utime(os.path.join(sf, "documents.parquet", "part-01.parquet"), (now, now))
+    gf.refresh_gram_rollup(spark, sf, docs_of=docs_of)
+    assert len(gf._levels_of(ix.read_manifest(path))) == 3
+    assert sorted(os.listdir(os.path.join(path, "rollup"))) == base_files
+    got_r = _rows(gf.load_or_build_gram_rollup(spark, sf, docs_of=docs_of))
+    got_c = _rows(gf.shared_grams_cut(spark, sf, docs_of=docs_of))
+    fr, fc = _fresh_rollup_rows(spark, sf, docs_of, tmp_path, "rtbf")
+    assert got_r == fr and got_c == fc
+
+    # ingest 4: level cap reached -> FOLD into a fresh sorted base
+    batch = docs0.filter(F.col("doc_id") % 4 == 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(4 * max_id).cast("bigint")
+    )
+    _move_single_part(
+        batch, os.path.join(sf, "documents.parquet", "part-04.parquet")
+    )
+    gf.refresh_gram_rollup(spark, sf, docs_of=docs_of)
+    man = ix.read_manifest(path)
+    assert gf._levels_of(man) == []  # folded
+    assert not os.path.exists(os.path.join(path, "rdelta"))  # promote wiped
+    got_r = _rows(gf.load_or_build_gram_rollup(spark, sf, docs_of=docs_of))
+    got_c = _rows(gf.shared_grams_cut(spark, sf, docs_of=docs_of))
+    fr, fc = _fresh_rollup_rows(spark, sf, docs_of, tmp_path, "fold")
+    assert got_r == fr and got_c == fc
+
+
+def test_rollup_lsm_scrub_chain_stays_exact(spark, tmp_path, monkeypatch):
+    """The scrub chain on top of LSM levels: refresh_gram_scrub's flip
+    detection reads the MERGED rollup — after two leveled ingests the
+    maintained scrub must equal a fresh full rebuild."""
+    from olap_sus_spark.operators import gramfreq as gf
+    from olap_sus_spark.streaming.corpus import corpus_docs_of
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    docs_of = corpus_docs_of(sf)
+    gf.load_or_build_gram_scrub(spark, sf, docs_of=docs_of)
+    part0 = os.path.join(sf, "documents.parquet", "part-00.parquet")
+    docs0 = spark.read.parquet(part0)
+    max_id = docs0.agg(F.max("doc_id")).first()[0] + 1
+    for i, dup in ((1, True), (2, False)):
+        batch = docs0.filter(F.col("doc_id") % 4 == i).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * max_id).cast("bigint")
+        )
+        if not dup:
+            batch = batch.withColumn("text", F.concat(F.lit(f"zq{i} "), "text"))
+        _move_single_part(
+            batch, os.path.join(sf, "documents.parquet", f"part-{i:02d}.parquet")
+        )
+        got = _rows(gf.refresh_gram_scrub(spark, sf, docs_of=docs_of))
+    assert (
+        len(gf._levels_of(ix.read_manifest(gf.rollup_path(sf, view="plain")))) == 2
+    )
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = _rows(gf.load_or_build_gram_scrub(spark, sf, docs_of=docs_of))
+    assert got == fresh and len(got) > 0
 
 
 # ---------------------------------------------------------------------------

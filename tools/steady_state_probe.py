@@ -350,6 +350,7 @@ def main() -> None:
         print(f"  build {name}: {time.perf_counter() - t1:.2f}s", flush=True)
     print(f"cold builds: {time.perf_counter() - t0:.1f}s", flush=True)
 
+    compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     timings: dict[str, list[float]] = {nm: [] for nm, *_ in fams}
     growth: list[dict] = []
     for i in range(1, n + 1):
@@ -360,13 +361,30 @@ def main() -> None:
             refresh(days)
             dt = time.perf_counter() - t1
             timings[name].append(round(dt, 3))
-            st = [dir_stats(p) for p in paths()]
-            row[name] = {
-                "sec": round(dt, 3),
-                "files": sum(s["files"] for s in st),
-                "mb": round(sum(s["mb"] for s in st), 2),
-                "manifest_b": sum(s["manifest_b"] for s in st),
+            row[name] = {"sec": round(dt, 3)}
+        if compact_every and i % compact_every == 0:
+            from olap_sus_spark.operators.compaction import (
+                compact_maintained_indexes,
+            )
+
+            t1 = time.perf_counter()
+            done = compact_maintained_indexes(
+                spark, base, view="plain", dim=DIM, n_tables=4, n_bits=4
+            )
+            row["compact"] = {
+                "sec": round(time.perf_counter() - t1, 3),
+                "partitions": sum(len(v) for v in done.values()),
             }
+            print(f"  compact @{i}: {row['compact']}", flush=True)
+        # dir stats AFTER any compaction so the growth table reflects the
+        # operator's steady state
+        for name, _refresh, paths, _served in fams:
+            st = [dir_stats(p) for p in paths()]
+            row[name].update(
+                files=sum(s["files"] for s in st),
+                mb=round(sum(s["mb"] for s in st), 2),
+                manifest_b=sum(s["manifest_b"] for s in st),
+            )
         row["debris"] = debris(idx)
         growth.append(row)
         print(
