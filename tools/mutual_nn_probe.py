@@ -69,13 +69,18 @@ def probe(spark, n: int) -> None:
     rows = corpus_rows(out_dir)
     auto = auto_bits(rows, target_bucket=64)
     n_auto = candidates(spark, out_dir, auto)
-    n_fixed = candidates(spark, out_dir, 4)
-    print(
+    msg = (
         f"x{n}: rows={rows} auto_bits={auto} "
-        f"cand(auto)={n_auto} ({n_auto / rows:.1f}/vec)  "
-        f"cand(4-bit fixed)={n_fixed} ({n_fixed / rows:.1f}/vec)",
-        flush=True,
+        f"cand(auto)={n_auto} ({n_auto / rows:.1f}/vec)"
     )
+    if n < 50:
+        # the fixed-bit contrast (the n² trap) is only SAFE to materialize
+        # at small N — at ×100 the 4-bit distinct spills >70 GB (PLANS.md
+        # round-4); the ×10 side-by-side plus the flat auto
+        # candidates-per-vector across N carry the argument
+        n_fixed = candidates(spark, out_dir, 4)
+        msg += f"  cand(4-bit fixed)={n_fixed} ({n_fixed / rows:.1f}/vec)"
+    print(msg, flush=True)
 
     best, s = float("inf"), None
     for _ in range(2):
