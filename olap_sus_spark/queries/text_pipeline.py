@@ -964,6 +964,15 @@ _CROSS_NGRAM_N = 5
 
 
 def _cross_doc_ngrams_oracle() -> str:
+    # Join-free formulation: grams are per-doc DISTINCT in dg, so a gram
+    # with corpus-wide COUNT(*) = 1 belongs to exactly ONE document and
+    # n_shared = n_grams - n_unique.  The naive twin (gram -> n_docs,
+    # joined back onto every gram occurrence) is quadratic-ish in memory
+    # for the single-node oracle at sf10 (90M-row probe against an
+    # 85M-group build side ground >60 min in DuckDB, r10 sweep §10);
+    # this one is two group-bys plus a docs-sized join.  A DuckDB-vs-
+    # DuckDB equivalence test against the old SQL keeps both shapes
+    # honest (tests/test_text_pipeline.py).
     toks = _TOKENS_SQL.format(t="text")
     grams = _ngrams_expr_sql("t", _CROSS_NGRAM_N)
     return f"""
@@ -975,14 +984,17 @@ dg AS (
             AS gram
     FROM tk
 ),
-gc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dg GROUP BY gram)
-SELECT dg.doc_id AS doc_id,
-    CAST(COUNT(*) AS BIGINT) AS n_grams,
-    CAST(SUM(CASE WHEN gc.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-    CAST(SUM(CASE WHEN gc.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-        / CAST(COUNT(*) AS DOUBLE) AS shared_frac
-FROM dg JOIN gc USING (gram)
-GROUP BY dg.doc_id
+uq AS (SELECT MIN(doc_id) AS doc_id FROM dg GROUP BY gram HAVING COUNT(*) = 1),
+u AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_unique FROM uq GROUP BY doc_id),
+tot AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM dg GROUP BY doc_id
+)
+SELECT tot.doc_id AS doc_id,
+    tot.n_grams AS n_grams,
+    CAST(tot.n_grams - COALESCE(u.n_unique, 0) AS BIGINT) AS n_shared,
+    CAST(tot.n_grams - COALESCE(u.n_unique, 0) AS DOUBLE)
+        / CAST(tot.n_grams AS DOUBLE) AS shared_frac
+FROM tot LEFT JOIN u USING (doc_id)
 """
 
 

@@ -282,6 +282,66 @@ def test_corpus_token_budget_matches_naive_global_window(spark):
     assert over > 0
 
 
+def test_cross_doc_ngrams_oracle_join_free_rewrite_equivalent():
+    """The r10 join-free oracle (n_shared = n_grams - n_unique; a gram with
+    corpus-wide count 1 belongs to exactly one doc) must return the exact
+    result set of the original join-back formulation — DuckDB vs DuckDB,
+    no Spark involved, so this pins the SQL rewrite itself."""
+    import duckdb
+
+    from olap_sus_spark.queries.text_pipeline import (
+        _AUG_SQL,
+        _CROSS_NGRAM_N,
+        _TOKENS_SQL,
+        _cross_doc_ngrams_oracle,
+        _md5_int_sql,
+        _ngrams_expr_sql,
+    )
+    from tests.conftest import SF_DIR
+
+    toks = _TOKENS_SQL.format(t="text")
+    grams = _ngrams_expr_sql("t", _CROSS_NGRAM_N)
+    old = f"""
+WITH {_AUG_SQL},
+tk AS (SELECT doc_id, {toks} AS t FROM aug),
+dg AS (
+    SELECT doc_id,
+        unnest(list_distinct(list_transform({grams}, x -> {_md5_int_sql('x')})))
+            AS gram
+    FROM tk
+),
+gc AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dg GROUP BY gram)
+SELECT dg.doc_id AS doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_grams,
+    CAST(SUM(CASE WHEN gc.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+    CAST(SUM(CASE WHEN gc.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS shared_frac
+FROM dg JOIN gc USING (gram)
+GROUP BY dg.doc_id
+"""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+
+    def run(sql):
+        rel = con.execute(sql)
+        cols = [d[0] for d in rel.description]
+        rows = rel.fetchall()
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        nv = lambda v: repr(v) if isinstance(v, float) else str(v)
+        return sorted(cols), sorted(
+            tuple(nv(r[i]) for i in order) for r in rows
+        )
+
+    co, ro = run(old)
+    cn, rn = run(_cross_doc_ngrams_oracle())
+    assert co == cn
+    assert ro == rn
+    assert len(ro) > 0
+
+
 def test_cross_doc_scrub_degenerate_long_doc(spark, tmp_path, monkeypatch):
     """Exact-substring scrub semantics pinned on a hand-built corpus,
     including a 50k-token all-identical document (the per-doc reassembly

@@ -183,6 +183,24 @@ def main() -> None:
         print(f"{s} SKIPPED (scale policy — see tools/sf1_sweep.py)", flush=True)
     names = [x for x in names if x not in skips]
 
+    # Served/ingested twins deliberately SHARE their from-scratch twin's
+    # oracle SQL (hash equality proves the maintained path); at sf10 each
+    # scrub-family oracle is a full single-node corpus re-scrub, so run
+    # each distinct SQL text once and reuse the result across twins.
+    # Only multiply-used SQL is cached, and entries are dropped after the
+    # last consumer (a scrub result set is ~GBs at sf10).
+    from collections import Counter
+
+    sql_uses = Counter(oracles[x] for x in names if x in oracles)
+    duck_rows_cache: dict[str, tuple[list, list]] = {}
+    duck_chk_cache: dict[str, tuple[int, int, int]] = {}
+
+    def _done_with(sql: str) -> None:
+        sql_uses[sql] -= 1
+        if sql_uses[sql] <= 0:
+            duck_rows_cache.pop(sql, None)
+            duck_chk_cache.pop(sql, None)
+
     fails, slow = [], []
     for name in names:
         t0 = time.perf_counter()
@@ -202,7 +220,13 @@ def main() -> None:
                     print(f"{name} MISMATCH (schema) [checksum path]", flush=True)
                     fails.append(name)
                     continue
-                dchk = duck_checksum(oracles[name], dcols)
+                if oracles[name] in duck_chk_cache:
+                    dchk = duck_chk_cache[oracles[name]]
+                else:
+                    dchk = duck_checksum(oracles[name], dcols)
+                    if sql_uses[oracles[name]] > 1:
+                        duck_chk_cache[oracles[name]] = dchk
+                _done_with(oracles[name])
                 ok = schk == dchk
                 print(
                     f"{name} {'MATCH' if ok else 'MISMATCH'} [{dt:.1f}s, {n_out} rows,"
@@ -225,9 +249,15 @@ def main() -> None:
             print(f"{name} rows-only {len(srows)} [{dt:.1f}s]", flush=True)
             continue
         try:
-            rel = con.execute(oracles[name])
-            dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            if oracles[name] in duck_rows_cache:
+                dcols, drows = duck_rows_cache[oracles[name]]
+            else:
+                rel = con.execute(oracles[name])
+                dcols = [d[0] for d in rel.description]
+                drows = rel.fetchall()
+                if sql_uses[oracles[name]] > 1:
+                    duck_rows_cache[oracles[name]] = (dcols, drows)
+            _done_with(oracles[name])
         except Exception as exc:
             print(f"{name} ORACLE-ERROR {type(exc).__name__}: {str(exc)[:200]}", flush=True)
             fails.append(name)
