@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_scrub_summary_by_source",  # per-source duplication accounting off the maintained scrub
     "decontaminate_exact_substring",  # verbatim 5-gram benchmark-leakage hunt (size-guarded broadcast)
     "decontaminate_exact_substring_served",  # eval grams from the maintained eval97 index
+    "source_gram_overlap_matrix",  # pairwise source-to-source 5-gram Jaccard (curator matrix)
     "dedup_near_clusters",  # linear-output near-dup shape (the 100 TB path)
     "dedup_near_clusters_star",  # star-reduced edges: linear under mega-clusters
     "dedup_near_clusters_star_served",  # same map served from the maintained cluster index
@@ -71,6 +72,7 @@ HEADLINE = [
     "ann_lsh_multiprobe_topk",  # Hamming-1 bucket neighborhood: recall up, index unchanged
     "ann_lsh_filtered_topk",  # pre-filtered ANN: metadata semi-join on the candidate stream
     "ann_mmr_diverse_topk",  # MMR diversity rerank over the candidate pool
+    "ann_quantized_rerank_topk",  # int8 prescore over the 4x-smaller table + exact rerank
     "mutual_nn_pairs",  # reciprocal rank-1 pairs (duplicate-account signal)
     "mutual_nn_pairs_bucketed",  # corpus-scale variant (SRP candidates)
     "mutual_nn_pairs_bucketed_indexed",  # served from the maintained buckets

@@ -460,6 +460,115 @@ def quantize_int8(
     )
 
 
+def quantized_vecs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, qv) int8-quantized vectors — the storage artifact behind
+    ``quantize_int8``'s scalar report.  For COSINE the per-vector scale
+    cancels exactly (symmetric quantization: cos ≈ dot(qa,qb) /
+    (||qa||·||qb||)), so the prescore path needs only the integer arrays —
+    4× less scan bandwidth than the float corpus and integer multiplies
+    in the hot loop."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    staged = emb.select(F.col(id_col), v.alias("_v"), scale.alias("_scale"))
+    return staged.select(
+        id_col,
+        F.transform(
+            F.col("_v"),
+            lambda x: F.when(F.col("_scale") == 0.0, F.lit(0).cast("bigint"))
+            .otherwise(F.floor(x / F.col("_scale") + F.lit(0.5)))
+            .cast("bigint"),
+        ).alias("qv"),
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer-fold dot product (bigint — no float reassociation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_rerank_topk(
+    emb: DataFrame,
+    n_query: int,
+    k: int = 5,
+    pool: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN over an int8-quantized corpus: integer-cosine
+    prescore over the quantized table (the 4×-smaller scan — at 100 TB
+    this is the stage that touches every vector, so it reads the int8
+    artifact, not the floats), top-``pool`` candidates per query, then an
+    exact float cosine rerank of the bounded pool.  Entirely
+    deterministic: the integer dot is exact, the prescore double is one
+    cast + one division, ties break on candidate id — hence fully
+    value-hash oracle-able.  max|q_i| = 127 so dim 64 dots stay ~2^20,
+    nowhere near bigint range."""
+    qv = quantized_vecs(emb, id_col=id_col, vec_col=vec_col)
+    cand = qv.select(F.col(id_col).alias("cand_id"), F.col("qv").alias("cq"))
+    qry = qv.filter(F.col(id_col) < n_query).select(
+        F.col(id_col).alias("query_id"), F.col("qv").alias("qq")
+    )
+    iq = _int_dot(F.col("qq"), F.col("cq"))
+    qn = F.sqrt(_int_dot(F.col("qq"), F.col("qq")).cast("double"))
+    cn = F.sqrt(_int_dot(F.col("cq"), F.col("cq")).cast("double"))
+    pre = (
+        F.broadcast(qry)
+        .crossJoin(cand)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", iq.alias("_iq"), qn.alias("_qn"), cn.alias("_cn"))
+        # all-zero quantized vectors (scale 0) have no direction — drop
+        # them HERE, with an integer predicate both engines share, rather
+        # than letting 0/0 NaNs diverge between IEEE dialects
+        .filter((F.col("_qn") > 0.0) & (F.col("_cn") > 0.0))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("_iq").cast("double") / (F.col("_qn") * F.col("_cn"))).alias(
+                "prescore"
+            ),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("prescore").desc(), F.col("cand_id")
+    )
+    shortlist = (
+        pre.withColumn("prerank", F.row_number().over(wp))
+        .filter(F.col("prerank") <= pool)
+        .select("query_id", "cand_id", "prescore")
+    )
+    fl = _as_double(emb, vec_col, "fv").select(F.col(id_col).alias("_id"), "fv")
+    rescored = (
+        shortlist.join(
+            F.broadcast(fl.withColumnRenamed("fv", "qfv")),
+            F.col("query_id") == F.col("_id"),
+        )
+        .drop("_id")
+        .join(fl.withColumnRenamed("fv", "cfv"), F.col("cand_id") == F.col("_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "prescore",
+            cosine(F.col("qfv"), F.col("cfv")).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "prescore", "cosine", "rank")
+    )
+
+
 def auto_bits(corpus_rows: int, target_bucket: int = 256) -> int:
     """Recommended SRP bits per table for a given corpus size: keeps the
     expected bucket occupancy near ``target_bucket`` (so probe candidate

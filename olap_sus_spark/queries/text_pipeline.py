@@ -1351,6 +1351,96 @@ def dedup_scrub_summary_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Cross-SOURCE contamination matrix — the curator's "which feeds copy from
+# each other" readout: exact 5-gram Jaccard between every pair of corpus
+# sources.  Same md5-hashed gram space as the dedup family, but keyed by
+# the source dimension (bounded — ~20 here, hundreds in production), so
+# the pair explosion is per-GRAM bounded by |sources-holding-that-gram|
+# choose 2, never doc×doc: one distinct over (source, gram), one gram-keyed
+# self-join with per-key fanout <= |sources|², one dimension-sized groupBy.
+# A boilerplate-hot gram held by every source is the classic skew key —
+# exactly the AQE skew-split case, same trade as dedup_cross_doc_ngrams.
+def _source_overlap_oracle() -> str:
+    toks = _TOKENS_SQL.format(t="text")
+    grams = _ngrams_expr_sql("t", _CROSS_NGRAM_N)
+    return f"""
+WITH tk AS (SELECT source, {toks} AS t FROM documents),
+sg AS (
+    SELECT DISTINCT source, gram FROM (
+        SELECT source,
+            unnest(list_distinct(list_transform({grams}, x -> {_md5_int_sql('x')})))
+                AS gram
+        FROM tk
+    )
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY source),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+        CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT p.source_a AS source_a, p.source_b AS source_b,
+    sa.n AS n_a, sb.n AS n_b, p.n_common AS n_common,
+    CAST(p.n_common AS DOUBLE)
+        / CAST(sa.n + sb.n - p.n_common AS DOUBLE) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source_a
+JOIN sizes sb ON sb.source = p.source_b
+"""
+
+
+@register("source_gram_overlap_matrix", oracle=_source_overlap_oracle())
+def source_gram_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise exact 5-gram Jaccard between corpus sources (pairs with
+    zero shared grams are absent on both engines — inner-join semantics)."""
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
+    sg = (
+        docs.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        tx.token_ngrams(F.col("text"), _CROSS_NGRAM_N), tx.md5_int
+                    )
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    pairs = (
+        sg.alias("a")
+        .join(
+            sg.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 # Exact-substring DECONTAMINATION — the other half of Lee et al. 2022's
 # ExactSubstr: benchmark leakage hunted at verbatim token-5-gram
 # granularity instead of decontaminate_train's 8-gram document overlap.

@@ -524,6 +524,74 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.quantize_int8(emb)
 
 
+# Two-stage quantized retrieval — the production memory-bandwidth trick on
+# top of the int8 artifact above: the stage that touches EVERY vector reads
+# the 4×-smaller integer table (per-vector scales cancel in cosine, so the
+# prescore needs only the int arrays), and the exact float pass is bounded
+# to a top-``pool`` shortlist per query.  Integer dots are exact bigints;
+# the prescore double is one cast + one division — the full two-stage
+# pipeline (shortlist cut included) value-hash matches DuckDB.
+_QR_POOL = 20
+
+_INT_DOT_SQL = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+
+_QUANT_RERANK_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM v
+),
+q AS (
+    SELECT vec_id, v,
+           list_transform(v, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS qv
+    FROM s
+),
+pre AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+           {_INT_DOT_SQL.format(a='a.qv', b='b.qv')} AS iq,
+           sqrt(CAST({_INT_DOT_SQL.format(a='a.qv', b='a.qv')} AS DOUBLE)) AS qn,
+           sqrt(CAST({_INT_DOT_SQL.format(a='b.qv', b='b.qv')} AS DOUBLE)) AS cn
+    FROM q a JOIN q b ON a.vec_id < {_NQ} AND a.vec_id != b.vec_id
+),
+pres AS (
+    SELECT query_id, cand_id, CAST(iq AS DOUBLE) / (qn * cn) AS prescore
+    FROM pre WHERE qn > 0 AND cn > 0
+),
+short AS (
+    SELECT query_id, cand_id, prescore,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY prescore DESC, cand_id) AS INT)
+               AS prerank
+    FROM pres
+),
+resc AS (
+    SELECT sh.query_id, sh.cand_id, sh.prescore,
+           {_cos('qa.v', 'ca.v')} AS cosine
+    FROM short sh
+    JOIN v qa ON qa.vec_id = sh.query_id
+    JOIN v ca ON ca.vec_id = sh.cand_id
+    WHERE sh.prerank <= {_QR_POOL}
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS INT) AS rank
+    FROM resc
+)
+SELECT query_id, cand_id, prescore, cosine, rank FROM ranked WHERE rank <= {_K}
+"""
+
+
+@register("ann_quantized_rerank_topk", oracle=_QUANT_RERANK_ORACLE)
+def ann_quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.quantized_rerank_topk(emb, n_query=_NQ, k=_K, pool=_QR_POOL)
+
+
 # Filtered vector search — ANN restricted to a metadata predicate (the
 # "license-clean sources only" / "same-language only" retrieval every
 # production vector store needs).  PRE-filtering: the predicate semi-joins

@@ -638,6 +638,7 @@ SCALAR_BROADCAST_BNLJ = {
     "cms_trailing_quarter_heavy_hitters": 1,  # month-list × candidate dim
     # bounded query-side / codebook crosses (documented ANN shapes)
     "ann_cosine_topk": 1,            # ≤N_Q queries × corpus scan (the exact baseline)
+    "ann_quantized_rerank_topk": 1,  # ≤N_Q int8 queries × quantized corpus scan
     "ann_ivf_topk": 1,               # ≤N_Q queries × ≤16-row codebook
     "ann_ivf_probe_topk": 1,         # same, over the maintained index
     # faithful theta-band variant (the binned rewrite is the scale path)

