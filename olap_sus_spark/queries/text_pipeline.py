@@ -1374,11 +1374,21 @@ sg AS (
     )
 ),
 sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY source),
+-- per-gram source lists are bounded by the source dimension (~20), so the
+-- pair expansion is a per-row list transform — NOT a gram-keyed self-join,
+-- whose ~|grams|-row single-node build side is the exact shape that ground
+-- the sf10 oracle run (see _cross_doc_ngrams_oracle).  The Spark side
+-- keeps the distributed self-join (right shape there: per-key fanout is
+-- dimension-bounded and the shuffle is gram-keyed).
+gs AS (SELECT gram, list(source ORDER BY source) AS ss FROM sg GROUP BY gram),
+pr AS (
+    SELECT unnest(flatten(list_transform(ss,
+        a -> list_transform(list_filter(ss, b -> b > a), b -> [a, b])))) AS p
+    FROM gs WHERE len(ss) >= 2
+),
 pairs AS (
-    SELECT a.source AS source_a, b.source AS source_b,
-        CAST(COUNT(*) AS BIGINT) AS n_common
-    FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
-    GROUP BY 1, 2
+    SELECT p[1] AS source_a, p[2] AS source_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM pr GROUP BY 1, 2
 )
 SELECT p.source_a AS source_a, p.source_b AS source_b,
     sa.n AS n_a, sb.n AS n_b, p.n_common AS n_common,
