@@ -1417,6 +1417,10 @@ def source_gram_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
         .distinct()
+        # consumed three times (both self-join sides + sizes): materialize
+        # the tokenize+hash+distinct pass once instead of re-running it per
+        # branch — at corpus scale that pass IS the query's dominant cost
+        .localCheckpoint()
     )
     sizes = sg.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     pairs = (
