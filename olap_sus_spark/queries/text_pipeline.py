@@ -456,21 +456,29 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then MIN per node.  Shared by both near-dup cluster queries; `src_cte`
 # names the CTE holding the (doc_id, text-hash grams) population.
 def _cc_tail_sql(src_cte: str, out_col: str) -> str:
+    # Every CTE below the recursion is MATERIALIZED: inside WITH RECURSIVE
+    # DuckDB does NOT auto-materialize multi-referenced CTEs (plain WITH
+    # does), and the recursive term re-evaluates its inputs per iteration —
+    # without the hints each closure step re-ran the whole gram+join
+    # pipeline (measured: the g0 gram pass alone is ~14 min on the sf10
+    # stage, and the un-hinted oracle ground >75 min vs ~1 pass hinted).
+    # MATERIALIZED is purely an evaluation hint — result sets are
+    # unchanged, and the sf0.001/sf0.01 gates re-verify the hash.
     return f"""
-g0 AS (
+g0 AS MATERIALIZED (
     SELECT doc_id,
         list_distinct(list_transform(list_distinct({_GRAMS}), x -> {_md5_int_sql('x')}))
             AS grams
     FROM {src_cte}
 ),
-g AS (SELECT doc_id, CAST(list_min(grams) AS VARCHAR) AS block, grams FROM g0),
-p AS (
+g AS MATERIALIZED (SELECT doc_id, CAST(list_min(grams) AS VARCHAR) AS block, grams FROM g0),
+p AS MATERIALIZED (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.5
 ),
-e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
 reach AS (
     SELECT doc_id AS doc, doc_id AS lbl FROM {src_cte}
     UNION
@@ -490,7 +498,7 @@ q AS (
         {_langid_sql('text')} AS lang_pred
     FROM aug
 ),
-kept AS (
+kept AS MATERIALIZED (
     SELECT doc_id, text FROM q
     WHERE q_tokens >= 5 AND q_punct_ratio <= 0.3 AND lang_pred = 'en'
 ),
@@ -545,23 +553,27 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cc_star_ctes(src_cte: str) -> str:
     """The star-edge connected-components CTE chain WITHOUT a final select,
     so downstream oracles (keep-best selection) can keep composing."""
+    # MATERIALIZED hints for the same reason as _cc_tail_sql: under WITH
+    # RECURSIVE the recursive term re-evaluates un-materialized inputs
+    # per iteration (g is referenced three times here even before the
+    # recursion).  Hint-only change — result sets identical.
     return f"""
-g0 AS (
+g0 AS MATERIALIZED (
     SELECT doc_id,
         list_distinct(list_transform(list_distinct({_GRAMS}), x -> {_md5_int_sql('x')}))
             AS grams
     FROM {src_cte}
 ),
-g AS (SELECT doc_id, CAST(list_min(grams) AS VARCHAR) AS block, grams FROM g0),
-hub AS (SELECT block, MIN(doc_id) AS hub_id FROM g GROUP BY block),
-p AS (
+g AS MATERIALIZED (SELECT doc_id, CAST(list_min(grams) AS VARCHAR) AS block, grams FROM g0),
+hub AS MATERIALIZED (SELECT block, MIN(doc_id) AS hub_id FROM g GROUP BY block),
+p AS MATERIALIZED (
     SELECT h.hub_id AS id_a, m.doc_id AS id_b
     FROM g m JOIN hub h ON m.block = h.block AND m.doc_id != h.hub_id
     JOIN g gh ON gh.doc_id = h.hub_id
     WHERE CAST(len(list_intersect(gh.grams, m.grams)) AS DOUBLE)
         / CAST(len(list_distinct(list_concat(gh.grams, m.grams))) AS DOUBLE) >= 0.5
 ),
-e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
 reach AS (
     SELECT doc_id AS doc, doc_id AS lbl FROM {src_cte}
     UNION
@@ -618,7 +630,7 @@ def dedup_near_clusters_star_served(spark: SparkSession, sf_dir: str) -> DataFra
 _KEEP_BEST_ORACLE = f"""
 WITH RECURSIVE {_AUG_SQL},
 {_cc_star_ctes('aug')},
-cc AS (SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc),
+cc AS MATERIALIZED (SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc),
 q AS (SELECT doc_id, CAST(len({_TOKS}) AS INT) AS q_tokens FROM aug),
 r AS (
     SELECT cc.cluster_id, cc.doc_id, q.q_tokens,
@@ -677,7 +689,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_MEMBERS_ORACLE = f"""
 WITH RECURSIVE {_AUG_SQL},
 {_cc_star_ctes('aug')},
-cc AS (SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc)
+cc AS MATERIALIZED (SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc)
 SELECT p.doc_id AS probe_doc, p.cluster_id, m.doc_id AS member_doc
 FROM cc p JOIN cc m ON m.cluster_id = p.cluster_id
 WHERE p.doc_id % 97 = 0
