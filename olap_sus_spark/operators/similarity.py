@@ -400,6 +400,143 @@ def kmeans_fp(
     )
 
 
+def semantic_codebook(
+    emb: DataFrame,
+    cell_target: int = 64,
+    k_min: int = 8,
+    scale: int = KMEANS_FP_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup codebook (Abbas et al. 2023, "SemDeDup: data-efficient
+    learning at web-scale through semantic deduplication"): one fixed-point
+    Lloyd round from deterministic smallest-id seeds, with the codebook
+    sized so the MEAN cell holds ~``cell_target`` vectors —
+    k = max(k_min, ceil(n / cell_target)).
+
+    The auto-sized k is the scale lever: within-cell pair expansion (the
+    dedup stage downstream) is O(n · cell_target) instead of O(n²/k_fixed).
+    Determinism is :func:`kmeans_fp`'s — assignment cosines are sequential-
+    fold doubles, the mean accumulates exact 64-bit fixed-point integers,
+    one correctly-rounded double division per (centroid, dim) — so the cell
+    map value-hash matches a relational replay.  Beyond ~4M vectors the
+    k×dim codebook outgrows a single broadcast; production would nest this
+    (coarse cells → per-cell fine codebooks), which changes the constant,
+    not the shape.
+
+    Returns (centroid_id, vec_col double-array), checkpointed.
+    """
+    import math as _math
+
+    n = emb.count()
+    k = max(k_min, _math.ceil(n / float(cell_target)))
+    c0 = emb.orderBy(id_col).limit(k)
+    a1 = assign_centroids(emb, c0, id_col, vec_col)
+    vfp = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("bigint"),
+    )
+    dim_means = (
+        a1.select("centroid_id", F.posexplode(vfp).alias("pos", "x"))
+        .groupBy("centroid_id", F.col("pos").cast("int").alias("pos"))
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "centroid_id",
+            "pos",
+            (F.col("s").cast("double") / (F.col("n") * F.lit(scale)).cast("double")).alias("m"),
+        )
+    )
+    return (
+        dim_means.groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("m")))),
+                lambda st: st["m"],
+            ).alias(vec_col)
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def semantic_cells(
+    emb: DataFrame,
+    cell_target: int = 64,
+    k_min: int = 8,
+    scale: int = KMEANS_FP_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Assign every vector to its :func:`semantic_codebook` cell (nearest
+    centroid, smallest-id tie-break).  Pass an existing ``codebook`` to
+    assign against a FROZEN one (the maintained-index refresh path).
+
+    Returns (id_col, v double-array, vec_col, *passthrough, centroid_id),
+    checkpointed — the dedup stage joins it against itself.
+    """
+    cb = (
+        codebook
+        if codebook is not None
+        else semantic_codebook(emb, cell_target, k_min, scale, id_col, vec_col)
+    )
+    a2 = assign_centroids(
+        emb, cb.select(F.col("centroid_id").alias(id_col), vec_col),
+        id_col, vec_col, passthrough=passthrough,
+    )
+    return a2.select(
+        id_col,
+        F.col(vec_col).cast("array<double>").alias("v"),
+        vec_col,
+        *passthrough,
+        "centroid_id",
+    ).localCheckpoint(eager=True)
+
+
+def semantic_dedup(
+    cells: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Within-cell greedy semantic dedup over a :func:`semantic_cells` map:
+    a vector is DROPPED iff some smaller-id cell-mate scores cosine >=
+    threshold (keep-first-by-id, the exact_dedup convention); ``dup_of`` is
+    the highest-cosine such mate (ties → smallest id).
+
+    The only join is an equi-join on centroid_id, so per-key fanout is
+    bounded by the cell size (~cell_target by construction) — never
+    corpus×corpus.  Hot cells (duplicate-heavy corpora) are the AQE
+    skew-join case.  Kept vectors carry sentinels (dup_of = -1,
+    dup_cosine = -2.0) instead of NULLs so the verdict table stays
+    canon-friendly end-to-end.
+    """
+    a = cells.select(
+        "centroid_id", F.col(id_col).alias("dup_of"), F.col("v").alias("av")
+    )
+    b = cells.select("centroid_id", id_col, F.col("v").alias("bv"))
+    pairs = (
+        b.join(a, "centroid_id")
+        .filter(F.col("dup_of") < F.col(id_col))
+        .select(id_col, "dup_of", cosine(F.col("av"), F.col("bv")).alias("dup_cosine"))
+        .filter(F.col("dup_cosine") >= threshold)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dup_cosine").desc(), F.col("dup_of"))
+    best = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).drop("rk")
+    return (
+        cells.select(id_col, "centroid_id", *passthrough)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            *passthrough,
+            F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("int").alias("is_kept"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
+            F.coalesce(F.col("dup_cosine"), F.lit(-2.0)).alias("dup_cosine"),
+        )
+    )
+
+
 def kmeans_inertia(emb: DataFrame, centroids: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> float:
     """Mean best-cosine across vectors (higher = tighter clustering)."""
@@ -1137,3 +1274,226 @@ def refresh_ivf_index(
         _write_manifest(path, {**man, **_compact_manifest(man, current)})
     a = _serve_retry(spark, apath).select(id_col, vec_col, "centroid_id")
     return a, spark.read.parquet(cpath)
+
+
+# ---------------------------------------------------------------------------
+# Maintained semantic-dedup index (SemDeDup as a serving table).
+#
+# Three components under one staged, manifest-guarded root:
+#   codebook/    — the frozen cell centroids (semantic_codebook output);
+#   assignments/ — (vec_id, embedding, centroid_id), src=partitioned and
+#                  sorted on centroid_id (the refresh's candidate side);
+#   verdicts/    — the dedup_semantic_clusters output rows, src=partitioned
+#                  and sorted on vec_id (the serving surface — a pure scan).
+#
+# Incremental refresh leans on a structural property of the greedy
+# keep-first-by-id rule: with the codebook FROZEN and every appended id
+# ABOVE the existing corpus, old verdicts can never flip (a vector's
+# verdict depends only on smaller-id cell-mates, and appends only add
+# larger ids).  So a refresh assigns ONLY the batch, pairs it against
+# (existing ∪ smaller-id-batch) cell-mates, and appends the new src=
+# partitions — O(batch · cell_target) work.  Id-interleaved appends,
+# rewrites, and removals all fall back to the full rebuild.  Like
+# refresh_srp_index's n_bits, the refresh keeps the BUILT codebook width:
+# re-sizing k for corpus growth is a semantic change by nature and happens
+# on the next full (re)build (manifest staleness forces one when anything
+# but a clean append occurs).
+# ---------------------------------------------------------------------------
+
+
+def semantic_index_path(sf_dir: str, cell_target: int, threshold: float) -> str:
+    import hashlib
+
+    key = hashlib.md5(
+        f"{_INDEX_ALGO_VERSION}|{os.path.abspath(sf_dir)}"
+        f"|sem|{cell_target}|{threshold}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(_index_root(), f"sem_{key}")
+
+
+def _build_semantic(spark, sf_dir, cell_target, threshold, path, current,
+                    id_col="vec_id", vec_col="embedding"):
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.sources.sinks import write_sorted_partitioned
+
+    _sweep_stale_staging()
+    emb = _with_src(load_table(spark, sf_dir, "embeddings"))
+    cb = semantic_codebook(
+        emb.drop(_SRC), cell_target, id_col=id_col, vec_col=vec_col
+    )
+    cells = semantic_cells(
+        emb, cell_target, id_col=id_col, vec_col=vec_col,
+        codebook=cb, passthrough=(_SRC,),
+    )
+    verdicts = semantic_dedup(cells, threshold, id_col, passthrough=(_SRC,))
+    os.makedirs(_index_root(), exist_ok=True)
+    staging = _staging_path(path)
+    os.makedirs(staging, exist_ok=True)
+    write_sorted_partitioned(
+        cells.select(id_col, vec_col, "centroid_id", _SRC),
+        os.path.join(staging, "assignments"), _SRC, ["centroid_id"], files=4,
+    )
+    write_sorted_partitioned(
+        verdicts, os.path.join(staging, "verdicts"), _SRC, [id_col], files=4,
+    )
+    cb.coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "codebook"))
+    max_id = emb.agg(F.max(id_col)).first()[0]
+    _write_manifest(
+        staging,
+        {
+            **_compact_manifest(_read_manifest(path), current),
+            "cell_target": cell_target,
+            "threshold": threshold,
+            "max_vec_id": None if max_id is None else int(max_id),
+        },
+    )
+    _retire_and_promote(
+        staging, path, current, ("assignments", "verdicts", "codebook")
+    )
+
+
+def load_or_build_semantic_index(
+    spark,
+    sf_dir: str,
+    cell_target: int = 64,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Return the maintained semantic-dedup verdict table for the corpus at
+    ``sf_dir`` (vec_id, centroid_id, is_kept, dup_of, dup_cosine), building
+    and persisting the three index components on first use.  Staleness via
+    the corpus manifest — a corpus change without :func:`
+    refresh_semantic_index` triggers the safe full rebuild."""
+    path = semantic_index_path(sf_dir, cell_target, threshold)
+    current = _corpus_files(sf_dir)
+    man = _read_manifest(path)
+    if not _manifest_is_current(man, current) or not all(
+        os.path.exists(os.path.join(path, c))
+        for c in ("assignments", "verdicts", "codebook")
+    ):
+        _build_semantic(
+            spark, sf_dir, cell_target, threshold, path, current, id_col, vec_col
+        )
+    return _serve_retry(spark, os.path.join(path, "verdicts")).select(
+        id_col, "centroid_id", "is_kept", "dup_of", "dup_cosine"
+    )
+
+
+def refresh_semantic_index(
+    spark,
+    sf_dir: str,
+    cell_target: int = 64,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Absorb an append-only ingest in O(batch · cell_target): assign the
+    batch against the FROZEN codebook, pair it with (existing ∪ smaller-id
+    batch) cell-mates, and append the new ``src=`` partitions.  The big
+    side never shuffles — the batch's cells broadcast onto one scan of the
+    existing assignments.  Old verdicts are untouched bytes (provably
+    stable: verdicts depend only on smaller-id cell-mates).  Interleaved
+    ids, rewrites, removals, or a missing index fall back to the full
+    rebuild.
+
+    EPOCH-PINNED contract (unlike SRP/IVF, whose codebooks are corpus-
+    independent): the Lloyd-trained codebook depends on the training
+    corpus, so a from-scratch rebuild over the GROWN corpus would
+    legitimately re-train and re-cluster.  The refresh therefore equals a
+    rebuild UNDER THE BUILT CODEBOOK (test_index_refresh.py pins exactly
+    that), and re-clustering is the scheduled full-rebuild path — the same
+    trade every production SemDeDup deployment makes (re-embedding/
+    re-clustering epochs, incremental verdicts in between)."""
+    from olap_sus_spark.sources.sinks import write_sorted_partitioned
+
+    path = semantic_index_path(sf_dir, cell_target, threshold)
+    apath = os.path.join(path, "assignments")
+    vpath = os.path.join(path, "verdicts")
+    cpath = os.path.join(path, "codebook")
+    man = _read_manifest(path)
+    current = _corpus_files(sf_dir)
+    if man is None or not all(os.path.exists(p) for p in (apath, vpath, cpath)):
+        return load_or_build_semantic_index(
+            spark, sf_dir, cell_target, threshold, id_col, vec_col
+        )
+    added, changed, removed = _manifest_diff(man, current)
+    if changed or removed:
+        return load_or_build_semantic_index(
+            spark, sf_dir, cell_target, threshold, id_col, vec_col
+        )
+    if added:
+        paths = _corpus_file_paths(sf_dir, "embeddings", added)
+        batch = _with_src(spark.read.parquet(*paths))
+        min_new = batch.agg(F.min(id_col)).first()[0]
+        max_old = man.get("max_vec_id")
+        if min_new is not None and max_old is not None and min_new <= max_old:
+            # an interleaved id could become a smaller-id cell-mate of an
+            # EXISTING vector and flip its verdict — full rebuild.
+            return load_or_build_semantic_index(
+                spark, sf_dir, cell_target, threshold, id_col, vec_col
+            )
+        cb = spark.read.parquet(cpath)
+        bcells = semantic_cells(
+            batch, cell_target, id_col=id_col, vec_col=vec_col,
+            codebook=cb, passthrough=(_SRC,),
+        )
+        old = _serve_retry(spark, apath).select(
+            F.col(id_col).alias("dup_of"),
+            F.col(vec_col).cast("array<double>").alias("av"),
+            "centroid_id",
+        )
+        batch_a = bcells.select(
+            "centroid_id", F.col(id_col).alias("dup_of"), F.col("v").alias("av")
+        )
+        b = bcells.select("centroid_id", id_col, F.col("v").alias("bv"))
+        pairs = (
+            b.join(old.unionByName(batch_a), "centroid_id")
+            .filter(F.col("dup_of") < F.col(id_col))
+            .select(
+                id_col, "dup_of", cosine(F.col("av"), F.col("bv")).alias("dup_cosine")
+            )
+            .filter(F.col("dup_cosine") >= threshold)
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("dup_cosine").desc(), F.col("dup_of")
+        )
+        best = (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        verdicts_new = (
+            bcells.select(id_col, "centroid_id", _SRC)
+            .join(best, id_col, "left")
+            .select(
+                id_col,
+                "centroid_id",
+                _SRC,
+                F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("int").alias("is_kept"),
+                F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
+                F.coalesce(F.col("dup_cosine"), F.lit(-2.0)).alias("dup_cosine"),
+            )
+        )
+        write_sorted_partitioned(
+            bcells.select(id_col, vec_col, "centroid_id", _SRC),
+            apath, _SRC, ["centroid_id"], files=4, dynamic=True,
+        )
+        write_sorted_partitioned(
+            verdicts_new, vpath, _SRC, [id_col], files=4, dynamic=True
+        )
+        new_max = batch.agg(F.max(id_col)).first()[0]
+        _write_manifest(
+            path,
+            {
+                **man,
+                **_compact_manifest(man, current),
+                "max_vec_id": max(
+                    x for x in (man.get("max_vec_id"), None if new_max is None else int(new_max))
+                    if x is not None
+                ),
+            },
+        )
+    return _serve_retry(spark, vpath).select(
+        id_col, "centroid_id", "is_kept", "dup_of", "dup_cosine"
+    )

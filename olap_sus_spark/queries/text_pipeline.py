@@ -123,6 +123,91 @@ def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-source calibrated quality cut.  A single global quality threshold
+# biases the kept mix toward whichever source happens to score high (e.g.
+# prose-heavy feeds beat code feeds on stopword density) — production
+# pipelines calibrate the cut PER SOURCE: keep each source's top half by
+# score.  Exact per-source quantiles would need a data-sized sort, so the
+# scale formulation is histogram quantiles: scores quantize to 1000 fixed
+# bins, the per-(source, bin) histogram is one groupBy, the cumulative walk
+# runs over ≤1000 rows per source (bounded window), and the cutoff bin
+# (largest bin whose top-down cumulative count still reaches
+# ceil(n_total/2)) broadcasts back onto the docs.  Ties at the cutoff bin
+# keep everyone in it — deterministic overshoot, never a row-order coin
+# flip.  Bin edges compare bit-identical doubles (the proven
+# q_stopword_ratio fold), so the bucketing agrees across engines.
+# ---------------------------------------------------------------------------
+_CUT_BINS = 1000
+
+_CALIBRATED_CUT_ORACLE = f"""
+WITH s AS (
+    SELECT doc_id, source,
+        CAST(LEAST(floor((CAST(len(list_filter({_TOKENS_SQL.format(t='text')},
+            t -> list_contains(['the','and','of','to','is','a'], t))) AS DOUBLE)
+            / CAST(greatest(len({_TOKENS_SQL.format(t='text')}), 1) AS DOUBLE))
+            * {_CUT_BINS}), {_CUT_BINS - 1}) AS INT) AS q_bin
+    FROM documents
+),
+h AS (SELECT source, q_bin, COUNT(*) AS cnt FROM s GROUP BY source, q_bin),
+c AS (
+    SELECT source, q_bin,
+           SUM(cnt) OVER (PARTITION BY source ORDER BY q_bin DESC) AS cum
+    FROM h
+),
+t AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_total FROM h GROUP BY source),
+cut AS (
+    SELECT c.source, CAST(MAX(c.q_bin) AS INT) AS cutoff_bin
+    FROM c JOIN t USING (source)
+    WHERE c.cum >= CAST(floor((t.n_total + 1) / 2.0) AS BIGINT)
+    GROUP BY c.source
+)
+SELECT s.doc_id, s.source, s.q_bin, cut.cutoff_bin,
+       CAST(CASE WHEN s.q_bin >= cut.cutoff_bin THEN 1 ELSE 0 END AS INT)
+           AS is_kept
+FROM s JOIN cut USING (source)
+"""
+
+
+@register("quality_calibrated_cut", oracle=_CALIBRATED_CUT_ORACLE)
+def quality_calibrated_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each source's top half by stopword-density quality score, with
+    the threshold found on a 1000-bin histogram instead of a full sort."""
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
+    scored = tx.quality_features(docs).select(
+        "doc_id",
+        "source",
+        F.least(
+            F.floor(F.col("q_stopword_ratio") * _CUT_BINS), F.lit(_CUT_BINS - 1)
+        ).cast("int").alias("q_bin"),
+    )
+    from pyspark.sql.window import Window
+
+    hist = scored.groupBy("source", "q_bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.col("q_bin").desc())
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy("source").agg(F.sum("cnt").alias("n_total"))
+    cut = (
+        cum.join(tot, "source")
+        .filter(
+            F.col("cum")
+            >= F.floor((F.col("n_total") + F.lit(1)) / F.lit(2.0)).cast("bigint")
+        )
+        .groupBy("source")
+        .agg(F.max("q_bin").alias("cutoff_bin"))
+    )
+    return scored.join(F.broadcast(cut), "source").select(
+        "doc_id",
+        "source",
+        "q_bin",
+        "cutoff_bin",
+        F.when(F.col("q_bin") >= F.col("cutoff_bin"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # BPE-style pre-token counting (LLM token-budget proxy).  Lookahead-free
 # regex, so Java (Spark) and RE2 (DuckDB) extract identical pieces.
 # ---------------------------------------------------------------------------

@@ -489,6 +489,94 @@ def kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_fp(emb, k=_KM_K, iters=_KM_ITERS, scale=_KM_SCALE)
 
 
+# SemDeDup (Abbas et al. 2023) — semantic dedup with k-means cells as the
+# blocking structure (the cluster-blocked sibling of the SRP-bucket-blocked
+# dedup_embedding_lsh): one fixed-point Lloyd round sizes ~cell_target
+# vectors per cell, then near-dup verdicts come from within-cell pairwise
+# cosine only.  The oracle replays the full chain relationally — auto-sized
+# k from COUNT(*), smallest-id seeds, the kmeans_fixed_point assign/mean
+# CTEs, then the within-cell greedy keep-first-by-id rule.  Threshold 0.3
+# matches dedup_embedding_pairs (this corpus's near-dup regime).
+_SEM_TAU, _SEM_CELL = 0.3, 64
+
+
+def _semantic_dedup_oracle() -> str:
+    assign = (
+        "SELECT vec_id, v, vfp, centroid_id FROM ("
+        "    SELECT x.vec_id, x.v, x.vfp, c.centroid_id,"
+        "        CAST(ROW_NUMBER() OVER (PARTITION BY x.vec_id"
+        f"            ORDER BY {_cos('x.v', 'c.centv')} DESC, c.centroid_id) AS INT) AS rk"
+        "    FROM v x CROSS JOIN {cent} c) WHERE rk = 1"
+    )
+    return f"""
+WITH v AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x * {_KM_SCALE} + 0.5) AS BIGINT)) AS vfp
+    FROM embeddings
+),
+kk AS (
+    SELECT GREATEST(8, CAST(ceil(COUNT(*) / {float(_SEM_CELL)}) AS BIGINT)) AS k
+    FROM v
+),
+c0 AS (
+    SELECT vec_id AS centroid_id, v AS centv
+    FROM (SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM v), kk
+    WHERE rn <= kk.k
+),
+a1 AS ({assign.format(cent='c0')}),
+m1 AS (
+    SELECT centroid_id, CAST(r.pos AS INT) AS pos,
+           CAST(SUM(vfp[r.pos + 1]) AS DOUBLE)
+               / CAST(COUNT(*) * {_KM_SCALE} AS DOUBLE) AS m
+    FROM a1 CROSS JOIN range(0, {_DIM}) r(pos)
+    GROUP BY centroid_id, r.pos
+),
+c1 AS (
+    SELECT centroid_id, list(m ORDER BY pos) AS centv
+    FROM m1 GROUP BY centroid_id
+),
+a2 AS ({assign.format(cent='c1')}),
+p AS (
+    SELECT b.vec_id, a.vec_id AS dup_of, {_cos('a.v', 'b.v')} AS dup_cosine
+    FROM a2 a JOIN a2 b
+      ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    WHERE {_cos('a.v', 'b.v')} >= {_SEM_TAU}
+),
+bst AS (
+    SELECT vec_id, dup_of, dup_cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY dup_cosine DESC, dup_of) AS rk FROM p) WHERE rk = 1
+)
+SELECT a2.vec_id, a2.centroid_id,
+       CAST(CASE WHEN bst.dup_of IS NULL THEN 1 ELSE 0 END AS INT) AS is_kept,
+       CAST(COALESCE(bst.dup_of, -1) AS BIGINT) AS dup_of,
+       COALESCE(bst.dup_cosine, -2.0) AS dup_cosine
+FROM a2 LEFT JOIN bst USING (vec_id)
+"""
+
+
+@register("dedup_semantic_clusters", oracle=_semantic_dedup_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector semantic-dedup verdict table: cell id, kept flag, and the
+    best duplicate source for dropped vectors.  Cells auto-size to ~64
+    vectors, so the pairwise stage is O(n·64) at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = sim.semantic_cells(emb, cell_target=_SEM_CELL)
+    return sim.semantic_dedup(cells, threshold=_SEM_TAU)
+
+
+@register("dedup_semantic_clusters_indexed", oracle=_semantic_dedup_oracle())
+def dedup_semantic_clusters_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin over the maintained semantic-dedup index: the verdict
+    table is a pure sorted partition read (built once, refreshed O(batch)
+    per ingest by refresh_semantic_index).  Shares the from-scratch oracle
+    — hash equality proves the maintained table."""
+    return sim.load_or_build_semantic_index(
+        spark, sf_dir, cell_target=_SEM_CELL, threshold=_SEM_TAU
+    )
+
+
 # Symmetric int8 quantization — the 4x storage/bandwidth reduction pass for
 # embedding corpora.  Verified via per-vector scalars (scale, checksum of
 # the quantized ints, max reconstruction error) — the array itself is the

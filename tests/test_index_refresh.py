@@ -1003,3 +1003,111 @@ def test_gram_rollup_purge_delta_merge_equals_rebuild(spark, tmp_path, monkeypat
     monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
     fresh = _rows(gf.load_or_build_gram_rollup(spark, sf, docs_of=docs_of))
     assert got == fresh and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Semantic-dedup index (SemDeDup verdict table, similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def _append_embeddings_small(spark, sf: str, name: str, id_shift: int = 100000) -> None:
+    """A 10-vector ingest: small enough that ceil(n/64) — the auto-sized
+    codebook width — is unchanged, so a fresh build over the grown corpus
+    picks the SAME codebook and refresh==rebuild holds exactly."""
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet", "part-00.parquet"))
+    extra = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .withColumn("vec_id", F.col("vec_id") + id_shift)
+        .withColumn(
+            "embedding",
+            F.transform(F.col("embedding"), lambda x: (x * F.lit(0.9)).cast("float")),
+        )
+    )
+    _move_single_part(extra, os.path.join(sf, "embeddings.parquet", name))
+
+
+def _sem_rows(df):
+    return sorted(
+        (r.vec_id, r.centroid_id, r.is_kept, r.dup_of, r.dup_cosine)
+        for r in df.collect()
+    )
+
+
+def test_semantic_refresh_equals_pinned_codebook_rebuild(spark, tmp_path, monkeypatch):
+    """The semantic family's maintained contract is EPOCH-PINNED (unlike
+    SRP/IVF, whose codebooks are corpus-independent): a refresh must land
+    exactly where a from-scratch dedup over the grown corpus UNDER THE
+    BUILT CODEBOOK lands.  A plain fresh build would re-train the Lloyd
+    round on the grown corpus and legitimately re-cluster — that is the
+    scheduled-rebuild path, exercised by the interleave test below."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    sim.load_or_build_semantic_index(spark, sf)
+    cb = spark.read.parquet(
+        os.path.join(sim.semantic_index_path(sf, 64, 0.3), "codebook")
+    ).localCheckpoint(eager=True)
+
+    _append_embeddings_small(spark, sf, "part-01.parquet")
+    got = _sem_rows(sim.refresh_semantic_index(spark, sf))
+
+    full = load_table(spark, sf, "embeddings")
+    expected = _sem_rows(
+        sim.semantic_dedup(sim.semantic_cells(full, codebook=cb), threshold=0.3)
+    )
+    assert got == expected
+    assert len(got) == 510  # the append is actually in the verdicts
+
+
+def test_semantic_refresh_rewrites_only_new_src_partition(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    sim.load_or_build_semantic_index(spark, sf)
+    path = sim.semantic_index_path(sf, 64, 0.3)
+    base_part = os.path.join(path, "verdicts", "src=part-00.parquet")
+    before = sorted(os.listdir(base_part))
+    stamps = {f: os.path.getmtime(os.path.join(base_part, f)) for f in before}
+
+    _append_embeddings_small(spark, sf, "part-01.parquet")
+    sim.refresh_semantic_index(spark, sf)
+    # old verdicts are provably append-stable → untouched bytes
+    for f, ts in stamps.items():
+        if f.endswith(".parquet"):
+            assert os.path.getmtime(os.path.join(base_part, f)) == ts
+    assert os.path.isdir(os.path.join(path, "verdicts", "src=part-01.parquet"))
+    assert os.path.isdir(os.path.join(path, "assignments", "src=part-01.parquet"))
+
+
+def test_semantic_refresh_interleaved_ids_fall_back_to_rebuild(spark, tmp_path, monkeypatch):
+    """An append whose ids interleave below the existing max could hand an
+    EXISTING vector a new smaller-id cell-mate (flipping its verdict) —
+    the refresh must detect it and take the full rebuild, landing exactly
+    where a fresh build lands.  Base corpus = even ids only; the append
+    fills in odd ids (all BELOW the existing max)."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = str(tmp_path / "sf")
+    os.makedirs(os.path.join(sf, "embeddings.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    _move_single_part(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        os.path.join(sf, "embeddings.parquet", "part-00.parquet"),
+    )
+    sim.load_or_build_semantic_index(spark, sf)
+
+    _move_single_part(
+        emb.filter(F.col("vec_id") % 2 == 1).filter(F.col("vec_id") < 100),
+        os.path.join(sf, "embeddings.parquet", "part-01.parquet"),
+    )
+    got = _sem_rows(sim.refresh_semantic_index(spark, sf))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = _sem_rows(sim.load_or_build_semantic_index(spark, sf))
+    assert got == fresh
+
+
+def test_semantic_refresh_is_idempotent(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    sim.load_or_build_semantic_index(spark, sf)
+    _append_embeddings_small(spark, sf, "part-01.parquet")
+    first = _sem_rows(sim.refresh_semantic_index(spark, sf))
+    again = _sem_rows(sim.refresh_semantic_index(spark, sf))
+    assert first == again

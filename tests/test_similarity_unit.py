@@ -37,3 +37,55 @@ def test_auto_bits_matches_oracle_ladder(n):
         """
     ).fetchone()[0]
     assert got == auto_bits(n)
+
+
+def test_semantic_dedup_verdicts_self_consistent(spark):
+    """Every DROPPED vector must re-verify against its recorded dup_of:
+    same cell, smaller id, exact cosine >= the threshold and equal to the
+    recorded dup_cosine; every KEPT vector must carry the sentinels.  This
+    re-derives the claim from the raw vectors, independent of the oracle."""
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cells = sim.semantic_cells(emb, cell_target=64)
+    out = sim.semantic_dedup(cells, threshold=0.3)
+
+    kept_bad = out.filter(
+        (F.col("is_kept") == 1)
+        & ((F.col("dup_of") != -1) | (F.col("dup_cosine") != -2.0))
+    ).count()
+    assert kept_bad == 0
+
+    dropped = out.filter(F.col("is_kept") == 0).select(
+        "vec_id", "dup_of", "dup_cosine", F.col("centroid_id").alias("b_cell")
+    )
+    assert dropped.count() > 0  # the corpus has near-dups at tau=0.3
+    va = cells.select(
+        F.col("vec_id").alias("dup_of"),
+        F.col("v").alias("av"),
+        F.col("centroid_id").alias("a_cell"),
+    )
+    vb = cells.select("vec_id", F.col("v").alias("bv"))
+    joined = dropped.join(va, "dup_of").join(vb, "vec_id").select(
+        "vec_id", "dup_of", "dup_cosine", "a_cell", "b_cell",
+        sim.cosine(F.col("av"), F.col("bv")).alias("re_cos"),
+    )
+    bad = joined.filter(
+        (F.col("a_cell") != F.col("b_cell"))
+        | (F.col("dup_of") >= F.col("vec_id"))
+        | (F.col("re_cos") < 0.3)
+        | (F.col("re_cos") != F.col("dup_cosine"))
+    ).count()
+    assert bad == 0
+
+
+def test_semantic_cells_autosize_k():
+    """k follows ceil(n/cell_target) with the floor — the scale lever that
+    keeps within-cell pair expansion linear."""
+    import math
+
+    for n, want in [(0, 8), (500, 8), (512, 8), (513, 9), (50_000, 782)]:
+        k = max(8, math.ceil(n / 64.0))
+        assert k == want

@@ -403,3 +403,31 @@ def test_cross_doc_scrub_degenerate_long_doc(spark, tmp_path, monkeypatch):
         assert out[2]["scrubbed_text"] == "alpha beta" and out[2]["n_removed"] == 5
         assert out[3]["scrubbed_text"] == "unique words only here now"
         assert out[3]["n_removed"] == 0
+
+
+def test_quality_calibrated_cut_per_source_target(spark):
+    """Per source: kept count must be >= ceil(n/2) (the histogram target)
+    and the overshoot must be exactly the cutoff-bin tie mass — i.e.
+    dropping the cutoff bin itself would land BELOW the target."""
+    from pyspark.sql import functions as F
+
+    import olap_sus_spark.queries  # noqa: F401 — populate registry
+    from olap_sus_spark.registry import QUERIES
+
+    out = QUERIES["quality_calibrated_cut"](spark, "/root/testdata/sf0.001")
+    per_src = (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_kept").alias("kept"),
+            F.sum(
+                F.when(F.col("q_bin") == F.col("cutoff_bin"), 1).otherwise(0)
+            ).alias("at_cut"),
+        )
+        .collect()
+    )
+    assert per_src
+    for r in per_src:
+        target = (r["n"] + 1) // 2
+        assert r["kept"] >= target, r
+        assert r["kept"] - r["at_cut"] < target, r  # minimal overshoot
