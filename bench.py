@@ -187,6 +187,13 @@ def main() -> None:
             lambda: _sim.load_or_build_ivf_index(spark, sf_dir, num_centroids=_NC),
         ),
         (
+            "semantic_dedup",
+            lambda: _sim.semantic_index_path(sf_dir, 64, 0.3),
+            lambda: _sim.load_or_build_semantic_index(
+                spark, sf_dir, cell_target=64, threshold=0.3
+            ),
+        ),
+        (
             # Near-dup cluster map (star edges + connected components over the
             # same augmented corpus dedup_keep_best serves): the most
             # expensive build in the suite, amortized exactly like the ANN

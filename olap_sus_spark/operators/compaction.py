@@ -35,9 +35,10 @@ def compact_maintained_indexes(
 ) -> dict[str, dict[str, int]]:
     """Compact every src=-partitioned component of the corpus-index fleet
     that exists for ``sf_dir``: gram partials + scrub (at ``view``),
-    inverted postings/docs, near-dup cluster map, and — when ``dim`` is
-    given — the SRP bucket table and IVF assignments for those parameters.
-    Missing indexes are skipped (compaction never builds).  Returns
+    inverted postings/docs, near-dup cluster map, the semantic-dedup
+    assignments/verdicts, and — when ``dim`` is given — the SRP bucket
+    table and IVF assignments for those parameters.  Missing indexes are
+    skipped (compaction never builds).  Returns
     {family/component: {partition: files_before}} for what was rewritten.
     """
     from olap_sus_spark.operators import dedup as dd
@@ -92,6 +93,20 @@ def compact_maintained_indexes(
                 ("centroid_id",),
             )
         )
+    targets.append(
+        (
+            "semantic/assignments",
+            os.path.join(sim.semantic_index_path(sf_dir, 64, 0.3), "assignments"),
+            ("centroid_id",),
+        )
+    )
+    targets.append(
+        (
+            "semantic/verdicts",
+            os.path.join(sim.semantic_index_path(sf_dir, 64, 0.3), "verdicts"),
+            ("vec_id",),
+        )
+    )
     out: dict[str, dict[str, int]] = {}
     for name, root, sort_cols in targets:
         if not os.path.isdir(root):

@@ -113,9 +113,10 @@ def _nearest_centroid_matrix(
         return math.sqrt(s)
 
     cnorms = [_norm(v) for v in cvecs]
-    pmat = F.array(
-        *[F.array(*[F.lit(cvecs[c][j]) for c in range(k)]) for j in range(dim)]
-    )
+    # single nested literal (one py4j call) instead of k·dim scalar lits —
+    # same values, same fold; the scalar-lit construction dominated driver
+    # time for big codebooks (49-chunk × 4096-lit trees in the chunked path)
+    pmat = F.lit([[cvecs[c][j] for c in range(k)] for j in range(dim)])
     dots = F.aggregate(
         F.zip_with(F.col(v_col), pmat, lambda x, prow: F.transform(prow, lambda p: x * p)),
         F.array_repeat(F.lit(0.0), k),
@@ -127,15 +128,15 @@ def _nearest_centroid_matrix(
     staged = vecs.select(*keep_cols, dots.alias("_dots"), norm(F.col(v_col)).alias("_vn"))
     sims = F.zip_with(
         F.col("_dots"),
-        F.array(*[F.lit(cn) for cn in cnorms]),
+        F.lit(cnorms),
         lambda d, cn: d / (F.col("_vn") * cn),
     )
     staged = staged.select(*keep_cols, sims.alias("_sims"))
     best = F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))).cast("int")
-    # centroid_id stays BIGINT like the crossJoin fallback's (and like the
+    # centroid_id stays BIGINT like the chunked path's (and like the
     # source id column): the two paths must not produce different physical
     # schemas for the persisted assignments table.
-    id_arr = F.array(*[F.lit(i).cast("long") for i in ids])
+    id_arr = F.lit(ids).cast("array<long>")
     return staged.select(
         *keep_cols,
         F.element_at(id_arr, best).alias("centroid_id"),
@@ -152,16 +153,20 @@ def assign_centroids(
 ) -> DataFrame:
     """IVF list assignment: nearest centroid per vector (max cosine, ties →
     smallest centroid id).  Small codebooks (k ≤ 64) take the single-pass
-    matrix fold (:func:`_nearest_centroid_matrix`); larger ones fall back
-    to broadcast crossJoin + window — same results either way.
-    ``passthrough`` columns (e.g. the source-file partition key of an
-    incremental index refresh) ride along unchanged."""
+    matrix fold (:func:`_nearest_centroid_matrix`); larger ones take the
+    CHUNKED matrix fold (:func:`_nearest_centroid_chunked`) — still exact,
+    still narrow.  The retired alternative (broadcast crossJoin + window)
+    materializes n×k rows each carrying both vectors: at 200k vectors ×
+    3125 centroids that is a ~700 GB shuffle — the x100 semantic probe
+    found it, and the chunked fold replaces it with k/64 shuffle-free
+    passes.  ``passthrough`` columns (e.g. the source-file partition key of
+    an incremental index refresh) ride along unchanged."""
     cents = _as_double(centroids, vec_col, "centv").select(
         F.col(id_col).alias("centroid_id"), "centv"
     )
     # limit(k+1) decides the path WITHOUT pulling a big codebook to the
-    # driver: it returns every row iff the codebook fits the matrix path,
-    # and at most 65 rows (discarded) when it doesn't.
+    # driver prematurely: it returns every row iff the codebook fits the
+    # single-matrix path, and at most 65 rows (discarded) when it doesn't.
     cent_rows = cents.limit(_MATRIX_MAX_K + 1).collect()
     vecs = _as_double(emb, vec_col, "v").select(
         F.col(id_col), "v", F.col(vec_col), *[F.col(c) for c in passthrough]
@@ -170,18 +175,93 @@ def assign_centroids(
         return _nearest_centroid_matrix(
             vecs, cent_rows, [id_col, vec_col, *passthrough]
         ).select(id_col, vec_col, *passthrough, "centroid_id")
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        vec_col,
-        *passthrough,
-        "centroid_id",
-        cosine(F.col("v"), F.col("centv")).alias("sim"),
+    # big codebook: collect it whole (k×dim doubles — 3125×64 ≈ 1.6 MB;
+    # ~65k centroids ≈ 33 MB is the practical ceiling before the documented
+    # coarse-to-fine nesting takes over) and fold it chunk by chunk
+    return _nearest_centroid_chunked(
+        vecs, cents.collect(), [id_col, vec_col, *passthrough]
+    ).select(id_col, vec_col, *passthrough, "centroid_id")
+
+
+def _nearest_centroid_chunked(
+    vecs: DataFrame,
+    cent_rows: list,
+    keep_cols: list[str],
+    v_col: str = "v",
+    checkpoint_every: int = 8,
+):
+    """EXACT nearest-centroid over a codebook larger than one literal
+    matrix: iterate :func:`_nearest_centroid_matrix`-style folds over
+    64-centroid chunks (id-ordered), carrying a running (best sim, best id)
+    pair — every pass is a narrow projection, so the total cost is the
+    irreducible n·k dot products with ZERO shuffle, vs the n×k row
+    materialization of a crossJoin.  Ties: within a chunk, first-max =
+    smallest id; across chunks, strictly-greater keeps the earlier
+    (smaller-id) chunk — together exactly the global smallest-id
+    tie-break.  ``localCheckpoint`` every few chunks keeps the plan flat.
+    Bit-exact vs the single-matrix path: identical per-chunk fold order,
+    identical division tree, comparisons on identical doubles."""
+    import math
+
+    rows = sorted(cent_rows, key=lambda r: r[0])
+
+    def _norm(xs: list[float]) -> float:
+        s = 0.0
+        for x in xs:
+            s += x * x
+        return math.sqrt(s)
+
+    staged = vecs.select(
+        *keep_cols,
+        F.col(v_col),
+        norm(F.col(v_col)).alias("_vn"),
+        F.lit(float("-inf")).alias("_bs"),
+        F.lit(None).cast("long").alias("_bi"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(id_col, vec_col, *passthrough, "centroid_id")
+    for ci, lo in enumerate(range(0, len(rows), _MATRIX_MAX_K)):
+        chunk = rows[lo : lo + _MATRIX_MAX_K]
+        ids = [int(r[0]) for r in chunk]
+        cvecs = [[float(x) for x in r[1]] for r in chunk]
+        k, dim = len(ids), len(cvecs[0])
+        cnorms = [_norm(v) for v in cvecs]
+        # nested-literal matrix: one py4j call per chunk, not k·dim
+        pmat = F.lit([[cvecs[c][j] for c in range(k)] for j in range(dim)])
+        dots = F.aggregate(
+            F.zip_with(
+                F.col(v_col), pmat, lambda x, prow: F.transform(prow, lambda p: x * p)
+            ),
+            F.array_repeat(F.lit(0.0), k),
+            lambda acc, prods: F.zip_with(acc, prods, lambda a, b: a + b),
+        )
+        # stage dots, then sims, as real columns (HOF re-evaluation gotcha)
+        staged = staged.select(
+            *keep_cols, v_col, "_vn", "_bs", "_bi", dots.alias("_dots")
+        )
+        sims = F.zip_with(
+            F.col("_dots"),
+            F.lit(cnorms),
+            lambda d, cn: d / (F.col("_vn") * cn),
+        )
+        staged = staged.select(
+            *keep_cols, v_col, "_vn", "_bs", "_bi", sims.alias("_sims")
+        )
+        cbest = F.array_max(F.col("_sims"))
+        cpos = F.array_position(F.col("_sims"), cbest).cast("int")
+        cid = F.element_at(F.lit(ids).cast("array<long>"), cpos)
+        # both whens read the INPUT row's _bs — one select, no ordering hazard
+        staged = staged.select(
+            *keep_cols,
+            v_col,
+            "_vn",
+            F.when(cbest > F.col("_bs"), cbest).otherwise(F.col("_bs")).alias("_bs"),
+            F.when(cbest > F.col("_bs"), cid).otherwise(F.col("_bi")).alias("_bi"),
+        )
+        if (ci + 1) % checkpoint_every == 0:
+            staged = staged.localCheckpoint(eager=True)
+    return staged.select(
+        *keep_cols,
+        F.col("_bi").alias("centroid_id"),
+        F.col("_bs").alias("sim"),
     )
 
 

@@ -89,3 +89,41 @@ def test_semantic_cells_autosize_k():
     for n, want in [(0, 8), (500, 8), (512, 8), (513, 9), (50_000, 782)]:
         k = max(8, math.ceil(n / 64.0))
         assert k == want
+
+
+def test_assign_centroids_chunked_equals_crossjoin(spark):
+    """k > 64 takes the chunked matrix fold; it must reproduce the
+    crossJoin + window formulation bit-for-bit (max cosine, smallest-id
+    tie-break) — the shuffle-free replacement for the n×k row blow-up the
+    x100 semantic probe caught."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from olap_sus_spark.catalog import load_table
+    from olap_sus_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    centroids = emb.orderBy("vec_id").limit(100)  # k=100 > _MATRIX_MAX_K
+
+    got = sorted(
+        (r.vec_id, r.centroid_id)
+        for r in sim.assign_centroids(emb, centroids).collect()
+    )
+
+    cents = centroids.select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("centv"),
+    )
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", sim.cosine(F.col("v"), F.col("centv")).alias("s")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("centroid_id"))
+    want = sorted(
+        (r.vec_id, r.centroid_id)
+        for r in scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    )
+    assert got == want
+    assert len(got) == 500

@@ -178,6 +178,13 @@ def main() -> None:
     #   pre-rewrite gram oracle, but irreducible: assignment IS n×k).  The
     #   engine side is probed at x100 with invariant checks + a pinned
     #   checksum by tools/semantic_scale_probe.py.
+    # - dedup_embedding_pairs: label-blocked ALL-PAIRS baseline; the staged
+    #   corpus keeps labels, so blocks grow ×N and pairs ×N² (~2B 64-dim
+    #   cosines at x100 — ground >45 min in Spark and unbounded single-node).
+    #   Its linear twin dedup_embedding_lsh(+_indexed) IS swept (MATCH at
+    #   x100, r10).
+    # - dedup_jaccard_pairs: fixed-64-block exact-Jaccard baseline, same ×N²
+    #   within-block growth; its linear twin dedup_minhash_lsh IS swept.
     skip_env = os.environ.get("SPARK_GRAFT_SWEEP_SKIP")
     if skip_env is not None:
         skips = set(s for s in skip_env.split(",") if s)
@@ -187,6 +194,8 @@ def main() -> None:
             "streaming_fact_ingest_loop",
             "dedup_semantic_clusters",
             "dedup_semantic_clusters_indexed",
+            "dedup_embedding_pairs",
+            "dedup_jaccard_pairs",
         }
     else:
         skips = set()

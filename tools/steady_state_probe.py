@@ -295,6 +295,12 @@ def families(spark, base: str):
             lambda: sim.load_or_build_ivf_index(spark, base, 16)[0],
         ),
         (
+            "semantic",
+            lambda d: sim.refresh_semantic_index(spark, base, 64, 0.3),
+            lambda: [sim.semantic_index_path(base, 64, 0.3)],
+            lambda: sim.load_or_build_semantic_index(spark, base, 64, 0.3),
+        ),
+        (
             "daily_revenue",
             lambda d: qinc.refresh_daily_revenue(spark, base, [d["li_day"]]),
             lambda: [qinc.daily_revenue_path(base)],
@@ -424,16 +430,32 @@ def main() -> None:
     sums_maint = {}
     for name, _rf, _paths, served in fams:
         sums_maint[name] = checksum(served())
+    # The semantic family's contract is EPOCH-PINNED (the Lloyd codebook is
+    # corpus-trained, so a from-scratch rebuild over the grown corpus would
+    # legitimately re-cluster) — its rebuild twin is a from-scratch dedup
+    # UNDER THE MAINTAINED CODEBOOK, captured before the root switch.
+    from olap_sus_spark.operators import similarity as sim
+
+    sem_cb = spark.read.parquet(
+        os.path.join(sim.semantic_index_path(base, 64, 0.3), "codebook")
+    ).localCheckpoint(eager=True)
     os.environ["SPARK_GRAFT_INDEX_DIR"] = idx + "_fresh"
     fams_fresh = families(spark, base)
     verdicts = {}
     for name, _rf, _paths, served in fams_fresh:
+        if name == "semantic":
+            def served():
+                emb = load_table(spark, base, "embeddings")
+                return sim.semantic_dedup(
+                    sim.semantic_cells(emb, 64, codebook=sem_cb), threshold=0.3
+                )
         t1 = time.perf_counter()
         s = checksum(served())
         ok = s == sums_maint[name]
         verdicts[name] = bool(ok)
         print(
             f"  {name:<14} {'MATCH' if ok else 'MISMATCH'}"
+            f"{' (epoch-pinned codebook)' if name == 'semantic' else ''}"
             f"  (rebuild {time.perf_counter() - t1:.2f}s)",
             flush=True,
         )
