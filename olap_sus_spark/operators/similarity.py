@@ -1460,6 +1460,40 @@ def load_or_build_semantic_index(
     )
 
 
+def _semantic_verdicts(
+    b_frame: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """The verdict join shared by append-refresh and purge-refresh:
+    ``b_frame`` = vectors needing verdicts (centroid_id, id, bv double-array,
+    *extra); ``cand`` = candidate mates (centroid_id, dup_of, av) — the
+    greedy rule only consumes smaller-id same-cell mates, enforced here."""
+    pairs = (
+        b_frame.select("centroid_id", id_col, "bv")
+        .join(cand, "centroid_id")
+        .filter(F.col("dup_of") < F.col(id_col))
+        .select(id_col, "dup_of", cosine(F.col("av"), F.col("bv")).alias("dup_cosine"))
+        .filter(F.col("dup_cosine") >= threshold)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("dup_cosine").desc(), F.col("dup_of"))
+    best = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).drop("rk")
+    return (
+        b_frame.select(id_col, "centroid_id", *extra)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            *extra,
+            F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("int").alias("is_kept"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
+            F.coalesce(F.col("dup_cosine"), F.lit(-2.0)).alias("dup_cosine"),
+        )
+    )
+
+
 def refresh_semantic_index(
     spark,
     sf_dir: str,
@@ -1498,10 +1532,20 @@ def refresh_semantic_index(
             spark, sf_dir, cell_target, threshold, id_col, vec_col
         )
     added, changed, removed = _manifest_diff(man, current)
-    if changed or removed:
+    if removed or (changed and added):
         return load_or_build_semantic_index(
             spark, sf_dir, cell_target, threshold, id_col, vec_col
         )
+    if changed:
+        out = _semantic_purge_refresh(
+            spark, sf_dir, path, man, current, changed,
+            threshold, id_col, vec_col,
+        )
+        if out is None:  # not a pure removal — safe full rebuild
+            return load_or_build_semantic_index(
+                spark, sf_dir, cell_target, threshold, id_col, vec_col
+            )
+        return out
     if added:
         paths = _corpus_file_paths(sf_dir, "embeddings", added)
         batch = _with_src(spark.read.parquet(*paths))
@@ -1526,34 +1570,9 @@ def refresh_semantic_index(
         batch_a = bcells.select(
             "centroid_id", F.col(id_col).alias("dup_of"), F.col("v").alias("av")
         )
-        b = bcells.select("centroid_id", id_col, F.col("v").alias("bv"))
-        pairs = (
-            b.join(old.unionByName(batch_a), "centroid_id")
-            .filter(F.col("dup_of") < F.col(id_col))
-            .select(
-                id_col, "dup_of", cosine(F.col("av"), F.col("bv")).alias("dup_cosine")
-            )
-            .filter(F.col("dup_cosine") >= threshold)
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("dup_cosine").desc(), F.col("dup_of")
-        )
-        best = (
-            pairs.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .drop("rk")
-        )
-        verdicts_new = (
-            bcells.select(id_col, "centroid_id", _SRC)
-            .join(best, id_col, "left")
-            .select(
-                id_col,
-                "centroid_id",
-                _SRC,
-                F.when(F.col("dup_of").isNull(), 1).otherwise(0).cast("int").alias("is_kept"),
-                F.coalesce(F.col("dup_of"), F.lit(-1)).cast("bigint").alias("dup_of"),
-                F.coalesce(F.col("dup_cosine"), F.lit(-2.0)).alias("dup_cosine"),
-            )
+        b = bcells.select("centroid_id", id_col, F.col("v").alias("bv"), _SRC)
+        verdicts_new = _semantic_verdicts(
+            b, old.unionByName(batch_a), threshold, id_col, extra=(_SRC,)
         )
         write_sorted_partitioned(
             bcells.select(id_col, vec_col, "centroid_id", _SRC),
@@ -1574,6 +1593,132 @@ def refresh_semantic_index(
                 ),
             },
         )
+    return _serve_retry(spark, vpath).select(
+        id_col, "centroid_id", "is_kept", "dup_of", "dup_cosine"
+    )
+
+
+def _semantic_purge_refresh(
+    spark,
+    sf_dir: str,
+    path: str,
+    man: dict,
+    current: dict,
+    changed: list[str],
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame | None:
+    """O(affected) RTBF for the semantic index — the family's analogue of
+    the gram chain's un-scrub.
+
+    purge_table_ids rewrites corpus part files IN PLACE, so a purge shows
+    up as CHANGED files.  Removal has a one-sided effect under the greedy
+    keep-first-by-id rule: it can only shrink a vector's candidate set, so
+    previously-KEPT rows stay kept, and the only rows needing re-verdict
+    are those whose recorded ``dup_of`` was purged (they either fall back
+    to their next-best surviving mate or flip to kept).  The refresh
+    therefore: (1) verifies the change is a PURE removal (surviving rows
+    byte-identical — anything else returns None for the safe full
+    rebuild); (2) drops purged rows from the changed ``src=`` assignment
+    partitions (survivor cells are frozen-codebook assignments —
+    unchanged); (3) re-verdicts exactly the ``dup_of``-orphaned rows
+    against surviving smaller-id cell-mates; (4) rewrites only the verdict
+    partitions holding purged or orphaned rows.  Cost: O(changed files +
+    orphans · cell), never O(corpus).
+    """
+    from olap_sus_spark.operators.purge import _drop, _match
+    from olap_sus_spark.sources.sinks import write_sorted_partitioned
+
+    apath = os.path.join(path, "assignments")
+    vpath = os.path.join(path, "verdicts")
+
+    new_files = _corpus_file_paths(sf_dir, "embeddings", changed)
+    new_rows = _with_src(spark.read.parquet(*new_files)).select(
+        F.col(id_col), F.col(vec_col).alias("_nv"), _SRC
+    )
+    old_changed = (
+        _serve_retry(spark, apath)
+        .filter(F.col(_SRC).isin(list(changed)))
+        .select(id_col, vec_col, "centroid_id", _SRC)
+        .localCheckpoint(eager=True)  # materialize BEFORE overwriting below
+    )
+    j = old_changed.join(new_rows, [id_col, _SRC], "left")
+    survivors = j.filter(F.col("_nv").isNotNull())
+    if survivors.filter(F.col("_nv") != F.col(vec_col)).count() > 0:
+        return None  # surviving vector mutated — not a purge
+    pids = [r[0] for r in j.filter(F.col("_nv").isNull()).select(id_col).collect()]
+    if (
+        new_rows.join(
+            old_changed.select(id_col, _SRC), [id_col, _SRC], "left_anti"
+        ).count()
+        > 0
+    ):
+        return None  # a changed file gained rows — not a purge
+    if not pids:
+        _write_manifest(path, {**man, **_compact_manifest(man, current)})
+        return _serve_retry(spark, vpath).select(
+            id_col, "centroid_id", "is_kept", "dup_of", "dup_cosine"
+        )
+
+    # (2) assignments: drop purged rows, rewrite the changed partitions only.
+    # A fully-purged src writes ZERO rows — dynamic overwrite would leave its
+    # stale partition behind (the orphaned-partition class ADVICE r08 found
+    # in gramfreq/inverted), so drop those partitions explicitly.
+    surv_assign = _drop(old_changed, id_col, pids).select(
+        id_col, vec_col, "centroid_id", _SRC
+    )
+    live_srcs = {r[0] for r in surv_assign.select(_SRC).distinct().collect()}
+    emptied = set(changed) - live_srcs
+    if emptied:
+        from olap_sus_spark.operators.index_store import drop_src_partitions
+
+        drop_src_partitions(apath, emptied)
+        drop_src_partitions(vpath, emptied)
+    write_sorted_partitioned(
+        surv_assign, apath, _SRC, ["centroid_id"], files=4, dynamic=True,
+    )
+
+    # (3) orphans: surviving rows whose recorded dup_of was purged
+    verd = _serve_retry(spark, vpath)
+    orphans = (
+        _drop(_match(verd, "dup_of", pids), id_col, pids)
+        .select(id_col, _SRC)
+        .localCheckpoint(eager=True)
+    )
+    orphan_srcs = [r[0] for r in orphans.select(_SRC).distinct().collect()]
+    parts = sorted(set(changed) | set(orphan_srcs))
+
+    # candidates = ALL surviving assignments (post-rewrite), cell-bounded
+    alive = _serve_retry(spark, apath)
+    cand = alive.select(
+        "centroid_id",
+        F.col(id_col).alias("dup_of"),
+        F.col(vec_col).cast("array<double>").alias("av"),
+    )
+    b = (
+        alive.join(orphans.select(id_col), id_col)
+        .select(
+            "centroid_id", id_col, F.col(vec_col).cast("array<double>").alias("bv"),
+            _SRC,
+        )
+    )
+    new_verd = _semantic_verdicts(b, cand, threshold, id_col, extra=(_SRC,)).select(
+        id_col, "centroid_id", _SRC, "is_kept", "dup_of", "dup_cosine"
+    )
+
+    # (4) rewrite only the touched verdict partitions: purged rows out,
+    # orphan verdicts replaced, everything else carried through unchanged
+    old_parts = (
+        verd.filter(F.col(_SRC).isin(parts)).localCheckpoint(eager=True)
+    )
+    carried = _drop(old_parts, id_col, pids).join(
+        orphans.select(id_col), id_col, "left_anti"
+    ).select(id_col, "centroid_id", _SRC, "is_kept", "dup_of", "dup_cosine")
+    write_sorted_partitioned(
+        carried.unionByName(new_verd), vpath, _SRC, [id_col], files=4, dynamic=True
+    )
+    _write_manifest(path, {**man, **_compact_manifest(man, current)})
     return _serve_retry(spark, vpath).select(
         id_col, "centroid_id", "is_kept", "dup_of", "dup_cosine"
     )

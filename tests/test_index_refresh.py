@@ -1111,3 +1111,59 @@ def test_semantic_refresh_is_idempotent(spark, tmp_path, monkeypatch):
     first = _sem_rows(sim.refresh_semantic_index(spark, sf))
     again = _sem_rows(sim.refresh_semantic_index(spark, sf))
     assert first == again
+
+
+def test_semantic_purge_refresh_equals_pinned_rebuild(spark, tmp_path, monkeypatch):
+    """RTBF: purge vectors (including one that other rows cite as their
+    dup_of) — the O(affected) refresh must land exactly where a
+    from-scratch dedup over the purged corpus UNDER THE BUILT CODEBOOK
+    lands: purged rows gone, orphans re-pointed to their next-best
+    surviving mate or flipped to kept."""
+    from olap_sus_spark.operators import purge as pg
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    built = sim.load_or_build_semantic_index(spark, sf)
+    cb = spark.read.parquet(
+        os.path.join(sim.semantic_index_path(sf, 64, 0.3), "codebook")
+    ).localCheckpoint(eager=True)
+
+    # purge two cited dup_of targets + one bystander — guarantees orphans
+    cited = [
+        r.dup_of
+        for r in built.filter(F.col("is_kept") == 0).select("dup_of").distinct().limit(2).collect()
+    ]
+    ids = sorted(set(cited + [499]))
+    removed = pg.purge_table_ids(spark, sf, "embeddings", "vec_id", ids)
+    assert removed == len(ids)
+
+    got = _sem_rows(sim.refresh_semantic_index(spark, sf))
+    assert len(got) == 500 - len(ids)
+
+    full = load_table(spark, sf, "embeddings")
+    expected = _sem_rows(
+        sim.semantic_dedup(sim.semantic_cells(full, codebook=cb), threshold=0.3)
+    )
+    assert got == expected
+
+
+def test_semantic_mutated_file_falls_back_to_rebuild(spark, tmp_path, monkeypatch):
+    """An in-place REWRITE (vectors changed, not removed) is not a purge —
+    the refresh must detect the mutation and take the full rebuild,
+    landing exactly where a fresh build lands."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path)
+    sim.load_or_build_semantic_index(spark, sf)
+
+    p0 = os.path.join(sf, "embeddings.parquet", "part-00.parquet")
+    emb = spark.read.parquet(p0).localCheckpoint(eager=True)
+    mutated = emb.withColumn(
+        "embedding",
+        F.transform(F.col("embedding"), lambda x: (x * F.lit(1.1)).cast("float")),
+    )
+    _move_single_part(mutated, p0)
+
+    got = _sem_rows(sim.refresh_semantic_index(spark, sf))
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
+    fresh = _sem_rows(sim.load_or_build_semantic_index(spark, sf))
+    assert got == fresh
