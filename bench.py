@@ -144,6 +144,7 @@ def main() -> None:
     # headline probes measure query-path work only.
     import shutil
 
+    from olap_sus_spark.operators import qualhist as _qh
     from olap_sus_spark.operators import similarity as _sim
 
     # Hyperparameters come from the registered queries themselves so the
@@ -192,6 +193,11 @@ def main() -> None:
             lambda: _sim.load_or_build_semantic_index(
                 spark, sf_dir, cell_target=64, threshold=0.3
             ),
+        ),
+        (
+            "quality_hist",
+            lambda: _qh.quality_hist_path(sf_dir),
+            lambda: _qh.load_or_build_quality_hist(spark, sf_dir),
         ),
         (
             # Near-dup cluster map (star edges + connected components over the

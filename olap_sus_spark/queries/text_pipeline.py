@@ -207,6 +207,49 @@ def quality_calibrated_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Serving twin: the per-source histogram is a maintained src-partitioned
+# partial table (operators/qualhist.py — additive, so EVERY maintenance
+# case is partition-local: appends/rewrites recompute their own files,
+# removals drop partitions; no full-rebuild case exists).  The cutoff side
+# folds the index-sized partials instead of re-aggregating the corpus; the
+# per-doc verdict pass stays the narrow map it always was.  Shares the
+# from-scratch oracle — hash equality proves the maintained fold.
+@register("quality_calibrated_cut_served", oracle=_CALIBRATED_CUT_ORACLE)
+def quality_calibrated_cut_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from olap_sus_spark.operators import qualhist as qh
+
+    partials = qh.load_or_build_quality_hist(spark, sf_dir)
+    hist = partials.groupBy("source", "q_bin").agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.col("q_bin").desc())
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    tot = hist.groupBy("source").agg(F.sum("cnt").alias("n_total"))
+    cut = (
+        cum.join(tot, "source")
+        .filter(
+            F.col("cum")
+            >= F.floor((F.col("n_total") + F.lit(1)) / F.lit(2.0)).cast("bigint")
+        )
+        .groupBy("source")
+        .agg(F.max("q_bin").alias("cutoff_bin"))
+    )
+    docs = spread_compute(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", "source", qh.q_bin(F.col("text")).alias("q_bin")
+    )
+    return scored.join(F.broadcast(cut), "source").select(
+        "doc_id",
+        "source",
+        "q_bin",
+        "cutoff_bin",
+        F.when(F.col("q_bin") >= F.col("cutoff_bin"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE-style pre-token counting (LLM token-budget proxy).  Lookahead-free
 # regex, so Java (Spark) and RE2 (DuckDB) extract identical pieces.

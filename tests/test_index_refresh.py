@@ -1167,3 +1167,69 @@ def test_semantic_mutated_file_falls_back_to_rebuild(spark, tmp_path, monkeypatc
     monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fresh"))
     fresh = _sem_rows(sim.load_or_build_semantic_index(spark, sf))
     assert got == fresh
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality histogram (operators/qualhist.py)
+# ---------------------------------------------------------------------------
+
+
+def _qh_rows(df):
+    return sorted((r.src, r.source, r.q_bin, r.cnt) for r in df.collect())
+
+
+def test_quality_hist_refresh_covers_append_rewrite_and_removal(spark, tmp_path, monkeypatch):
+    """The histogram is additive per part file, so EVERY maintenance case
+    is partition-local — append, in-place rewrite, and removal must each
+    land exactly where a fresh build over the current corpus lands,
+    without any full-rebuild fallback."""
+    from olap_sus_spark.operators import qualhist as qh
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    qh.load_or_build_quality_hist(spark, sf)
+
+    def fresh(tag):
+        monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / f"idx_{tag}"))
+        rows = _qh_rows(qh.load_or_build_quality_hist(spark, sf))
+        monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+        return rows
+
+    # append
+    _append_documents(spark, sf, "part-01.parquet")
+    assert _qh_rows(qh.refresh_quality_hist(spark, sf)) == fresh("a")
+
+    # in-place rewrite (different content, same file name)
+    _append_documents(spark, sf, "part-01.parquet", id_shift=900000)
+    assert _qh_rows(qh.refresh_quality_hist(spark, sf)) == fresh("b")
+
+    # removal
+    os.remove(os.path.join(sf, "documents.parquet", "part-01.parquet"))
+    got = _qh_rows(qh.refresh_quality_hist(spark, sf))
+    assert got == fresh("c")
+    assert {r[0] for r in got} == {"part-00.parquet"}
+
+    # idempotent no-op
+    assert _qh_rows(qh.refresh_quality_hist(spark, sf)) == got
+
+
+def test_quality_hist_partition_scoped_refresh(spark, tmp_path, monkeypatch):
+    from olap_sus_spark.operators import qualhist as qh
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = _mk_corpus(spark, tmp_path, tables=("documents",))
+    qh.load_or_build_quality_hist(spark, sf)
+    base_part = os.path.join(qh.quality_hist_path(sf), "src=part-00.parquet")
+    stamps = {
+        f: os.path.getmtime(os.path.join(base_part, f))
+        for f in os.listdir(base_part)
+    }
+
+    _append_documents(spark, sf, "part-01.parquet")
+    qh.refresh_quality_hist(spark, sf)
+    for f, ts in stamps.items():
+        if f.endswith(".parquet"):
+            assert os.path.getmtime(os.path.join(base_part, f)) == ts
+    assert os.path.isdir(
+        os.path.join(qh.quality_hist_path(sf), "src=part-01.parquet")
+    )

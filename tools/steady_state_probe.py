@@ -249,6 +249,7 @@ def families(spark, base: str):
     from olap_sus_spark.operators import dedup as dd
     from olap_sus_spark.operators import gramfreq as gf
     from olap_sus_spark.operators import inverted as inv
+    from olap_sus_spark.operators import qualhist as qh
     from olap_sus_spark.operators import similarity as sim
     from olap_sus_spark.queries import cms as qcms
     from olap_sus_spark.queries import hist as qhist
@@ -299,6 +300,12 @@ def families(spark, base: str):
             lambda d: sim.refresh_semantic_index(spark, base, 64, 0.3),
             lambda: [sim.semantic_index_path(base, 64, 0.3)],
             lambda: sim.load_or_build_semantic_index(spark, base, 64, 0.3),
+        ),
+        (
+            "quality_hist",
+            lambda d: qh.refresh_quality_hist(spark, base),
+            lambda: [qh.quality_hist_path(base)],
+            lambda: qh.load_or_build_quality_hist(spark, base),
         ),
         (
             "daily_revenue",
