@@ -61,6 +61,8 @@ HEADLINE = [
     "dedup_cluster_members",  # membership probe over the maintained cluster map
     "dedup_embedding_lsh",  # LSH-blocked embedding near-dup (ids-only collision join)
     "dedup_embedding_lsh_indexed",  # same, served from the maintained dedup-width SRP index
+    "dedup_semantic_clusters",  # SemDeDup from-scratch baseline (Lloyd + within-cell pairs)
+    "dedup_semantic_clusters_indexed",  # served from the maintained verdict table (pure scan)
     "tfidf_top_terms",
     "bm25_search_topk",  # full-text BM25 from the raw corpus
     "bm25_search_indexed",  # same, served from the maintained inverted index
@@ -80,6 +82,8 @@ HEADLINE = [
     "text_quality_features",
     "ngram_lm_fluency",  # bigram-LM quality scoring (CCNet-style filtering)
     "quality_classifier_scores",  # hashed linear classifier inference (zero-shuffle fold)
+    "quality_calibrated_cut",  # per-source histogram-quantile calibration (from scratch)
+    "quality_calibrated_cut_served",  # cutoffs from the maintained per-source histogram
     "bpe_learn_merges",  # tokenizer training: BPE merges off the word-freq table
     "decontaminate_train",  # benchmark-leakage gram-hash join
     # event-time / streaming

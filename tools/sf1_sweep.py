@@ -185,6 +185,17 @@ def main() -> None:
     #   x100, r10).
     # - dedup_jaccard_pairs: fixed-64-block exact-Jaccard baseline, same ×N²
     #   within-block growth; its linear twin dedup_minhash_lsh IS swept.
+    # - mutual_nn_pairs_bucketed(+_indexed): the ORACLE's SRP bucket-replay
+    #   scores every collision pair single-node (~234M 64-dim cosines at
+    #   x100, hours of DuckDB lambdas vs seconds engine-side).  Full-oracle
+    #   ceiling is x10 (run separately, MATCH); the x100 evidence is the
+    #   engine-side candidate-volume probe (tools/mutual_nn_probe.py) +
+    #   the recall-vs-exact unit gate.
+    # - khop_reachable_parts: the ORACLE's 3-hop frontier×adjacency
+    #   expansion spills >75 GB of DuckDB temp at x100 (observed twice, r10
+    #   s3) — single-node BFS materialization, not an engine limit (the
+    #   engine side is three distributed hash joins).  Full-oracle ceiling
+    #   is sf1 (r9 uniform sweep MATCH).
     skip_env = os.environ.get("SPARK_GRAFT_SWEEP_SKIP")
     if skip_env is not None:
         skips = set(s for s in skip_env.split(",") if s)
@@ -196,6 +207,9 @@ def main() -> None:
             "dedup_semantic_clusters_indexed",
             "dedup_embedding_pairs",
             "dedup_jaccard_pairs",
+            "mutual_nn_pairs_bucketed",
+            "mutual_nn_pairs_bucketed_indexed",
+            "khop_reachable_parts",
         }
     else:
         skips = set()
