@@ -22,13 +22,17 @@ def canonical_signature(order_col: Column, item_col: Column) -> tuple[Column, Co
     Signature = 'item:ordem' fragments sorted by (ordem, item) joined by '|'
     (the sim:181-192 construction, with the item added to the sort key so
     duplicate ordem values are still deterministic).
+
+    The collected struct carries only (ordem, item) — the fragment string
+    is rebuilt AFTER the sort (r10): it is a pure function of the sort key,
+    so dropping it from the shuffled struct halves the aggregation's
+    shuffle bytes without changing a character of the output.
     """
-    frag = F.concat_ws(":", item_col.cast("string"), order_col.cast("string"))
     sig = F.concat_ws(
         "|",
         F.transform(
-            F.array_sort(F.collect_list(F.struct(order_col.alias("o"), item_col.alias("i"), frag.alias("f")))),
-            lambda x: x["f"],
+            F.array_sort(F.collect_list(F.struct(order_col.alias("o"), item_col.alias("i")))),
+            lambda x: F.concat_ws(":", x["i"].cast("string"), x["o"].cast("string")),
         ),
     )
     return sig, F.md5(sig)

@@ -262,16 +262,27 @@ def embedding_dup_pairs(
     Blocks on the `label` column when present (analogous to lang blocking);
     at 100 TB swap the block for an IVF/LSH bucket (similarity.py).
     """
-    from olap_sus_spark.operators.similarity import cosine
+    from olap_sus_spark.operators.similarity import dot, norm
 
+    # Per-vector norms price once per VECTOR, not once per pair (r10, the
+    # embedding_dup_pairs_lsh discipline): an inline cosine re-folds both
+    # norms for every within-label pair.  Staged sqrt(fold(x²)) is bit-
+    # identical and the division tree is unchanged.
     v = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"), F.col("label")
+    ).withColumn("_n", norm(F.col("v")))
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+        F.col("_n").alias("na"), "label",
     )
-    a = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "label")
-    b = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "label")
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+        F.col("_n").alias("nb"), "label",
+    )
     pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
     return pairs.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
+        "id_a", "id_b",
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 
@@ -479,6 +490,43 @@ def _grams_blocks(docs: DataFrame, n: int, id_col: str, text_col: str = "text") 
     ).withColumn("block", F.array_min(F.col("grams_h")).cast("string"))
 
 
+def star_labels(
+    g: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Direct (doc, cluster_id) labels for the star topology — the closed
+    form of ``dedup_clusters`` over :func:`star_edges` (r10).
+
+    Star components have diameter ≤ 2 by construction: every doc belongs to
+    exactly ONE block (its min gram hash), edges only connect a block's hub
+    (its smallest doc id) to members that verify at ``threshold``, and the
+    hub id is the smallest id of the whole component.  Min-label propagation
+    therefore converges to: hub → its own id, verified member → hub id,
+    unverified member → its own id.  Computing that directly replaces the
+    iterative CC loop (per-round join + aggregate + checkpoint + count)
+    with ONE aggregation and ONE join — same output, proven by the shared
+    transitive-closure oracle and the refresh==rebuild equality tests.
+
+    ``g`` is a :func:`_grams_blocks` frame (id, grams_h, block [, extra]).
+    The hub's gram set rides out of the same aggregation via ``min_by``
+    (doc ids are unique within a block, so the argmin is unambiguous).
+    """
+    hubs = g.groupBy("block").agg(
+        F.min(id_col).alias("hub_id"),
+        F.min_by("grams_h", id_col).alias("hub_grams"),
+    )
+    return g.join(hubs, "block").select(
+        F.col(id_col),
+        F.when(F.col(id_col) == F.col("hub_id"), F.col(id_col))
+        .when(jaccard_of("hub_grams", "grams_h") >= threshold, F.col("hub_id"))
+        .otherwise(F.col(id_col))
+        .alias("cluster_id"),
+        *extra,
+    )
+
+
 def load_or_build_cluster_index(
     spark,
     sf_dir: str,
@@ -535,29 +583,29 @@ def load_or_build_cluster_index(
             # incrementally: base rows live under one partition, refreshed
             # appends land under their own src partitions
             g = g.withColumn(_SRC, F.lit("__base__"))
-        # The gram arrays feed the hub table, the edge verification AND the
-        # CC node set — materialize the (expensive) shingling pass once.
+        # The gram arrays feed the hub table AND the labeling join —
+        # materialize the (expensive) shingling pass once.
         g = g.persist()
-        hubs = g.groupBy("block").agg(F.min(id_col).alias("hub_id"))
-        hub_rows = g.join(hubs, "block").filter(F.col(id_col) == F.col("hub_id")).select(
-            "block", "hub_id", "grams_h", _SRC
+        # r10: direct star labeling (star_labels) — one aggregation + one
+        # join replace the star_edges joins + the iterative CC loop; output
+        # proven identical by the shared closure oracle and the
+        # refresh==rebuild tests.  The hub's src rides the same min_by agg.
+        hubs = g.groupBy("block").agg(
+            F.min(id_col).alias("hub_id"),
+            F.min_by("grams_h", id_col).alias("hub_grams"),
+            F.min_by(_SRC, id_col).alias("hub_src"),
         )
-        members = (
-            g.join(hubs, "block")
-            .filter(F.col(id_col) != F.col("hub_id"))
-            .select("hub_id", F.col(id_col).alias("id_b"), F.col("grams_h").alias("grams_b"))
+        hub_rows = hubs.select(
+            "block", "hub_id", F.col("hub_grams").alias("grams_h"),
+            F.col("hub_src").alias(_SRC),
         )
-        hub_grams = g.select(F.col(id_col).alias("hub_id"), F.col("grams_h").alias("grams_a"))
-        edges = (
-            members.join(hub_grams, "hub_id")
-            .select(
-                F.col("hub_id").alias("id_a"), "id_b",
-                jaccard_of("grams_a", "grams_b").alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= threshold)
-        )
-        clusters = dedup_clusters(edges, g.select(id_col), id_col=id_col).join(
-            g.select(id_col, _SRC), id_col
+        clusters = g.join(hubs, "block").select(
+            F.col(id_col),
+            F.when(F.col(id_col) == F.col("hub_id"), F.col(id_col))
+            .when(jaccard_of("hub_grams", "grams_h") >= threshold, F.col("hub_id"))
+            .otherwise(F.col(id_col))
+            .alias("cluster_id"),
+            F.col(_SRC),
         )
         os.makedirs(index_root(), exist_ok=True)
         staging = staging_path(path)

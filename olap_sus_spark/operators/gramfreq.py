@@ -848,6 +848,44 @@ def scrub_path(sf_dir: str, table: str = "documents", view: str = "aug") -> str:
     )
 
 
+def scrub_assemble(toks: DataFrame, covered_pos: DataFrame, extra=()) -> DataFrame:
+    """Shared scrub assembly (r10): ``toks`` = (..extra.., doc_id, t) with
+    the token array staged; ``covered_pos`` = (doc_id, cpos) rows of
+    1-based covered token positions (duplicates fine — collect_set dedups).
+    Returns one row per doc: (..extra.., doc_id, n_tokens, n_removed,
+    scrubbed_text).
+
+    Replaces the tokpos-explode → anti-join → collect_list + order-
+    restoring-sort reassembly: covered positions (two ints per row) are the
+    only rows that cross an exchange — the token strings never shuffle —
+    and the per-doc reassembly is a narrow map.  Bit-identical output:
+    array_except preserves the (ascending) order of its left operand, so
+    kept positions come out sorted and each kept token is re-read in place
+    with element_at (1-based, and every position is ≤ size(t) by
+    construction, so ANSI cannot throw)."""
+    cov = covered_pos.groupBy("doc_id").agg(F.collect_set("cpos").alias("_cov"))
+    empty = F.array().cast("array<int>")
+    # sequence(1, 0) silently turns DESCENDING under ANSI (CLAUDE.md) —
+    # guard the zero-token docs explicitly.
+    allpos = F.when(F.size("t") > 0, F.sequence(F.lit(1), F.size("t"))).otherwise(empty)
+    staged = toks.join(cov, "doc_id", "left").select(
+        *extra,
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.array_except(allpos, F.coalesce(F.col("_cov"), empty)).alias("_kept"),
+        "t",
+    )
+    return staged.select(
+        *extra,
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.size("_kept")).cast("int").alias("n_removed"),
+        F.array_join(
+            F.transform(F.col("_kept"), lambda p: F.element_at(F.col("t"), p)), " "
+        ).alias("scrubbed_text"),
+    )
+
+
 def _scrub_frame(docs: DataFrame, shared: DataFrame, src_col=None) -> DataFrame:
     """Exact-substring scrub of ``docs`` against the ``shared`` gram cut:
     (src, doc_id, n_tokens, n_removed, scrubbed_text), token positions
@@ -871,43 +909,11 @@ def _scrub_frame(docs: DataFrame, shared: DataFrame, src_col=None) -> DataFrame:
         .withColumn("pos", F.col("pos0") + 1)
         .drop("pos0")
     )
-    covered = (
-        grams.join(shared, "gram")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("cpos"),
-        )
-        .distinct()
-    )
-    tokpos = (
-        toks.select("doc_id", F.posexplode("t").alias("p0", "tok"))
-        .withColumn("p", F.col("p0") + 1)
-        .drop("p0")
-    )
-    kept = tokpos.join(
-        covered,
-        (tokpos["doc_id"] == covered["doc_id"]) & (tokpos["p"] == covered["cpos"]),
-        "left_anti",
-    )
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                lambda x: x["tok"],
-            ),
-        ).alias("scrubbed"),
-    )
-    return toks.join(agg, "doc_id", "left").select(
-        _SRC,
+    covered = grams.join(shared, "gram").select(
         "doc_id",
-        F.size("t").alias("n_tokens"),
-        (F.size("t") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("int")
-        .alias("n_removed"),
-        F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed_text"),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("cpos"),
     )
+    return scrub_assemble(toks, covered, extra=(_SRC,))
 
 
 def _write_scrub(frame: DataFrame, root: str, dynamic: bool) -> None:

@@ -58,14 +58,25 @@ def cosine_topk(
 
     Ties broken by candidate id — deterministic output.
     """
-    cand = _as_double(emb, vec_col, "cv").select(F.col(id_col).alias("cand_id"), "cv")
-    qry = _as_double(queries, vec_col, "qv").select(
-        F.col(query_id_col).alias("query_id"), "qv"
+    # Per-vector norms price once per VECTOR, not once per (query, cand)
+    # pair (r10): the inline cosine re-folded the candidate norm for every
+    # query and the query norm for every candidate.  Staged sqrt(fold(x²))
+    # is bit-identical and the division tree is unchanged.
+    cand = (
+        _as_double(emb, vec_col, "cv")
+        .select(F.col(id_col).alias("cand_id"), "cv")
+        .withColumn("_cn", norm(F.col("cv")))
+    )
+    qry = (
+        _as_double(queries, vec_col, "qv")
+        .select(F.col(query_id_col).alias("query_id"), "qv")
+        .withColumn("_qn", norm(F.col("qv")))
     )
     # Broadcast the (small) query side: the corpus never moves, each
     # executor scans its corpus partitions against the replicated queries.
     scored = F.broadcast(qry).crossJoin(cand).filter(F.col("query_id") != F.col("cand_id")).select(
-        "query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cosine")
+        "query_id", "cand_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -287,26 +298,38 @@ def ivf_probe(
     cents = _as_double(centroids, vec_col, "centv").select(
         F.col(id_col).alias("centroid_id"), "centv"
     )
-    qry = _as_double(queries, vec_col, "qv").select(
-        F.col(query_id_col).alias("query_id"), "qv"
+    qry = (
+        _as_double(queries, vec_col, "qv")
+        .select(F.col(query_id_col).alias("query_id"), "qv")
+        # query norm prices once per query, not once per (query, candidate)
+        # pair in the probed-list rerank below (r10; bit-identical staging)
+        .withColumn("_qn", norm(F.col("qv")))
     )
     qprobe = qry.crossJoin(F.broadcast(cents)).select(
-        "query_id", "qv", "centroid_id", cosine(F.col("qv"), F.col("centv")).alias("csim")
+        "query_id", "qv", "_qn", "centroid_id",
+        cosine(F.col("qv"), F.col("centv")).alias("csim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("centroid_id"))
     probes = (
         qprobe.withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= nprobe)
-        .select("query_id", "qv", "centroid_id")
+        .select("query_id", "qv", "_qn", "centroid_id")
     )
 
-    # Search only the probed lists: equi-join on centroid_id.
-    cand = _as_double(indexed, vec_col, "cv").select(
-        F.col(id_col).alias("cand_id"), "cv", "centroid_id"
+    # Search only the probed lists: equi-join on centroid_id.  Candidate
+    # norms price once per vector — a candidate list is rescanned by every
+    # query probing it.
+    cand = (
+        _as_double(indexed, vec_col, "cv")
+        .select(F.col(id_col).alias("cand_id"), "cv", "centroid_id")
+        .withColumn("_cn", norm(F.col("cv")))
     )
     scored = probes.join(cand, "centroid_id").filter(
         F.col("query_id") != F.col("cand_id")
-    ).select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    ).select(
+        "query_id", "cand_id",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -591,14 +614,28 @@ def semantic_dedup(
     dup_cosine = -2.0) instead of NULLs so the verdict table stays
     canon-friendly end-to-end.
     """
-    a = cells.select(
-        "centroid_id", F.col(id_col).alias("dup_of"), F.col("v").alias("av")
+    # Per-vector norms price once per VECTOR, not once per pair (r10): an
+    # inline cosine would re-fold both norms for every cell-mate pair — 3
+    # array folds per pair instead of 1.  Staged sqrt(fold(x²)) is bit-
+    # identical to the inlined norm and the division tree is unchanged, so
+    # verdict cosines still hash-match the relational replay.
+    nv = cells.select("centroid_id", F.col(id_col), "v").withColumn(
+        "_n", norm(F.col("v"))
     )
-    b = cells.select("centroid_id", id_col, F.col("v").alias("bv"))
+    a = nv.select(
+        "centroid_id", F.col(id_col).alias("dup_of"), F.col("v").alias("av"),
+        F.col("_n").alias("na"),
+    )
+    b = nv.select("centroid_id", id_col, F.col("v").alias("bv"), F.col("_n").alias("nb"))
     pairs = (
         b.join(a, "centroid_id")
         .filter(F.col("dup_of") < F.col(id_col))
-        .select(id_col, "dup_of", cosine(F.col("av"), F.col("bv")).alias("dup_cosine"))
+        .select(
+            id_col, "dup_of",
+            (dot(F.col("av"), F.col("bv")) / (F.col("na") * F.col("nb"))).alias(
+                "dup_cosine"
+            ),
+        )
         .filter(F.col("dup_cosine") >= threshold)
     )
     w = Window.partitionBy(id_col).orderBy(F.col("dup_cosine").desc(), F.col("dup_of"))
@@ -728,14 +765,24 @@ def quantized_rerank_topk(
     cast + one division, ties break on candidate id — hence fully
     value-hash oracle-able.  max|q_i| = 127 so dim 64 dots stay ~2^20,
     nowhere near bigint range."""
-    qv = quantized_vecs(emb, id_col=id_col, vec_col=vec_col)
-    cand = qv.select(F.col(id_col).alias("cand_id"), F.col("qv").alias("cq"))
+    # Per-vector integer norms price once per VECTOR before the crossJoin
+    # (r10): inlining them in the pair projection re-folded qq·qq and cq·cq
+    # for every (query, candidate) pair — 3 integer folds per pair instead
+    # of 1.  The staged value is the identical exact bigint dot, so the
+    # sqrt + division tree (and the oracle match) are unchanged.
+    qv = quantized_vecs(emb, id_col=id_col, vec_col=vec_col).withColumn(
+        "_qn2", _int_dot(F.col("qv"), F.col("qv"))
+    )
+    cand = qv.select(
+        F.col(id_col).alias("cand_id"), F.col("qv").alias("cq"),
+        F.col("_qn2").alias("_cn2"),
+    )
     qry = qv.filter(F.col(id_col) < n_query).select(
-        F.col(id_col).alias("query_id"), F.col("qv").alias("qq")
+        F.col(id_col).alias("query_id"), F.col("qv").alias("qq"), "_qn2"
     )
     iq = _int_dot(F.col("qq"), F.col("cq"))
-    qn = F.sqrt(_int_dot(F.col("qq"), F.col("qq")).cast("double"))
-    cn = F.sqrt(_int_dot(F.col("cq"), F.col("cq")).cast("double"))
+    qn = F.sqrt(F.col("_qn2").cast("double"))
+    cn = F.sqrt(F.col("_cn2").cast("double"))
     pre = (
         F.broadcast(qry)
         .crossJoin(cand)
@@ -1470,12 +1517,24 @@ def _semantic_verdicts(
     """The verdict join shared by append-refresh and purge-refresh:
     ``b_frame`` = vectors needing verdicts (centroid_id, id, bv double-array,
     *extra); ``cand`` = candidate mates (centroid_id, dup_of, av) — the
-    greedy rule only consumes smaller-id same-cell mates, enforced here."""
+    greedy rule only consumes smaller-id same-cell mates, enforced here.
+
+    Per-vector norms price once per VECTOR, not once per pair (r10, same
+    staging as :func:`semantic_dedup`): an inline cosine would re-fold both
+    norms for every cell-mate pair.  sqrt(fold(x²)) staged pre-join is
+    bit-identical and the division tree is unchanged, so the refresh still
+    equals the rebuild verdict-for-verdict."""
     pairs = (
         b_frame.select("centroid_id", id_col, "bv")
-        .join(cand, "centroid_id")
+        .withColumn("_nb", norm(F.col("bv")))
+        .join(cand.withColumn("_na", norm(F.col("av"))), "centroid_id")
         .filter(F.col("dup_of") < F.col(id_col))
-        .select(id_col, "dup_of", cosine(F.col("av"), F.col("bv")).alias("dup_cosine"))
+        .select(
+            id_col, "dup_of",
+            (dot(F.col("av"), F.col("bv")) / (F.col("_na") * F.col("_nb"))).alias(
+                "dup_cosine"
+            ),
+        )
         .filter(F.col("dup_cosine") >= threshold)
     )
     w = Window.partitionBy(id_col).orderBy(F.col("dup_cosine").desc(), F.col("dup_of"))

@@ -131,7 +131,14 @@ def _learn_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
     )
-    wrapped = words.select(
+    # The merge loop runs over the VOCAB table (distinct words), which is
+    # corpus-size-independent and small (a web-scale corpus has ~10⁷ short
+    # distinct words ≈ a few hundred MB — the reason real BPE trainers run
+    # the merge loop on one node).  One partition means each of the
+    # _N_MERGES rounds is a single-task pipeline instead of 2×|partitions|
+    # tasks re-scheduled per round (r10; the corpus-sized word-extraction
+    # pass above stays fully parallel — only the bounded vocab coalesces).
+    wrapped = words.coalesce(1).select(
         F.array_join(
             F.transform(
                 F.expr("regexp_extract_all(w, '.', 0)"),

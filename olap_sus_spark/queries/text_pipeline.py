@@ -724,13 +724,16 @@ WITH RECURSIVE {_AUG_SQL},
 @register("dedup_near_clusters_star", oracle=_NEAR_CLUSTERS_STAR_ORACLE)
 def dedup_near_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mega-cluster-safe near-dup clustering: star-reduced verified edges
-    (operators/dedup.py:star_edges) -> connected components.  Linear edge
-    count regardless of duplicate density; the trade is recall through the
-    hub only (docs similar to each other but not to the hub link only via
-    a verified path)."""
+    -> connected components, computed in the star topology's CLOSED FORM
+    (operators/dedup.py:star_labels — components have diameter ≤ 2, so the
+    min-label fixpoint is one aggregation + one join; the r10 replacement
+    for running the iterative CC loop here, output proven identical by the
+    transitive-closure oracle).  Linear edge count regardless of duplicate
+    density; the trade is recall through the hub only (docs similar to
+    each other but not to the hub link only via a verified path)."""
     docs = augmented_docs(spark, sf_dir)
-    edges = dd.star_edges(docs, threshold=0.5)
-    return dd.dedup_clusters(edges, docs.select("doc_id"))
+    g = dd._grams_blocks(docs, 3, "doc_id")
+    return dd.star_labels(g, threshold=0.5)
 
 
 @register("dedup_near_clusters_star_served", oracle=_NEAR_CLUSTERS_STAR_ORACLE)
@@ -1249,11 +1252,12 @@ def dedup_cross_doc_ngrams_served(spark: SparkSession, sf_dir: str) -> DataFrame
 # writes: each document re-emitted with every token position covered by a
 # cross-doc-repeated 5-gram window removed (Lee et al.'s ExactSubstr cut,
 # token-granular).  No interval-merge pass needed: the covered-position
-# SET (doc_id, pos) is the union of all repeated windows by construction —
-# explode each repeated window's 5 positions, distinct, anti-join the
-# token list.  Everything stays (doc, position)-keyed: the widest shuffle
-# is |tokens| rows of two ints, and reassembly is one groupBy(doc) with an
-# order-restoring struct sort (the boilerplate_segment_scrub trick).
+# SET per doc is the union of all repeated windows by construction —
+# explode each repeated window's 5 positions, collect_set per doc, and
+# subtract from the doc's own position range with array_except (r10:
+# replaces the tokpos-explode → anti-join → collect_list reassembly; the
+# token strings never shuffle — only covered positions, two ints each,
+# cross an exchange, and the per-doc reassembly is a narrow map).
 def _cross_doc_scrub_oracle() -> str:
     toks = _TOKENS_SQL.format(t="text")
     grams = _ngrams_expr_sql("t", _CROSS_NGRAM_N)
@@ -1325,44 +1329,13 @@ def dedup_cross_doc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .select("gram")
     )
-    covered = (
-        grams.join(shared, "gram")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("cpos"),
-        )
-        .distinct()
+    covered = grams.join(shared, "gram").select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("cpos"),
     )
-    tokpos = (
-        toks.select("doc_id", F.posexplode("t").alias("p0", "tok"))
-        .withColumn("p", F.col("p0") + 1)
-        .drop("p0")
-    )
-    kept = tokpos.join(
-        covered,
-        (tokpos["doc_id"] == covered["doc_id"]) & (tokpos["p"] == covered["cpos"]),
-        "left_anti",
-    )
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda x: x["tok"]
-            ),
-        ).alias("scrubbed"),
-    )
-    return (
-        toks.join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("t").alias("n_tokens"),
-            (F.size("t") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("int")
-            .alias("n_removed"),
-            F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed_text"),
-        )
-    )
+    from olap_sus_spark.operators.gramfreq import scrub_assemble
+
+    return scrub_assemble(toks, covered)
 
 
 # Serving twin: the scrub with the global gram-frequency pass served from
@@ -1394,44 +1367,11 @@ def dedup_cross_doc_scrub_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r9: >=2 cut served from the maintained rollup — plain sorted scan,
     # zero shuffle (shared_grams' per-serve fold is the fallback path)
     shared = gramfreq.shared_grams_cut(spark, sf_dir)
-    covered = (
-        grams.join(shared, "gram")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("cpos"),
-        )
-        .distinct()
+    covered = grams.join(shared, "gram").select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("cpos"),
     )
-    tokpos = (
-        toks.select("doc_id", F.posexplode("t").alias("p0", "tok"))
-        .withColumn("p", F.col("p0") + 1)
-        .drop("p0")
-    )
-    kept = tokpos.join(
-        covered,
-        (tokpos["doc_id"] == covered["doc_id"]) & (tokpos["p"] == covered["cpos"]),
-        "left_anti",
-    )
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))), lambda x: x["tok"]
-            ),
-        ).alias("scrubbed"),
-    )
-    return (
-        toks.join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.size("t").alias("n_tokens"),
-            (F.size("t") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("int")
-            .alias("n_removed"),
-            F.coalesce(F.col("scrubbed"), F.lit("")).alias("scrubbed_text"),
-        )
-    )
+    return gramfreq.scrub_assemble(toks, covered)
 
 
 # Ingest-incremental twin (r9): the scrub OUTPUT itself is the maintained

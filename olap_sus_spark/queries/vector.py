@@ -897,16 +897,31 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     logic).  Cosines bit-match the oracle via the shared fixed-fold dot."""
     from pyspark.sql import Window
 
-    from olap_sus_spark.operators.similarity import cosine, _as_double
+    from olap_sus_spark.operators.similarity import _as_double, dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    vecs = _as_double(emb, "embedding", "cv").select("vec_id", "cv")
-    a = vecs.select(F.col("vec_id").alias("ida"), F.col("cv").alias("va"))
-    b = vecs.select(F.col("vec_id").alias("idb"), F.col("cv").alias("vb"))
+    # Per-vector norms price once per VECTOR, not once per pair (r10): the
+    # inline cosine re-folded both norms for each of the n² scored pairs.
+    # Staged sqrt(fold(x²)) is bit-identical; the division tree is
+    # unchanged, so cosines still match the oracle's fixed-fold dot.
+    vecs = (
+        _as_double(emb, "embedding", "cv")
+        .select("vec_id", "cv")
+        .withColumn("_n", norm(F.col("cv")))
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("ida"), F.col("cv").alias("va"), F.col("_n").alias("na")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("idb"), F.col("cv").alias("vb"), F.col("_n").alias("nb")
+    )
     scored = (
         a.crossJoin(b)
         .filter(F.col("ida") != F.col("idb"))
-        .select("ida", "idb", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .select(
+            "ida", "idb",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("ida").orderBy(F.col("cosine").desc(), "idb")
     nn = (
@@ -996,7 +1011,7 @@ def _mutual_nn_from_buckets(emb: DataFrame, buckets: DataFrame) -> DataFrame:
     rescore)."""
     from pyspark.sql import Window
 
-    from olap_sus_spark.operators.similarity import _as_double, cosine
+    from olap_sus_spark.operators.similarity import _as_double, dot, norm
 
     ids = buckets.select("vec_id", "t", "bucket")
     a = ids.select(F.col("vec_id").alias("ida"), "t", "bucket")
@@ -1007,11 +1022,31 @@ def _mutual_nn_from_buckets(emb: DataFrame, buckets: DataFrame) -> DataFrame:
         .select("ida", "idb")
         .distinct()
     )
-    v = _as_double(emb, "embedding", "cv").select("vec_id", "cv")
+    # Per-vector norms price once per VECTOR, not once per pair (r10, the
+    # embedding_dup_pairs_lsh discipline): an inline cosine would re-fold
+    # both norms for every candidate — 3 array folds per pair instead of 1.
+    # sqrt(fold(x²)) staged as a column is bit-identical to the oracle's
+    # inlined norms, and the division tree dot/(na·nb) is unchanged.
+    v = (
+        _as_double(emb, "embedding", "cv")
+        .select("vec_id", "cv")
+        .withColumn("_n", norm(F.col("cv")))
+    )
     scored = (
-        und.join(v.select(F.col("vec_id").alias("ida"), F.col("cv").alias("va")), "ida")
-        .join(v.select(F.col("vec_id").alias("idb"), F.col("cv").alias("vb")), "idb")
-        .select("ida", "idb", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        und.join(
+            v.select(F.col("vec_id").alias("ida"), F.col("cv").alias("va"),
+                     F.col("_n").alias("na")),
+            "ida",
+        )
+        .join(
+            v.select(F.col("vec_id").alias("idb"), F.col("cv").alias("vb"),
+                     F.col("_n").alias("nb")),
+            "idb",
+        )
+        .select(
+            "ida", "idb",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
     )
     directed = scored.unionAll(
         scored.select(
