@@ -178,11 +178,34 @@ def _learn_merges(
 
 @register("bpe_learn_merges", oracle=_bpe_oracle(_N_MERGES))
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First {n} BPE merges over the corpus word-frequency table."""
-    return spark.createDataFrame(
-        _learn_merges(spark, sf_dir),
-        "ordinal int, sym1 string, sym2 string, novo_simbolo string, freq bigint",
-    ).coalesce(1)
+    """First {n} BPE merges over the corpus word-frequency table.
+
+    The bounded merge list is emitted by exploding a literal struct array
+    over ``spark.range(1)`` instead of ``spark.createDataFrame`` — a
+    5-row literal frame costs ~0.5 s of driver round trips (CLAUDE.md
+    gotcha), the inline literal is free (r10, guide §5 driver work)."""
+    merges = _learn_merges(spark, sf_dir)
+    if not merges:
+        return spark.createDataFrame(
+            [],
+            "ordinal int, sym1 string, sym2 string, novo_simbolo string, freq bigint",
+        )
+    return spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("ordinal"),
+                        F.lit(s1).alias("sym1"),
+                        F.lit(s2).alias("sym2"),
+                        F.lit(m).alias("novo_simbolo"),
+                        F.lit(freq).cast("bigint").alias("freq"),
+                    )
+                    for i, s1, s2, m, freq in merges
+                ]
+            )
+        )
+    )
 
 
 def _apply_merges_sql_duck(expr: str, n_merges: int) -> str:
