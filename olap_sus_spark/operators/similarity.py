@@ -86,6 +86,40 @@ def cosine_topk(
     )
 
 
+def best_by(
+    df: DataFrame,
+    keys: list[str],
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """rank-1-by-(score DESC, id ASC) per key as ONE hash aggregate.
+
+    ``max(struct(score, -id))`` replaces the row_number window: the window
+    needs a full per-partition SORT of the scored stream before the partial
+    WindowGroupLimit can prune it, while a hash aggregate partial-aggregates
+    map-side with no sort at all and shuffles one row per (key, task)
+    (guide §2.3 aggregate before you shuffle / §2.4 remove the sort).
+    Selection-only, bit-identical: the struct's lexicographic comparison is
+    double order on ``score`` first (Spark's NaN-greatest total order — the
+    same order the DESC sort used), then max(-id) == min(id), the window's
+    ASC tie-break; the carried doubles are untouched.
+
+    Returns (*keys, id_col, score_col).
+    """
+    m = F.max(
+        F.struct(F.col(score_col).alias("_s"), (-F.col(id_col)).alias("_negid"))
+    )
+    return (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(m.alias("_best"))
+        .select(
+            *keys,
+            (-F.col("_best._negid")).alias(id_col),
+            F.col("_best._s").alias(score_col),
+        )
+    )
+
+
 # Above this size the k×dim literal matrix (and the driver collect) stops
 # being sensible — the crossJoin + window fallback handles big codebooks.
 _MATRIX_MAX_K = 64
@@ -636,10 +670,21 @@ def semantic_dedup(
                 "dup_cosine"
             ),
         )
-        .filter(F.col("dup_cosine") >= threshold)
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("dup_cosine").desc(), F.col("dup_of"))
-    best = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).drop("rk")
+    # rank-1 window → one hash aggregate (r10, best_by), and the threshold
+    # moves ABOVE the aggregate: a pre-agg filter gets pushed into the
+    # join condition, so the 64-dim dot fold ran once to filter and AGAIN
+    # in the projection for every surviving pair (plan audit: the fold in
+    # Join condition AND Project).  max commutes with thresholding — the
+    # argmax over pairs >= t is the global argmax whenever that max passes
+    # t, and the row is dropped otherwise — so filtering best_by's output
+    # is selection-identical and the fold now evaluates exactly once per
+    # cell-mate pair.
+    best = (
+        best_by(pairs, [id_col], "dup_cosine", "dup_of")
+        .filter(F.col("dup_cosine") >= threshold)
+        .select(id_col, "dup_of", "dup_cosine")
+    )
     return (
         cells.select(id_col, "centroid_id", *passthrough)
         .join(best, id_col, "left")
@@ -685,23 +730,30 @@ def quantize_int8(
     max_abs_err): the quantized array itself would be written to storage;
     the checksum + reconstruction error are the verifiable surface.
     """
+    # The scale must reach each element as a zip_with ARGUMENT
+    # (array_repeat), never as an outer reference inside the lambda: the
+    # r10 plan audit showed CollapseProject inlining the staged `_scale`
+    # alias into the lambda body — references inside higher-order-function
+    # lambdas are not counted as repeated — turning the array_max fold into
+    # per-ELEMENT work, O(dim²) per vector.  An argument expression
+    # evaluates once per row; same doubles, same floor(x/s + 0.5).
     v = F.col(vec_col).cast("array<double>")
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = amax / F.lit(127.0)
     staged = emb.select(F.col(id_col), v.alias("_v"), scale.alias("_scale"))
-    vq = F.zip_with(
-        F.col("_q"), F.col("_v"), lambda qi, xi: F.abs(qi * F.col("_scale") - xi)
+    srep = F.array_repeat(F.col("_scale"), F.size("_v"))
+    q = F.zip_with(
+        F.col("_v"),
+        srep,
+        lambda x, s: F.when(s == 0.0, F.lit(0).cast("bigint"))
+        .otherwise(F.floor(x / s + F.lit(0.5)))
+        .cast("bigint"),
     )
+    qs = F.zip_with(F.col("_q"), srep, lambda qi, s: qi * s)
+    vq = F.zip_with(F.col("_qs"), F.col("_v"), lambda a, xi: F.abs(a - xi))
     return (
-        staged.withColumn(
-            "_q",
-            F.transform(
-                F.col("_v"),
-                lambda x: F.when(F.col("_scale") == 0.0, F.lit(0).cast("bigint"))
-                .otherwise(F.floor(x / F.col("_scale") + F.lit(0.5)))
-                .cast("bigint"),
-            ),
-        )
+        staged.withColumn("_q", q)
+        .withColumn("_qs", qs)
         .select(
             id_col,
             F.size("_v").alias("n_dims"),
@@ -725,15 +777,19 @@ def quantized_vecs(
     (||qa||·||qb||)), so the prescore path needs only the integer arrays —
     4× less scan bandwidth than the float corpus and integer multiplies
     in the hot loop."""
+    # Scale as a zip_with ARGUMENT (array_repeat), not an outer lambda
+    # reference — see quantize_int8: CollapseProject inlines the staged
+    # alias into the lambda and re-runs the array_max fold per ELEMENT.
     v = F.col(vec_col).cast("array<double>")
     scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
     staged = emb.select(F.col(id_col), v.alias("_v"), scale.alias("_scale"))
     return staged.select(
         id_col,
-        F.transform(
+        F.zip_with(
             F.col("_v"),
-            lambda x: F.when(F.col("_scale") == 0.0, F.lit(0).cast("bigint"))
-            .otherwise(F.floor(x / F.col("_scale") + F.lit(0.5)))
+            F.array_repeat(F.col("_scale"), F.size("_v")),
+            lambda x, s: F.when(s == 0.0, F.lit(0).cast("bigint"))
+            .otherwise(F.floor(x / s + F.lit(0.5)))
             .cast("bigint"),
         ).alias("qv"),
     )
@@ -770,8 +826,17 @@ def quantized_rerank_topk(
     # for every (query, candidate) pair — 3 integer folds per pair instead
     # of 1.  The staged value is the identical exact bigint dot, so the
     # sqrt + division tree (and the oracle match) are unchanged.
-    qv = quantized_vecs(emb, id_col=id_col, vec_col=vec_col).withColumn(
-        "_qn2", _int_dot(F.col("qv"), F.col("qv"))
+    # The quantized corpus is MATERIALIZED once (r10): in production this
+    # is a stored artifact read back from parquet; inline, the plan audit
+    # showed the pushed-down nonzero-norm filters and the prescore
+    # projection each re-inlining the whole quantize+fold chain per
+    # vector.  localCheckpoint pins quantize + integer norm to exactly one
+    # evaluation per vector; values are untouched, so the oracle match is
+    # unchanged.
+    qv = (
+        quantized_vecs(emb, id_col=id_col, vec_col=vec_col)
+        .withColumn("_qn2", _int_dot(F.col("qv"), F.col("qv")))
+        .localCheckpoint(eager=True)
     )
     cand = qv.select(
         F.col(id_col).alias("cand_id"), F.col("qv").alias("cq"),
@@ -1535,10 +1600,15 @@ def _semantic_verdicts(
                 "dup_cosine"
             ),
         )
-        .filter(F.col("dup_cosine") >= threshold)
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("dup_cosine").desc(), F.col("dup_of"))
-    best = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1).drop("rk")
+    # rank-1 window → one hash aggregate with the threshold ABOVE it (r10,
+    # best_by) — same rewrite and same max-commutes-with-threshold argument
+    # as semantic_dedup, so refresh still equals rebuild verdict-for-verdict.
+    best = (
+        best_by(pairs, [id_col], "dup_cosine", "dup_of")
+        .filter(F.col("dup_cosine") >= threshold)
+        .select(id_col, "dup_of", "dup_cosine")
+    )
     return (
         b_frame.select(id_col, "centroid_id", *extra)
         .join(best, id_col, "left")

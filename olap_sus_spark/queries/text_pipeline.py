@@ -790,24 +790,31 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving query at 100 TB; the index amortizes it across corpus versions
     (bench reports the build separately as index_build.near_dup_clusters,
     like the ANN builds)."""
-    from pyspark.sql.window import Window
-
     docs = augmented_docs(spark, sf_dir)
     clusters = dd.load_or_build_cluster_index(spark, sf_dir, docs, threshold=0.5)
     quality = docs.select("doc_id", tx.token_count(F.col("text")).alias("q_tokens"))
-    w = Window.partitionBy("cluster_id")
-    ranked = (
+    # rank-1 window + COUNT window → ONE hash aggregate (r10): the window
+    # pair forced a full sort of the corpus-sized member stream per
+    # partition; max(struct(q_tokens, -doc_id)) + count partial-aggregate
+    # map-side with no sort (guide §2.3/§2.4).  Selection-only: the struct
+    # comparison is (q_tokens DESC, doc_id ASC) — the window's exact order.
+    return (
         clusters.join(quality, "doc_id")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                w.orderBy(F.col("q_tokens").desc(), F.col("doc_id"))
-            ),
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("q_tokens").alias("_q"), (-F.col("doc_id")).alias("_negid")
+                )
+            ).alias("_best"),
+            F.count(F.lit(1)).alias("n_membros"),
         )
-        .withColumn("n_membros", F.count(F.lit(1)).over(w))
-    )
-    return ranked.filter(F.col("rn") == 1).select(
-        "cluster_id", F.col("doc_id").alias("keep_doc"), "q_tokens", "n_membros"
+        .select(
+            "cluster_id",
+            (-F.col("_best._negid")).alias("keep_doc"),
+            F.col("_best._q").alias("q_tokens"),
+            "n_membros",
+        )
     )
 
 
@@ -1148,28 +1155,47 @@ def dedup_cross_doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     them; the +2M near copy all but the last window).  Docs shorter than
     5 tokens have no windows and no output row — they carry no repeatable
     span."""
-    dg = augmented_docs(spark, sf_dir).select(
-        "doc_id",
-        F.explode(
+    # Join-free formulation (r10, guide §2.4 — the same identity the sf10
+    # sweep already forced onto the ORACLE): grams are per-doc DISTINCT, so
+    # n_grams is the SIZE of the per-doc gram array (narrow, zero shuffle)
+    # and n_shared = n_grams − n_unique, where a gram is unique iff its
+    # corpus-wide occurrence count is 1 (its one doc = min doc).  The old
+    # shape shuffled the full (doc, gram) occurrence stream TWICE (gram
+    # fold + join-back of every occurrence) before a third doc-grain
+    # shuffle; this one shuffles it once, and the join drops from
+    # occurrence-stream × gram-table to docs × (doc, n_unique).  The gram
+    # arrays are localCheckpointed: tot and dg both read them, and without
+    # the barrier each branch would re-run the md5-per-gram tokenize pass
+    # (two exchanges with different keys cannot share one physical child) —
+    # linear local materialization instead of a second full tokenize.
+    gr = (
+        augmented_docs(spark, sf_dir)
+        .select(
+            "doc_id",
             F.array_distinct(
-                F.transform(
-                    tx.token_ngrams(F.col("text"), _CROSS_NGRAM_N), tx.md5_int
-                )
-            )
-        ).alias("gram"),
+                F.transform(tx.token_ngrams(F.col("text"), _CROSS_NGRAM_N), tx.md5_int)
+            ).alias("_grams"),
+        )
+        .localCheckpoint(eager=False)
     )
-    gc = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        dg.join(gc, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_shared"),
-        )
-        .withColumn(
-            "shared_frac",
-            F.col("n_shared").cast("double") / F.col("n_grams").cast("double"),
-        )
+    tot = gr.select(
+        "doc_id", F.size("_grams").cast("bigint").alias("n_grams")
+    ).filter(F.col("n_grams") > 0)
+    dg = gr.select("doc_id", F.explode("_grams").alias("gram"))
+    uq = (
+        dg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("_c") == 1)
+    )
+    u = uq.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_unique"))
+    return tot.join(u, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        (F.col("n_grams") - F.coalesce(F.col("n_unique"), F.lit(0))).alias("n_shared"),
+        (
+            (F.col("n_grams") - F.coalesce(F.col("n_unique"), F.lit(0))).cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("shared_frac"),
     )
 
 
@@ -1220,30 +1246,40 @@ def dedup_duplication_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cross_doc_ngrams_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olap_sus_spark.operators import gramfreq
 
+    # r10 (guide §2.3/§2.4, the join-free identity of the from-scratch
+    # twin): n_shared only needs MEMBERSHIP in the maintained >=2 CUT (r9
+    # served the full rollup and tested n_docs>=2 per occurrence), so the
+    # occurrence stream left-joins the much smaller shared-grams set, and
+    # n_grams rides along on the occurrence rows (SIZE of the per-doc
+    # array, constant within a doc — max() restores it at doc grain) so
+    # the corpus is tokenized exactly once with zero extra passes.
     dg = augmented_docs(spark, sf_dir).select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    tx.token_ngrams(F.col("text"), _CROSS_NGRAM_N), tx.md5_int
-                )
-            )
-        ).alias("gram"),
+        F.array_distinct(
+            F.transform(tx.token_ngrams(F.col("text"), _CROSS_NGRAM_N), tx.md5_int)
+        ).alias("_grams"),
+    ).select(
+        "doc_id",
+        F.size("_grams").cast("bigint").alias("_ng"),
+        F.explode("_grams").alias("gram"),
     )
-    # r9: the global fold itself is now a maintained table (gramfreq
-    # rollup) — the serve reads (gram, n_docs) directly instead of
-    # re-folding every per-src partial per call
-    gc = gramfreq.load_or_build_gram_rollup(spark, sf_dir)
+    cut = gramfreq.shared_grams_cut(spark, sf_dir).select(
+        "gram", F.lit(1).alias("_hit")
+    )
     return (
-        dg.join(gc, "gram")
+        dg.join(cut, "gram", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_shared"),
+            F.max("_ng").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_shared"),
         )
-        .withColumn(
-            "shared_frac",
-            F.col("n_shared").cast("double") / F.col("n_grams").cast("double"),
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double") / F.col("n_grams").cast("double")
+            ).alias("shared_frac"),
         )
     )
 

@@ -795,71 +795,96 @@ SELECT query_id, cand_id, cosine, mmr_score, mmr_rank FROM sel{k}"""
 
 @register("ann_mmr_diverse_topk", oracle=_mmr_oracle())
 def ann_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy MMR over a brute-force top-12 pool (λ = 0.5, k = 5): the
-    unrolled per-step shape is anti-join (drop selected) → max-pair-sim
-    aggregate → windowed argmax, all on k-bounded per-query frames;
-    pool + pairs are localCheckpointed once so the corpus scan and the
-    O(pool²) pair scoring never re-run across steps."""
-    from pyspark.sql import Window
+    """Greedy MMR over a brute-force top-12 pool (λ = 0.5, k = 5).
 
-    from olap_sus_spark.operators.similarity import cosine, _as_double
+    The pool scan — the only corpus-sized work — stays distributed
+    (cosine_topk: broadcast queries × corpus, WindowGroupLimit top-12).
+    Everything after it is bounded BY CONSTRUCTION at any corpus size:
+    NQ·pool = 60 pool rows and ≤ 60 candidate vectors.  The greedy k-step
+    rerank therefore runs driver-side (r10, guide §1.2/§5: 4 iterative
+    anti-join → aggregate → window → localCheckpoint rounds plus a pool²
+    pair-scoring crossJoin collapse into zero Spark jobs over decision-
+    sized data), with the exact IEEE arithmetic of the old plan: pair
+    cosines as the same 0.0-seeded sequential-fold dot / (na·nb) the JVM
+    fold evaluates, scores as 0.5·x − 0.5·m (exact halving, one rounded
+    subtraction), argmax with the (score DESC, cand_id ASC) tie-break.
+    The result is emitted as a literal inline struct array — never a
+    createDataFrame round trip on a serving path (CLAUDE.md gotcha)."""
+    import math
+    from collections import defaultdict
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _NQ).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    pool = (
+    pool_rows = (
         sim.cosine_topk(emb, queries, k=_MMR_POOL)
         .select("query_id", "cand_id", "cosine")
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    vecs = _as_double(emb, "embedding", "cv").select("vec_id", "cv")
-    a = pool.select("query_id", F.col("cand_id").alias("ca"))
-    b = pool.select("query_id", F.col("cand_id").alias("cb"))
-    pairs = (
-        a.join(b, "query_id")
-        .filter(F.col("ca") != F.col("cb"))
-        .join(vecs.select(F.col("vec_id").alias("ca"), F.col("cv").alias("va")), "ca")
-        .join(vecs.select(F.col("vec_id").alias("cb"), F.col("cv").alias("vb")), "cb")
-        .select("query_id", "ca", "cb", cosine(F.col("va"), F.col("vb")).alias("psim"))
-        .localCheckpoint(eager=True)
+    cand_ids = sorted({int(r["cand_id"]) for r in pool_rows})
+    vrows = (
+        emb.filter(F.col("vec_id").isin(cand_ids))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
     )
-    w1 = Window.partitionBy("query_id").orderBy(
-        (F.lit(0.5) * F.col("cosine")).desc(), "cand_id"
-    )
-    sel = (
-        pool.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select(
-            "query_id", "cand_id", "cosine",
-            (F.lit(0.5) * F.col("cosine")).alias("mmr_score"),
-            F.lit(1).alias("mmr_rank"),
+    vec = {int(r["vec_id"]): [float(x) for x in r["v"]] for r in vrows}
+
+    def _dotp(a: list[float], b: list[float]) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + x * y
+        return s
+
+    nrm = {i: math.sqrt(_dotp(v, v)) for i, v in vec.items()}
+
+    def _psim(i: int, j: int) -> float:
+        return _dotp(vec[i], vec[j]) / (nrm[i] * nrm[j])
+
+    pool: dict[int, list[tuple[int, float]]] = defaultdict(list)
+    for r in pool_rows:
+        pool[int(r["query_id"])].append((int(r["cand_id"]), float(r["cosine"])))
+
+    out: list[tuple[int, int, float, float, int]] = []
+    for q in sorted(pool):
+        cands = pool[q]
+        first = max(cands, key=lambda c: (0.5 * c[1], -c[0]))
+        sel = [(first[0], first[1], 0.5 * first[1], 1)]
+        for step in range(2, _MMR_K + 1):
+            chosen = {s[0] for s in sel}
+            rem = [c for c in cands if c[0] not in chosen]
+            if not rem:
+                break
+            scored = [
+                (cid, cos, 0.5 * cos - 0.5 * max(_psim(cid, s[0]) for s in sel))
+                for cid, cos in rem
+            ]
+            pick = max(scored, key=lambda t: (t[2], -t[0]))
+            sel.append((pick[0], pick[1], pick[2], step))
+        out.extend((q, cid, cos, score, rank) for cid, cos, score, rank in sel)
+
+    if not out:
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, cand_id bigint, cosine double, "
+            "mmr_score double, mmr_rank int",
         )
-    )
-    for step in range(2, _MMR_K + 1):
-        rem = pool.join(sel.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_anti")
-        maxp = (
-            pairs.join(
-                sel.select("query_id", F.col("cand_id").alias("cb")),
-                ["query_id", "cb"],
+    return spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).cast("bigint").alias("query_id"),
+                        F.lit(cid).cast("bigint").alias("cand_id"),
+                        F.lit(cos).alias("cosine"),
+                        F.lit(score).alias("mmr_score"),
+                        F.lit(rank).cast("int").alias("mmr_rank"),
+                    )
+                    for q, cid, cos, score, rank in out
+                ]
             )
-            .groupBy("query_id", F.col("ca").alias("cand_id"))
-            .agg(F.max("psim").alias("maxp"))
         )
-        score = F.lit(0.5) * F.col("cosine") - F.lit(0.5) * F.col("maxp")
-        ws = Window.partitionBy("query_id").orderBy(score.desc(), "cand_id")
-        pick = (
-            rem.join(maxp, ["query_id", "cand_id"])
-            .withColumn("rn", F.row_number().over(ws))
-            .filter(F.col("rn") == 1)
-            .select(
-                "query_id", "cand_id", "cosine",
-                score.alias("mmr_score"),
-                F.lit(step).alias("mmr_rank"),
-            )
-        )
-        sel = sel.unionByName(pick).localCheckpoint(eager=True)
-    return sel
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -895,8 +920,6 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale the scored self-join is replaced by the SRP-bucketed
     candidate stream — identical downstream rank-1 + transpose-intersect
     logic).  Cosines bit-match the oracle via the shared fixed-fold dot."""
-    from pyspark.sql import Window
-
     from olap_sus_spark.operators.similarity import _as_double, dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
@@ -923,10 +946,14 @@ def mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
-    w = Window.partitionBy("ida").orderBy(F.col("cosine").desc(), "idb")
+    # rank-1 window → one hash aggregate (r10, similarity.best_by): the n²
+    # scored stream is partial-aggregated map-side instead of fully sorted
+    # per partition before WindowGroupLimit.  Selection-only — the kept
+    # cosine is the same double the window version carried.
+    from olap_sus_spark.operators.similarity import best_by
+
     nn = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        best_by(scored, ["ida"], "cosine", "idb")
         .select("ida", "idb", "cosine")
         .localCheckpoint(eager=True)
     )
@@ -1009,8 +1036,6 @@ def _mutual_nn_from_buckets(emb: DataFrame, buckets: DataFrame) -> DataFrame:
     each pair is exact-cosine-scored ONCE (cosine is bit-symmetric — IEEE
     multiplication commutes — so the directed view is a swap, not a
     rescore)."""
-    from pyspark.sql import Window
-
     from olap_sus_spark.operators.similarity import _as_double, dot, norm
 
     ids = buckets.select("vec_id", "t", "bucket")
@@ -1048,15 +1073,29 @@ def _mutual_nn_from_buckets(emb: DataFrame, buckets: DataFrame) -> DataFrame:
             (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
     )
-    directed = scored.unionAll(
-        scored.select(
-            F.col("idb").alias("ida"), F.col("ida").alias("idb"), "cosine"
-        )
-    )
-    w = Window.partitionBy("ida").orderBy(F.col("cosine").desc(), "idb")
+    # Both directions via ONE generator instead of scored.unionAll(swap)
+    # (r10): a self-union duplicates the whole scoring subtree — the plan
+    # audit showed both branches re-running the vector joins AND the
+    # 64-dim dot fold per pair.  posexplode-free explode of the two
+    # (a, b) orientations evaluates the fold exactly once per undirected
+    # pair and emits two rows (guide §1.2: don't compute things twice).
+    directed = scored.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("ida").alias("a"), F.col("idb").alias("b")),
+                F.struct(F.col("idb").alias("a"), F.col("ida").alias("b")),
+            )
+        ).alias("_e"),
+        "cosine",
+    ).select(F.col("_e.a").alias("ida"), F.col("_e.b").alias("idb"), "cosine")
+    # rank-1 window → one hash aggregate (r10, similarity.best_by): the
+    # directed candidate stream (2× the deduped pairs) is the biggest frame
+    # in the query; max(struct) partial-aggregates it map-side instead of
+    # sorting every partition before WindowGroupLimit.
+    from olap_sus_spark.operators.similarity import best_by
+
     nn = (
-        directed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        best_by(directed, ["ida"], "cosine", "idb")
         .select("ida", "idb", "cosine")
         .localCheckpoint(eager=True)
     )
