@@ -80,8 +80,9 @@ def might_contain(col: str, table: list[int], m: int) -> Column:
     power-of-two literal array, so no shift-by-column is needed and
     every operand stays in exact BIGINT range."""
     h1, h2 = _h1h2(col)
-    words = F.array(*[F.lit(w).cast("bigint") for w in table])
-    pow2 = F.array(*[F.lit(v).cast("bigint") for v in _POW2])
+    # single-literal arrays (one py4j call each), not |table| scalar lits
+    words = F.lit([int(w) for w in table])
+    pow2 = F.lit([int(v) for v in _POW2])
     out = None
     for i in range(_K):
         pos = (h1 + F.lit(i) * h2) % m

@@ -241,7 +241,9 @@ def simhash60(text: Column | str) -> Column:
     — pure BIGINT modulo, exact in every engine (shift-by-column isn't
     expressible in the DataFrame API, and float division would lose bits
     past 2⁵³).  Per-row, no shuffle."""
-    powers = F.array(*[F.lit(2**j).cast("bigint") for j in range(SIMHASH_BITS)])
+    # one nested-literal py4j call, not SIMHASH_BITS scalar lits (r10 —
+    # scalar-lit construction cost scales with the py4j registry)
+    powers = F.lit([2**j for j in range(SIMHASH_BITS)])
     hashes = F.transform(F.array_distinct(tokens(text)), md5_int)
     votes = F.aggregate(
         hashes,

@@ -969,14 +969,15 @@ def srp_buckets(
     # Bit-exactness: each acc_k accumulates ((0 + x₀p₀ₖ) + x₁p₁ₖ)… — the
     # identical left-to-right association as a per-plane sequential fold,
     # so signatures still match the oracle's list_reduce digit for digit.
-    # The element-major plane matrix is a literal of literals — constant-
-    # folded once, never rebuilt per row.
-    pmat = F.array(
-        *[
-            F.array(*[F.lit(planes[k][j]) for k in range(K)])
-            for j in range(dim)
-        ]
-    )
+    # The element-major plane matrix is ONE nested literal (a single py4j
+    # call), not dim×K scalar F.lit columns: the scalar-lit construction
+    # cost dim·K py4j round trips PER QUERY CONSTRUCTION (6144 for the
+    # occupancy-8 signatures) and grew with the py4j object registry —
+    # profiled at 10–35 s per build of the bucket frame at sf0.1, dwarfing
+    # the actual signature execution (~0.3 s).  Same literal value, same
+    # constant folding (the _nearest_centroid_matrix fix, r10 applied
+    # here).
+    pmat = F.lit([[planes[k][j] for k in range(K)] for j in range(dim)])
     v = F.col(vec_col).cast("array<double>")
     dots = F.aggregate(
         F.zip_with(v, pmat, lambda x, prow: F.transform(prow, lambda p: x * p)),

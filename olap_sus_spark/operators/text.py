@@ -67,7 +67,7 @@ def punct_ratio(text: Column | str) -> Column:
 
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = LANG_PROFILES["en"]) -> Column:
     toks = tokens(text)
-    sw = F.array(*[F.lit(s) for s in stopwords])
+    sw = F.lit(list(stopwords))
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
@@ -98,7 +98,7 @@ def langid(text: Column | str) -> Column:
     toks = tokens(text)
     best = None
     for code in sorted(LANG_PROFILES):  # alphabetical = tie-break order
-        sw = F.array(*[F.lit(s) for s in LANG_PROFILES[code]])
+        sw = F.lit(list(LANG_PROFILES[code]))
         score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
         struct = F.struct(score.alias("s"), F.lit(code).alias("c"))
         best = struct if best is None else F.when(struct["s"] > best["s"], struct).otherwise(best)

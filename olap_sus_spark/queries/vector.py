@@ -1114,7 +1114,19 @@ def mutual_nn_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     bits = auto_bits(corpus_rows(sf_dir), target_bucket=64)
-    b = srp_buckets(emb, dim=_DIM, n_tables=_LSH_T, n_bits=bits)
+    # Materialize the (id, t, bucket) triples ONCE (r10, the
+    # embedding_dup_pairs_lsh discipline): the collision self-join consumes
+    # the bucket frame on BOTH sides, and without the checkpoint the
+    # signature pass — the dominant cost of the query (stage decomposition:
+    # ~4 s of the ~8 s total at sf0.1) — runs twice, once per join side
+    # (the two sides project different aliases, so ReuseExchange cannot
+    # deduplicate them).  24-byte triples; the maintained-index twin reads
+    # them from parquet instead.
+    b = (
+        srp_buckets(emb, dim=_DIM, n_tables=_LSH_T, n_bits=bits)
+        .select("vec_id", "t", "bucket")
+        .localCheckpoint(eager=True)
+    )
     return _mutual_nn_from_buckets(emb, b)
 
 
