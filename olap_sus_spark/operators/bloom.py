@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from olap_sus_spark.operators.onecall import lit_bigints
+
 _K = 4  # probes per key
 
 
@@ -80,9 +82,13 @@ def might_contain(col: str, table: list[int], m: int) -> Column:
     power-of-two literal array, so no shift-by-column is needed and
     every operand stays in exact BIGINT range."""
     h1, h2 = _h1h2(col)
-    # single-literal arrays (one py4j call each), not |table| scalar lits
-    words = F.lit([int(w) for w in table])
-    pow2 = F.lit([int(v) for v in _POW2])
+    # one-call server-side literals (operators/onecall.py) — F.lit(list)
+    # expands client-side to |table| scalar-lit py4j round trips; explicit
+    # BIGINT elements keep the docstring's exact-BIGINT-range invariant
+    # enforced by construction (the old lit(list) inferred array<int> when
+    # every word happened to fit int32 — ADVICE r10)
+    words = lit_bigints(int(w) for w in table)
+    pow2 = lit_bigints(int(v) for v in _POW2)
     out = None
     for i in range(_K):
         pos = (h1 + F.lit(i) * h2) % m

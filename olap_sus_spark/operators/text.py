@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from olap_sus_spark.operators.onecall import lit_strings
+
 TOKEN_RE = "[a-z0-9]+"  # BPE-ish lowercase word/number pieces; RE2+Java safe
 
 # Tiny per-language stopword profiles for the n-gram/stopword language-ID
@@ -67,7 +69,7 @@ def punct_ratio(text: Column | str) -> Column:
 
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = LANG_PROFILES["en"]) -> Column:
     toks = tokens(text)
-    sw = F.lit(list(stopwords))
+    sw = lit_strings(stopwords)
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
@@ -98,7 +100,7 @@ def langid(text: Column | str) -> Column:
     toks = tokens(text)
     best = None
     for code in sorted(LANG_PROFILES):  # alphabetical = tie-break order
-        sw = F.lit(list(LANG_PROFILES[code]))
+        sw = lit_strings(LANG_PROFILES[code])
         score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
         struct = F.struct(score.alias("s"), F.lit(code).alias("c"))
         best = struct if best is None else F.when(struct["s"] > best["s"], struct).otherwise(best)

@@ -224,9 +224,19 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from olap_sus_spark.operators.graph import pagerank
 
     pairs = basket_part_pairs(spark, sf_dir)
+    # Both edge orientations from ONE generator: unionByName duplicated the
+    # whole basket-pairs subtree (the lineitem basket self-join — the
+    # dominant term) because differently-aliased exchanges are not reused;
+    # explode evaluates its input once and emits two rows (r11, the
+    # _mutual_nn_from_buckets fix applied here — VERDICT r10 #3).
     edges = pairs.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("p1").alias("src"), F.col("p2").alias("dst")),
+                F.struct(F.col("p2").alias("src"), F.col("p1").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     return pagerank(edges, iters=_PR_ITERS, scale=_PR_SCALE).select(
         F.col("node").alias("parte"), "rank_fp", "rank"
     )
@@ -303,13 +313,25 @@ def top_copurchases_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     pares = basket_part_pairs(spark, sf_dir).withColumnRenamed(
         "pedidos_juntos", "suporte"
     )
+    # unionByName re-evaluated the basket-pairs subtree per direction —
+    # one explode generator emits both orientations from a single pass
+    # (same rewrite as pagerank_parts above).
     dirigido = pares.select(
-        F.col("p1").alias("parte"), F.col("p2").alias("parceiro"), "suporte"
-    ).unionByName(
-        pares.select(
-            F.col("p2").alias("parte"), F.col("p1").alias("parceiro"), "suporte"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("p1").alias("parte"),
+                    F.col("p2").alias("parceiro"),
+                    F.col("suporte").alias("suporte"),
+                ),
+                F.struct(
+                    F.col("p2").alias("parte"),
+                    F.col("p1").alias("parceiro"),
+                    F.col("suporte").alias("suporte"),
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.parte", "_e.parceiro", "_e.suporte")
     w = Window.partitionBy("parte").orderBy(F.col("suporte").desc(), "parceiro")
     return (
         dirigido.withColumn("rk", F.row_number().over(w))

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from olap_sus_spark.catalog import load_table
+from olap_sus_spark.operators.onecall import inline_rows
 from olap_sus_spark.queries.text_pipeline import _TOKENS_SQL
 from olap_sus_spark.registry import register
 
@@ -190,20 +191,18 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             [],
             "ordinal int, sym1 string, sym2 string, novo_simbolo string, freq bigint",
         )
+    # one-call server-side inline literal (operators/onecall.py): the
+    # scalar-lit struct array cost 5 py4j round trips per merge row
     return spark.range(1).select(
-        F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).cast("int").alias("ordinal"),
-                        F.lit(s1).alias("sym1"),
-                        F.lit(s2).alias("sym2"),
-                        F.lit(m).alias("novo_simbolo"),
-                        F.lit(freq).cast("bigint").alias("freq"),
-                    )
-                    for i, s1, s2, m, freq in merges
-                ]
-            )
+        inline_rows(
+            merges,
+            [
+                ("ordinal", "int"),
+                ("sym1", "string"),
+                ("sym2", "string"),
+                ("novo_simbolo", "string"),
+                ("freq", "bigint"),
+            ],
         )
     )
 

@@ -81,8 +81,13 @@ GROUP BY node
 
 @register("triangle_counts_parts", oracle=_TRIANGLE_ORACLE)
 def triangle_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle participation per part in the co-purchase graph."""
-    return triangle_counts(_copurchase_edges(spark, sf_dir))
+    """Triangle participation per part in the co-purchase graph.  Edges
+    are materialized once (the khop discipline): the degree aggregate and
+    the orientation join would otherwise each re-run the basket self-join
+    (r11)."""
+    return triangle_counts(
+        _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    )
 
 
 _KHOP_K = 3

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from olap_sus_spark.catalog import load_table
 from olap_sus_spark.operators import similarity as sim
+from olap_sus_spark.operators.onecall import inline_rows
 from olap_sus_spark.registry import register
 
 _NQ = 5  # query vectors: vec_id < 5
@@ -869,20 +870,19 @@ def ann_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id bigint, cand_id bigint, cosine double, "
             "mmr_score double, mmr_rank int",
         )
+    # one-call server-side inline literal (operators/onecall.py): the
+    # scalar-lit struct array cost NQ·k·5 ≈ 625 py4j round trips per query
+    # construction (ADVICE r10); repr()-rendered doubles parse bit-identical
     return spark.range(1).select(
-        F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(q).cast("bigint").alias("query_id"),
-                        F.lit(cid).cast("bigint").alias("cand_id"),
-                        F.lit(cos).alias("cosine"),
-                        F.lit(score).alias("mmr_score"),
-                        F.lit(rank).cast("int").alias("mmr_rank"),
-                    )
-                    for q, cid, cos, score, rank in out
-                ]
-            )
+        inline_rows(
+            out,
+            [
+                ("query_id", "bigint"),
+                ("cand_id", "bigint"),
+                ("cosine", "double"),
+                ("mmr_score", "double"),
+                ("mmr_rank", "int"),
+            ],
         )
     )
 

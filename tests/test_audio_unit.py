@@ -127,6 +127,7 @@ def test_stats_int16_extremes_no_overflow():
     assert zc == 0
 
 
+@pytest.mark.slow  # heavy probe: opt-in via -m slow (r11)
 def test_frame_energy_conserves_total(spark):
     rows = []
     for aid in range(6):

@@ -31,6 +31,7 @@ def _facts(spark):
     )
 
 
+@pytest.mark.slow  # heavy probe: opt-in via -m slow (r11)
 def test_band_join_null_arm_matches_sentinel(spark):
     """SINASC semantics (spark_script_sinasc.py:224-227): NULL value joins
     exactly the band whose lower bound is NULL."""

@@ -11,6 +11,7 @@ from olap_sus_spark.catalog import load_table
 from olap_sus_spark.operators.cms import CMS_DEPTH, cms_build, cms_estimate
 from olap_sus_spark.queries import cms as q
 from tests.conftest import SF_DIR
+import pytest
 
 
 def _rows(df):
@@ -104,6 +105,7 @@ def test_refresh_equals_rebuild_and_is_idempotent(spark, tmp_path, monkeypatch):
     assert _rows(q.load_or_build_supplier_cms(spark, SF_DIR)) == partials
 
 
+@pytest.mark.slow  # heavy probe: opt-in via -m slow (r11)
 def test_refresh_before_build_falls_back_to_full_build(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx3"))
     q.refresh_supplier_cms(spark, SF_DIR, ["1995-03-15"])  # no table yet

@@ -12,6 +12,9 @@ import pytest
 
 from tests.test_etl_e2e import DT, LANDING, SEEDS
 
+pytestmark = pytest.mark.slow  # hour-scale chain/probe suite: opt-in via -m slow (driver verify window, r11)
+
+
 
 @pytest.fixture(scope="module")
 def wh(spark, tmp_path_factory):

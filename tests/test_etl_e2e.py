@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 from olap_sus_spark import etl
 from olap_sus_spark.operators.facts import NASC_KEYS, OBITO_KEYS
 
+pytestmark = pytest.mark.slow  # hour-scale chain/probe suite: opt-in via -m slow (driver verify window, r11)
+
+
 FIX = os.path.join(os.path.dirname(__file__), "fixtures")
 SEEDS = {
     "municipio": os.path.join(FIX, "seeds", "municipio.csv"),

@@ -20,6 +20,9 @@ from olap_sus_spark.operators import index_store as ix
 from olap_sus_spark.operators import similarity as sim
 from tests.conftest import SF_DIR
 
+pytestmark = pytest.mark.slow  # hour-scale chain/probe suite: opt-in via -m slow (driver verify window, r11)
+
+
 _DIM = 64  # embeddings dim in the driver testdata
 
 

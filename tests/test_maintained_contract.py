@@ -21,6 +21,9 @@ from olap_sus_spark.queries import hist as qhist
 from olap_sus_spark.queries import sketches as qsk
 from tests.conftest import SF_DIR
 
+pytestmark = pytest.mark.slow  # hour-scale chain/probe suite: opt-in via -m slow (driver verify window, r11)
+
+
 
 def _replace(path: str, new: str) -> None:
     trash = path + ".trash"

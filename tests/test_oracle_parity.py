@@ -16,6 +16,7 @@ def test_query_matches_oracle(spark, oracle_con, name):
     assert_matches_oracle(df, oracle_con, ORACLE[name])
 
 
+@pytest.mark.slow  # heavy probe: opt-in via -m slow (r11)
 def test_every_query_runs(spark):
     for name, fn in QUERIES.items():
         n = fn(spark, SF_DIR).count()

@@ -11,6 +11,11 @@ from olap_sus_spark.catalog import load_table
 from olap_sus_spark.operators import purge as pg
 from tests.conftest import SF_DIR
 
+import pytest
+
+pytestmark = pytest.mark.slow  # hour-scale chain/probe suite: opt-in via -m slow (driver verify window, r11)
+
+
 _PURGE = [3, 17, 42, 250, 499]
 
 

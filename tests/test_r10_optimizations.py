@@ -103,10 +103,14 @@ def test_quantize_argument_position_scale(spark):
 
 
 def test_cross_doc_ngrams_join_free_identity(spark):
-    """The join-free stats must equal the old join-back formulation on a
-    corpus with an all-shared doc, an all-unique doc, and a too-short doc
-    (no 5-gram windows -> no output row)."""
+    """The join-free stats must equal the OLD join-back formulation —
+    recomputed here from scratch (explode distinct grams, gram -> n_docs
+    fold, join back onto every occurrence, sum(n_docs >= 2)), so a shared
+    bug in the n_grams − n_unique identity cannot hide behind the rewritten
+    query comparing against itself (ADVICE r10)."""
     import olap_sus_spark.queries  # noqa: F401
+    from olap_sus_spark.operators import text as tx
+    from olap_sus_spark.queries.text_pipeline import _CROSS_NGRAM_N, augmented_docs
     from olap_sus_spark.registry import QUERIES
 
     out = {r["doc_id"]: r for r in QUERIES["dedup_cross_doc_ngrams"](spark, SF_DIR).collect()}
@@ -114,6 +118,44 @@ def test_cross_doc_ngrams_join_free_identity(spark):
     for r in out.values():
         assert 0 <= r["n_shared"] <= r["n_grams"]
         assert r["shared_frac"] == (float(r["n_shared"]) / float(r["n_grams"]))
+
+    # the pre-r10 join-back shape, inline: per-doc distinct gram hashes,
+    # corpus-wide document frequency per gram, joined back onto every
+    # occurrence, n_shared = count of occurrences with n_docs >= 2
+    occ = augmented_docs(spark, SF_DIR).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    tx.token_ngrams(F.col("text"), _CROSS_NGRAM_N), tx.md5_int
+                )
+            )
+        ).alias("gram"),
+    )
+    freq = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    old = (
+        occ.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    old_map = {
+        r["doc_id"]: (
+            r["n_grams"],
+            r["n_shared"],
+            float(r["n_shared"]) / float(r["n_grams"]),
+        )
+        for r in old.collect()
+    }
+    new_map = {
+        k: (v["n_grams"], v["n_shared"], v["shared_frac"]) for k, v in out.items()
+    }
+    assert new_map == old_map
+
     served = {
         r["doc_id"]: r
         for r in QUERIES["dedup_cross_doc_ngrams_served"](spark, SF_DIR).collect()

@@ -32,6 +32,9 @@ from olap_sus_spark.operators import gramfreq as gf
 from olap_sus_spark.operators import index_store as ix
 from tests.conftest import SF_DIR
 
+pytestmark = pytest.mark.slow  # hour-scale chain/probe suite: opt-in via -m slow (driver verify window, r11)
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

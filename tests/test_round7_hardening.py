@@ -7,7 +7,12 @@ from __future__ import annotations
 import errno
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.slow  # hour-scale chain/probe suite: opt-in via -m slow (driver verify window, r11)
+
 
 
 def _rows(df):

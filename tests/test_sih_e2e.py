@@ -16,6 +16,9 @@ from olap_sus_spark import etl
 from olap_sus_spark.operators.facts import INTERN_KEYS
 from tests.test_etl_e2e import DT, LANDING, SEEDS
 
+pytestmark = pytest.mark.slow  # hour-scale chain/probe suite: opt-in via -m slow (driver verify window, r11)
+
+
 
 @pytest.fixture(scope="module")
 def warehouse(spark, tmp_path_factory):

@@ -91,6 +91,7 @@ def test_semantic_cells_autosize_k():
         assert k == want
 
 
+@pytest.mark.slow  # heavy probe: opt-in via -m slow (r11)
 def test_assign_centroids_chunked_equals_crossjoin(spark):
     """k > 64 takes the chunked matrix fold; it must reproduce the
     crossJoin + window formulation bit-for-bit (max cosine, smallest-id

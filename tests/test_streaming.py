@@ -21,6 +21,9 @@ from olap_sus_spark.streaming import (
 )
 from tests.conftest import SF_DIR
 
+pytestmark = pytest.mark.slow  # hour-scale chain/probe suite: opt-in via -m slow (driver verify window, r11)
+
+
 
 @pytest.fixture(scope="module")
 def stream_dir(spark, tmp_path_factory):

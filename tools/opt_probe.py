@@ -9,8 +9,8 @@ Usage:
   catalog warm-up) unless --action noop is given (guide §1.4: noop sink
   computes every column and discards, isolating computation from the
   collect round trip).
-- --plans before|after writes plans/r10/<query>_<TAG>.txt with the
-  explain("formatted") output.
+- --plans before|after writes plans/<round>/<query>_<TAG>.txt (--plandir,
+  default r11) with the explain("formatted") output.
 - Index-backed queries are served from whatever index currently exists on
   disk (build once via bench.py or the loaders before probing a *_served /
   *_indexed entry).
@@ -32,7 +32,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--plans", default=None, help="tag: write plans/r10/<q>_<tag>.txt")
+    ap.add_argument("--plans", default=None, help="tag: write plans/<plandir>/<q>_<tag>.txt")
+    ap.add_argument("--plandir", default="r11")
     ap.add_argument("--action", choices=["collect", "noop"], default="collect")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
@@ -46,7 +47,7 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, args.sf, t).count()
 
-    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    plan_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", args.plandir)
     os.makedirs(plan_dir, exist_ok=True)
 
     for name in args.queries:
@@ -64,17 +65,23 @@ def main() -> None:
             with open(os.path.join(plan_dir, f"{name}_{args.plans}.txt"), "w") as f:
                 f.write(buf.getvalue())
         times = []
+        constr = []
         for _ in range(args.runs):
             spark.sparkContext.setJobDescription(f"opt-probe: {name}")
             t0 = time.perf_counter()
             df = QUERIES[name](spark, args.sf)
+            constr.append(time.perf_counter() - t0)
             if args.action == "noop":
                 df.write.format("noop").mode("overwrite").save()
             else:
                 df.collect()
             times.append(time.perf_counter() - t0)
             spark.sparkContext.setJobDescription(None)
-        print(f"{name}: min={min(times):.3f}s runs={[round(t, 3) for t in times]}", flush=True)
+        print(
+            f"{name}: min={min(times):.3f}s runs={[round(t, 3) for t in times]} "
+            f"construct={[round(t, 3) for t in constr]}",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
